@@ -1,0 +1,406 @@
+"""Column-chunk encode/decode: Arrow array <-> (payload bytes, meta).
+
+This is the engine's ``OneColonnade``/``Siphon`` pair lifted to
+columnar chunks (reference: colonnade/src/Colonnade/Encode.hs:530-534
+encoder atom; siphon/src/Siphon/Types.hs:61-74 decoder dual;
+round-trip property siphon/test/Test.hs:262-276).  A column chunk is
+decomposed into *streams* (validity, lengths/offsets, values, data
+bytes), each stream independently routed through the auto-selector
+(graft of the two-pass ``sizeColumns`` measure-then-encode,
+colonnade/src/Colonnade/Encode.hs:177-201) and the winning codec.
+
+Nullability: validity bitmaps are encoded as their own stream; null
+slots are filled with zero/empty before value encode and restored on
+decode — graft of ``fromMaybe`` null handling
+(colonnade/src/Colonnade.hs:170-172) and ``optional`` decoders
+(geolite-csv/src/Geolite/Csv.hs:37,44-57).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .base import ChunkStats, Encoded, int_stats
+from .fsst import FsstCodec
+from .ints import INT_CODECS
+
+# deterministic candidate order = selector tie-break order
+INT_CANDIDATE_ORDER = (
+    "for_bitpack", "delta_bitpack", "rle", "dict_varint", "dict_bitpack", "plain",
+)
+
+_STR_SAMPLE_BYTES = 1 << 16
+_NDV_SAMPLE = 2048
+
+
+# ---------------------------------------------------------------------------
+# Arrow type descriptors (schema metadata that survives the trip)
+
+
+def type_to_desc(t: pa.DataType) -> dict:
+    if pa.types.is_timestamp(t):
+        return {"k": "timestamp", "unit": t.unit, "tz": t.tz}
+    if pa.types.is_date32(t):
+        return {"k": "date32"}
+    if pa.types.is_large_string(t):
+        return {"k": "large_string"}
+    if pa.types.is_string(t):
+        return {"k": "string"}
+    if pa.types.is_binary(t):
+        return {"k": "binary"}
+    if pa.types.is_boolean(t):
+        return {"k": "bool"}
+    if pa.types.is_list(t):
+        return {"k": "list", "item": type_to_desc(t.value_type)}
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        return {"k": str(t)}
+    raise TypeError(f"unsupported arrow type {t}")
+
+
+def desc_to_type(d: dict) -> pa.DataType:
+    k = d["k"]
+    if k == "timestamp":
+        return pa.timestamp(d["unit"], tz=d["tz"])
+    if k == "date32":
+        return pa.date32()
+    if k == "large_string":
+        return pa.large_string()
+    if k == "string":
+        return pa.string()
+    if k == "binary":
+        return pa.binary()
+    if k == "bool":
+        return pa.bool_()
+    if k == "list":
+        return pa.list_(desc_to_type(d["item"]))
+    return pa.type_for_alias(k)
+
+
+# ---------------------------------------------------------------------------
+# Int-stream selection (the auto-selector)
+
+
+def select_int_codec(arr: np.ndarray, candidates=INT_CANDIDATE_ORDER) -> tuple[str, int, ChunkStats]:
+    """Measure once, estimate every candidate, pick min size.
+
+    Returns (codec_name, estimated_bytes, stats).  First-listed wins
+    ties — a fixed, documented tie-break so retries are bit-identical
+    (SURVEY.md §7 hard parts)."""
+    st = int_stats(arr)
+    best_name, best_est = "plain", None
+    for name in candidates:
+        est = INT_CODECS[name].estimate(st)
+        if est is not None and (best_est is None or est < best_est):
+            best_name, best_est = name, est
+    return best_name, int(best_est if best_est is not None else 0), st
+
+
+def encode_int_stream(arr: np.ndarray, forced: Optional[str] = None) -> Encoded:
+    if forced is not None:
+        name = forced
+    else:
+        name, _, _ = select_int_codec(arr)
+    return INT_CODECS[name].encode(arr)
+
+
+def decode_int_stream(enc: Encoded) -> np.ndarray:
+    return INT_CODECS[enc.codec].decode(enc)
+
+
+# ---------------------------------------------------------------------------
+# Stream plumbing: each stream -> (entry_meta, parts)
+
+
+def _emit(enc: Encoded) -> tuple[dict, list]:
+    payload_parts = list(enc.parts)
+    enc.meta["part_lens"] = [len(p) for p in payload_parts]
+    return {"codec": enc.codec, "meta": enc.meta}, payload_parts
+
+
+def _validity_stream(arr: pa.Array) -> tuple[Optional[dict], list]:
+    if arr.null_count == 0:
+        return None, []
+    mask = arr.is_valid().to_numpy(zero_copy_only=False)
+    enc = Encoded("bitmap", {"n": int(len(mask))},
+                  [np.packbits(mask, bitorder="little").tobytes()])
+    return _emit(enc)
+
+
+def _decode_validity(entry: Optional[dict], parts: list, n: int) -> Optional[np.ndarray]:
+    if entry is None:
+        return None
+    raw = np.frombuffer(parts[0], dtype=np.uint8)
+    return np.unpackbits(raw, count=n, bitorder="little").astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# Primitive columns
+
+
+def _primitive_values(arr: pa.Array) -> np.ndarray:
+    """Zero-copy-ish numpy view of a (filled, null-free) primitive array."""
+    t = arr.type
+    if pa.types.is_boolean(t):
+        return arr.to_numpy(zero_copy_only=False)  # bool_ -> np.bool_
+    np_arr = arr.to_numpy(zero_copy_only=True)
+    if pa.types.is_timestamp(t) or pa.types.is_date32(t):
+        return np_arr.view(f"i{np_arr.dtype.itemsize}")
+    return np_arr
+
+
+def _fill_nulls(arr: pa.Array) -> pa.Array:
+    t = arr.type
+    if arr.null_count == 0:
+        return arr
+    if pa.types.is_timestamp(t) or pa.types.is_date32(t):
+        zero = pa.scalar(0, pa.int64()).cast(t)
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        zero = pa.scalar("", t)
+    elif pa.types.is_binary(t):
+        zero = pa.scalar(b"", t)
+    else:
+        zero = pa.scalar(0, t)
+    return pc.fill_null(arr, zero)
+
+
+def _encode_primitive(arr: pa.Array) -> tuple[dict, list]:
+    validity, vparts = _validity_stream(arr)
+    vals = _primitive_values(_fill_nulls(arr))
+    if vals.dtype.kind in "iub":
+        enc = encode_int_stream(vals.astype(np.uint8) if vals.dtype.kind == "b" else vals)
+        if vals.dtype.kind == "b":
+            enc.meta["dt"] = "b1"
+    else:
+        enc = INT_CODECS["plain"].encode(vals)
+    ventry, parts = _emit(enc)
+    meta = {"kind": "primitive", "streams": {"validity": validity, "values": ventry}}
+    return meta, vparts + parts
+
+
+def _decode_primitive(meta: dict, parts: list, atype: pa.DataType, n: int) -> pa.Array:
+    idx = 0
+    validity = meta["streams"]["validity"]
+    vmask = None
+    if validity is not None:
+        k = len(validity["meta"]["part_lens"])
+        vmask = _decode_validity(validity, parts[idx : idx + k], n)
+        idx += k
+    ventry = meta["streams"]["values"]
+    k = len(ventry["meta"]["part_lens"])
+    enc = Encoded(ventry["codec"], ventry["meta"], parts[idx : idx + k])
+    if ventry["meta"].get("dt") == "b1" and enc.codec != "plain":
+        enc.meta = dict(enc.meta, dt="u1")
+        vals = decode_int_stream(enc).astype(bool)
+    else:
+        vals = decode_int_stream(enc)
+    if pa.types.is_timestamp(atype) or pa.types.is_date32(atype):
+        out = pa.Array.from_buffers(
+            atype, n, [None, pa.py_buffer(np.ascontiguousarray(vals).tobytes())]
+        )
+    else:
+        out = pa.array(vals, type=atype)
+    if vmask is not None:
+        out = pc.if_else(pa.array(vmask), out, pa.scalar(None, atype))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# String / binary columns
+
+
+def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, bytes]:
+    """(lengths int64, concatenated data bytes) of a null-free string array."""
+    off_dt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    if len(arr) == 0 or bufs[1] is None:
+        return np.zeros(0, dtype=np.int64), b""
+    off = np.frombuffer(bufs[1], dtype=off_dt)[arr.offset : arr.offset + len(arr) + 1]
+    data = bufs[2].to_pybytes() if bufs[2] is not None else b""
+    lengths = np.diff(off).astype(np.int64)
+    data = data[int(off[0]) : int(off[-1])]
+    return lengths, data
+
+
+def _encode_string(arr: pa.Array, fsst: Optional[FsstCodec] = None) -> tuple[dict, list]:
+    validity, vparts = _validity_stream(arr)
+    filled = _fill_nulls(arr)
+    n = len(filled)
+    # strategy: dict the strings when repetition is high
+    smp = filled.slice(0, min(n, _NDV_SAMPLE))
+    ndv_sample = len(pc.unique(smp))
+    parts: list = list(vparts)
+    meta: dict = {"kind": "string", "streams": {"validity": validity}}
+    if n > 0 and ndv_sample <= 0.5 * len(smp):
+        dictized = filled.dictionary_encode()
+        codes = dictized.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dict_vals = dictized.dictionary
+        centry, cparts = _emit(encode_int_stream(codes))
+        dmeta, dparts = _encode_string_raw(dict_vals, fsst)
+        meta["strategy"] = "dict"
+        meta["streams"]["codes"] = centry
+        meta["dict"] = dmeta
+        return meta, parts + cparts + dparts
+    rmeta, rparts = _encode_string_raw(filled, fsst)
+    meta["strategy"] = "raw"
+    meta["raw"] = rmeta
+    return meta, parts + rparts
+
+
+def _encode_string_raw(arr: pa.Array, fsst: Optional[FsstCodec]) -> tuple[dict, list]:
+    lengths, data = _string_buffers(arr)
+    lentry, lparts = _emit(encode_int_stream(lengths))
+    sample = data[:_STR_SAMPLE_BYTES]
+    codec = fsst or FsstCodec()
+    if codec.shared_merges is None and len(sample):
+        from .fsst import train_merges
+
+        codec = FsstCodec(train_merges(sample))  # train once, reuse for est+encode
+    est_fsst = codec.estimate_bytes(sample, len(data))
+    if est_fsst < len(data):
+        denc = codec.encode(data, sample=sample)
+    else:
+        denc = Encoded("plain_bytes", {"nbytes": len(data)}, [data])
+    dentry, dparts = _emit(denc)
+    return {"lengths": lentry, "data": dentry}, lparts + dparts
+
+
+def _decode_string_raw(meta: dict, parts: list, atype: pa.DataType, n: int) -> tuple[pa.Array, int]:
+    idx = 0
+    lentry = meta["lengths"]
+    k = len(lentry["meta"]["part_lens"])
+    lengths = decode_int_stream(Encoded(lentry["codec"], lentry["meta"], parts[idx : idx + k]))
+    idx += k
+    dentry = meta["data"]
+    k = len(dentry["meta"]["part_lens"])
+    dparts = parts[idx : idx + k]
+    idx += k
+    if dentry["codec"] == "fsst":
+        data = FsstCodec().decode(Encoded("fsst", dentry["meta"], dparts))
+    else:
+        data = dparts[0]
+    off_t = pa.int64() if pa.types.is_large_string(atype) else pa.int32()
+    offsets = np.concatenate(([0], np.cumsum(lengths)))
+    off_np = offsets.astype(np.int64 if off_t == pa.int64() else np.int32)
+    out = pa.Array.from_buffers(
+        atype, n, [None, pa.py_buffer(off_np.tobytes()), pa.py_buffer(data)]
+    )
+    return out, idx
+
+
+def _decode_string(meta: dict, parts: list, atype: pa.DataType, n: int) -> pa.Array:
+    idx = 0
+    validity = meta["streams"]["validity"]
+    vmask = None
+    if validity is not None:
+        k = len(validity["meta"]["part_lens"])
+        vmask = _decode_validity(validity, parts[idx : idx + k], n)
+        idx += k
+    if meta["strategy"] == "dict":
+        centry = meta["streams"]["codes"]
+        k = len(centry["meta"]["part_lens"])
+        codes = decode_int_stream(Encoded(centry["codec"], centry["meta"], parts[idx : idx + k]))
+        idx += k
+        ndict = _count_meta_rows(meta["dict"])
+        dict_vals, used = _decode_string_raw(meta["dict"], parts[idx:], atype, ndict)
+        out = dict_vals.take(pa.array(codes.astype(np.int64)))
+    else:
+        out, _ = _decode_string_raw(meta["raw"], parts[idx:], atype, n)
+    if vmask is not None:
+        out = pc.if_else(pa.array(vmask), out, pa.scalar(None, atype))
+    return out
+
+
+def _count_meta_rows(raw_meta: dict) -> int:
+    return raw_meta["lengths"]["meta"]["n"]
+
+
+# ---------------------------------------------------------------------------
+# List columns (tokens: list<int32> — the graft axis, SURVEY.md §1.1)
+
+
+def _encode_list(arr: pa.Array) -> tuple[dict, list]:
+    validity, vparts = _validity_stream(arr)
+    lengths = pc.fill_null(pc.list_value_length(arr), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    child = arr.flatten()  # values of non-null slots, concatenated
+    lentry, lparts = _emit(encode_int_stream(lengths))
+    cmeta, cparts = encode_column_chunk(child)
+    meta = {
+        "kind": "list",
+        "streams": {"validity": validity, "lengths": lentry},
+        "child": cmeta,
+        "child_n": len(child),
+    }
+    return meta, vparts + lparts + cparts
+
+
+def _decode_list(meta: dict, parts: list, atype: pa.DataType, n: int) -> pa.Array:
+    idx = 0
+    validity = meta["streams"]["validity"]
+    vmask = None
+    if validity is not None:
+        k = len(validity["meta"]["part_lens"])
+        vmask = _decode_validity(validity, parts[idx : idx + k], n)
+        idx += k
+    lentry = meta["streams"]["lengths"]
+    k = len(lentry["meta"]["part_lens"])
+    lengths = decode_int_stream(Encoded(lentry["codec"], lentry["meta"], parts[idx : idx + k]))
+    idx += k
+    child = decode_column_chunk(meta["child"], parts[idx:], meta["child_n"])
+    offsets = np.concatenate(([0], np.cumsum(lengths))).astype(np.int32)
+    if vmask is None:
+        out = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), child, type=atype)
+    else:
+        out = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), child, type=atype,
+            mask=pa.array(~vmask),
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Public chunk API
+
+
+def encode_column_chunk(arr, fsst: Optional[FsstCodec] = None) -> tuple[dict, list]:
+    """Arrow array/chunked-array -> (meta dict, ordered payload parts)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
+        meta, parts = _encode_string(arr, fsst)
+    elif pa.types.is_list(t):
+        meta, parts = _encode_list(arr)
+    else:
+        meta, parts = _encode_primitive(arr)
+    meta["atype"] = type_to_desc(t)
+    meta["n"] = len(arr)
+    return meta, parts
+
+
+def decode_column_chunk(meta: dict, parts: list, n: Optional[int] = None) -> pa.Array:
+    atype = desc_to_type(meta["atype"])
+    n = meta["n"] if n is None else n
+    if meta["kind"] == "string":
+        return _decode_string(meta, parts, atype, n)
+    if meta["kind"] == "list":
+        return _decode_list(meta, parts, atype, n)
+    return _decode_primitive(meta, parts, atype, n)
+
+
+def encode_column(arr, fsst: Optional[FsstCodec] = None) -> tuple[bytes, dict]:
+    """Pack to a single payload buffer + self-describing meta."""
+    meta, parts = encode_column_chunk(arr, fsst)
+    meta["total_lens"] = [len(p) for p in parts]
+    return b"".join(bytes(p) for p in parts), meta
+
+
+def decode_column(payload: bytes, meta: dict) -> pa.Array:
+    parts, off = [], 0
+    for ln in meta["total_lens"]:
+        parts.append(payload[off : off + ln])
+        off += ln
+    return decode_column_chunk(meta, parts)

@@ -1,0 +1,352 @@
+"""Integer-stream codecs: plain, FOR+bitpack, delta+bitpack, RLE,
+dict+bitpack, frequency-dict+varint.
+
+Each is the columnar graft of one reference cell-codec shape
+(reference: colonnade/src/Colonnade.hs:110-120 constructors compose
+into a table encoder; here chunk codecs compose into cascades — RLE
+over run values recursively applies FOR+bitpack, dictionary codes are
+bit-packed: the `Semigroup` composition of Encode.hs:575-577
+re-expressed as codec nesting).
+
+All codecs are deterministic pure functions of the input chunk
+(bit-identical round-trip across Ray task retries; ties in the
+selector break on codec name order).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .base import (
+    ChunkStats,
+    Codec,
+    Encoded,
+    bit_width,
+    code_dtype,
+    dtype_code,
+    pack_uints,
+    unpack_uints,
+    unzigzag,
+    varint_decode,
+    varint_encode,
+    varint_size,
+    zigzag,
+)
+
+_META_OVERHEAD = 48  # rough per-chunk metadata cost charged to every codec
+
+
+def _to_u64_residuals(arr: np.ndarray, vmin: int) -> np.ndarray:
+    """(arr - vmin) as uint64, overflow-safe for signed int64 ranges
+    (wraparound subtraction in the uint64 ring is exact)."""
+    a = arr.astype(np.int64, copy=False)
+    return a.view(np.uint64) - np.int64(vmin).view(np.uint64)
+
+
+class PlainCodec(Codec):
+    """Raw little-endian buffer — the identity codec; always applicable.
+
+    Graft of the reference's un-escaped passthrough cell
+    (siphon/src/Siphon.hs:297-300 fast path)."""
+
+    name = "plain"
+
+    def estimate(self, st: ChunkStats) -> Optional[int]:
+        return st.n * st.itemsize + _META_OVERHEAD
+
+    def encode(self, arr: np.ndarray) -> Encoded:
+        e = Encoded(self.name, {"dt": dtype_code(arr.dtype), "n": int(arr.size)})
+        e.parts = [np.ascontiguousarray(arr).tobytes()]
+        return e
+
+    def decode(self, enc: Encoded) -> np.ndarray:
+        dt = code_dtype(enc.meta["dt"])
+        return np.frombuffer(enc.parts[0], dtype=dt)[: enc.meta["n"]]
+
+
+class ForBitpackCodec(Codec):
+    """Frame-of-reference + bit-packing: store min, pack (v - min) at
+    the minimal width.  Two-pass measure-then-encode, the direct graft
+    of ``sizeColumns`` (colonnade/src/Colonnade/Encode.hs:177-201)."""
+
+    name = "for_bitpack"
+
+    def estimate(self, st: ChunkStats) -> Optional[int]:
+        if st.n == 0:
+            return _META_OVERHEAD
+        rng = st.vmax - st.vmin
+        if rng >= 1 << 63:
+            return None
+        w = bit_width(rng)
+        return (st.n * w + 7) // 8 + _META_OVERHEAD
+
+    def encode(self, arr: np.ndarray) -> Encoded:
+        n = int(arr.size)
+        meta = {"dt": dtype_code(arr.dtype), "n": n}
+        if n == 0:
+            meta.update(vmin=0, width=0)
+            return Encoded(self.name, meta, [b""])
+        vmin = int(arr.min())
+        res = _to_u64_residuals(arr, vmin)
+        w = bit_width(int(res.max()))
+        meta.update(vmin=vmin, width=w)
+        return Encoded(self.name, meta, [pack_uints(res, w)])
+
+    def decode(self, enc: Encoded) -> np.ndarray:
+        m = enc.meta
+        dt = code_dtype(m["dt"])
+        res = unpack_uints(enc.parts[0], m["n"], m["width"])
+        out = (res + np.int64(m["vmin"]).view(np.uint64)).view(np.int64)
+        return out.astype(dt)
+
+
+class DeltaBitpackCodec(Codec):
+    """Delta + zigzag + FOR/bit-pack — wins on sorted / near-sorted
+    streams (list offsets, monotone ids).  Cascade analog of the
+    reference's combinator composition (Encode.hs:575-577)."""
+
+    name = "delta_bitpack"
+
+    def estimate(self, st: ChunkStats) -> Optional[int]:
+        if st.n == 0:
+            return _META_OVERHEAD
+        if abs(st.dmax) >= 1 << 62 or abs(st.dmin) >= 1 << 62:
+            return None
+        # zigzag(d) = 2d for d>=0, 2|d|-1 for d<0
+        zmax = max(2 * st.dmax if st.dmax > 0 else 0,
+                   2 * abs(st.dmin) - 1 if st.dmin < 0 else 0)
+        w = bit_width(zmax)
+        return (max(st.n - 1, 0) * w + 7) // 8 + 8 + _META_OVERHEAD
+
+    def encode(self, arr: np.ndarray) -> Encoded:
+        n = int(arr.size)
+        meta = {"dt": dtype_code(arr.dtype), "n": n}
+        if n == 0:
+            meta.update(first=0, width=0)
+            return Encoded(self.name, meta, [b""])
+        a = arr.astype(np.int64, copy=False)
+        first = int(a[0])
+        zz = zigzag(np.diff(a))
+        w = bit_width(int(zz.max())) if zz.size else 0
+        meta.update(first=first, width=w)
+        return Encoded(self.name, meta, [pack_uints(zz, w)])
+
+    def decode(self, enc: Encoded) -> np.ndarray:
+        m = enc.meta
+        dt = code_dtype(m["dt"])
+        n = m["n"]
+        if n == 0:
+            return np.zeros(0, dtype=dt)
+        zz = unpack_uints(enc.parts[0], n - 1, m["width"])
+        deltas = unzigzag(zz)
+        out = np.empty(n, dtype=np.int64)
+        out[0] = m["first"]
+        if n > 1:
+            np.cumsum(deltas, out=out[1:])
+            out[1:] += m["first"]
+        return out.astype(dt)
+
+
+class RleCodec(Codec):
+    """Run-length encoding: (run values, run lengths), each inner
+    stream FOR/bit-packed — the dict→rle→bitpack cascade from
+    SURVEY.md §2 T1."""
+
+    name = "rle"
+
+    def __init__(self):
+        self._inner = ForBitpackCodec()
+
+    def estimate(self, st: ChunkStats) -> Optional[int]:
+        if st.n == 0:
+            return _META_OVERHEAD
+        if st.vmax - st.vmin >= 1 << 63:
+            return None
+        wv = bit_width(st.vmax - st.vmin)
+        # run lengths unknown exactly; assume avg run length => max len ~ 4x avg
+        avg = max(st.n // max(st.n_runs, 1), 1)
+        wl = bit_width(4 * avg)
+        return (st.n_runs * (wv + wl) + 7) // 8 + 2 * _META_OVERHEAD
+
+    def encode(self, arr: np.ndarray) -> Encoded:
+        n = int(arr.size)
+        meta = {"dt": dtype_code(arr.dtype), "n": n}
+        if n == 0:
+            meta.update(values={}, lengths={})
+            return Encoded(self.name, meta, [b"", b""])
+        a = arr
+        bound = np.flatnonzero(np.diff(a) != 0) + 1
+        starts = np.concatenate(([0], bound))
+        ends = np.concatenate((bound, [n]))
+        vals = a[starts]
+        lens = (ends - starts).astype(np.int64)
+        ev = self._inner.encode(vals)
+        el = self._inner.encode(lens)
+        meta.update(values=ev.meta, lengths=el.meta)
+        return Encoded(self.name, meta, [ev.parts[0], el.parts[0]])
+
+    def decode(self, enc: Encoded) -> np.ndarray:
+        m = enc.meta
+        dt = code_dtype(m["dt"])
+        if m["n"] == 0:
+            return np.zeros(0, dtype=dt)
+        vals = self._inner.decode(Encoded("for_bitpack", m["values"], [enc.parts[0]]))
+        lens = self._inner.decode(Encoded("for_bitpack", m["lengths"], [enc.parts[1]]))
+        return np.repeat(vals, lens).astype(dt, copy=False)
+
+
+class DictBitpackCodec(Codec):
+    """Sorted-unique dictionary + bit-packed codes; the dictionary
+    itself is delta+bitpacked (it is sorted).  Graft of "distinct" as
+    dictionary building (SURVEY.md §2.7 set-ops row)."""
+
+    name = "dict_bitpack"
+
+    def __init__(self):
+        self._dv = DeltaBitpackCodec()
+
+    def estimate(self, st: ChunkStats) -> Optional[int]:
+        if st.n == 0 or st.sample_n == 0:
+            return None
+        # extrapolate ndv from sample (capped by value range)
+        ndv = _extrapolate_ndv(st)
+        if ndv >= st.n:  # no repetition benefit
+            return None
+        w = bit_width(max(ndv - 1, 0))
+        est = (st.n * w + 7) // 8 + _dict_store_bytes(st, ndv) + 2 * _META_OVERHEAD
+        return est + est // 20  # +5%: ndv extrapolation is the shakiest input
+
+    def encode(self, arr: np.ndarray) -> Encoded:
+        n = int(arr.size)
+        meta = {"dt": dtype_code(arr.dtype), "n": n}
+        if n == 0:
+            meta.update(ndv=0, width=0, values={})
+            return Encoded(self.name, meta, [b"", b""])
+        uniq, codes = np.unique(arr, return_inverse=True)
+        w = bit_width(int(uniq.size - 1))
+        ev = self._dv.encode(uniq)
+        meta.update(ndv=int(uniq.size), width=w, values=ev.meta)
+        return Encoded(self.name, meta, [pack_uints(codes.astype(np.uint64), w), ev.parts[0]])
+
+    def decode(self, enc: Encoded) -> np.ndarray:
+        m = enc.meta
+        dt = code_dtype(m["dt"])
+        if m["n"] == 0:
+            return np.zeros(0, dtype=dt)
+        uniq = self._dv.decode(Encoded("delta_bitpack", m["values"], [enc.parts[1]]))
+        codes = unpack_uints(enc.parts[0], m["n"], m["width"]).astype(np.int64)
+        return uniq[codes].astype(dt, copy=False)
+
+
+class DictVarintCodec(Codec):
+    """Frequency-ordered dictionary + LEB128 varint codes: hot values
+    get 1-byte codes — the entropy-ish path for Zipf-distributed token
+    ids (FIXTURES.md F1).  Deterministic order: (count desc, value asc)."""
+
+    name = "dict_varint"
+
+    def __init__(self):
+        self._dv = DeltaBitpackCodec()
+
+    def estimate(self, st: ChunkStats) -> Optional[int]:
+        if st.n == 0 or st.sample_n == 0 or st.top_counts is None:
+            return None
+        ndv = _extrapolate_ndv(st)
+        if ndv >= st.n:
+            return None
+        # code-length distribution from sample frequency ranks; the
+        # probability mass of values unseen in the sample follows
+        # Good-Turing (≈ singleton fraction) and those land in the rank
+        # tail near ndv.
+        counts = st.top_counts.astype(np.float64)
+        probs = counts / counts.sum()
+        ranks = np.arange(probs.size)
+        nbytes_per_rank = np.ones(probs.size)
+        for k in range(1, 6):
+            nbytes_per_rank += (ranks >= (1 << (7 * k))).astype(np.float64)
+        avg_seen = float((probs * nbytes_per_rank).sum())
+        f1 = float((st.top_counts == 1).sum())
+        p_unseen = min(f1 / st.sample_n, 0.9) if st.sample_n < st.n else 0.0
+        tail_bytes = max((bit_width(max(ndv - 1, 1)) + 6) // 7, 1)
+        avg_bytes = (1 - p_unseen) * avg_seen + p_unseen * tail_bytes
+        est = int(st.n * avg_bytes) + _dict_store_bytes(st, ndv) + 2 * _META_OVERHEAD
+        return est + est // 20  # +5% conservative margin, as dict_bitpack
+
+    def encode(self, arr: np.ndarray) -> Encoded:
+        n = int(arr.size)
+        meta = {"dt": dtype_code(arr.dtype), "n": n}
+        if n == 0:
+            meta.update(ndv=0, values={}, perm={})
+            return Encoded(self.name, meta, [b"", b"", b""])
+        uniq, inv, counts = np.unique(arr, return_inverse=True, return_counts=True)
+        # rank by (count desc, value asc) — deterministic
+        order = np.lexsort((np.arange(uniq.size), -counts))
+        rank_of = np.empty(uniq.size, dtype=np.int64)
+        rank_of[order] = np.arange(uniq.size)
+        codes = rank_of[inv]
+        ev = self._dv.encode(uniq)  # sorted uniques delta-pack well
+        # permutation sorted-index -> rank, bit-packed
+        wp = bit_width(int(uniq.size - 1))
+        meta.update(ndv=int(uniq.size), values=ev.meta, perm_width=wp)
+        return Encoded(
+            self.name,
+            meta,
+            [varint_encode(codes.astype(np.uint64)), ev.parts[0],
+             pack_uints(rank_of.astype(np.uint64), wp)],
+        )
+
+    def decode(self, enc: Encoded) -> np.ndarray:
+        m = enc.meta
+        dt = code_dtype(m["dt"])
+        if m["n"] == 0:
+            return np.zeros(0, dtype=dt)
+        uniq = self._dv.decode(Encoded("delta_bitpack", m["values"], [enc.parts[1]]))
+        rank_of = unpack_uints(enc.parts[2], m["ndv"], m["perm_width"]).astype(np.int64)
+        # value for rank r: inverse permutation
+        by_rank = np.empty(m["ndv"], dtype=uniq.dtype)
+        by_rank[rank_of] = uniq
+        codes = varint_decode(enc.parts[0], m["n"]).astype(np.int64)
+        return by_rank[codes].astype(dt, copy=False)
+
+
+def _dict_store_bytes(st: ChunkStats, ndv: int) -> int:
+    """Bytes to store a sorted, delta-bitpacked dictionary of ndv
+    values spread over [vmin, vmax] (+ the rank permutation for the
+    varint variant — charged to both for simplicity)."""
+    rng = max(st.vmax - st.vmin, 1)
+    avg_gap = max(rng // max(ndv, 1), 1)
+    wd = bit_width(4 * avg_gap)          # sorted-unique deltas
+    wp = bit_width(max(ndv - 1, 1))      # rank permutation
+    return (ndv * (wd + wp) + 7) // 8
+
+
+def _extrapolate_ndv(st: ChunkStats) -> int:
+    """Chao-ish ndv extrapolation from the sample, capped by range+1."""
+    if st.sample_n >= st.n:
+        ndv = st.ndv_sample
+    else:
+        frac = st.ndv_sample / st.sample_n
+        if frac > 0.98:  # likely all-distinct
+            ndv = st.n
+        else:
+            # birthday-style: assume sample saw most hot values; scale tail
+            ndv = min(int(st.ndv_sample * (1 + np.log(st.n / st.sample_n))), st.n)
+    rng = st.vmax - st.vmin
+    if rng < 1 << 62:
+        ndv = min(ndv, rng + 1)
+    return max(ndv, 1)
+
+
+INT_CODECS: dict[str, Codec] = {
+    c.name: c
+    for c in [
+        PlainCodec(),
+        ForBitpackCodec(),
+        DeltaBitpackCodec(),
+        RleCodec(),
+        DictBitpackCodec(),
+        DictVarintCodec(),
+    ]
+}

@@ -1,0 +1,135 @@
+"""Column-chunk round-trip tests over Arrow arrays — the engine-level
+graft of propIsoStream (siphon/test/Test.hs:262-276): decode(encode(col))
+must equal col bit-identically, nulls included (FIXTURES.md F1/F2)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from colonnade_ray.codecs import FsstCodec, decode_column, encode_column, train_merges
+from colonnade_ray.codecs.base import Encoded
+
+RNG = np.random.default_rng(42)
+
+
+def _tokens_array(n_rows=300, seed=7):
+    rng = np.random.default_rng(seed)
+    lens = np.clip(rng.lognormal(5.0, 1.0, n_rows), 0, 4000).astype(int)
+    return pa.array(
+        [list((rng.zipf(1.3, int(l)) % 50000).astype(np.int32)) for l in lens],
+        pa.list_(pa.int32()),
+    )
+
+
+COLUMNS = {
+    "doc_id_prefixed": pa.array([f"doc-{i:08d}" for i in range(2000)]),
+    "source_lowcard": pa.array([f"src{i % 8}" for i in range(2000)]),
+    "source_skewed": pa.array(
+        ["src0" if i % 10 < 6 else f"src{i % 8}" for i in range(2000)]
+    ),
+    "strings_nulls": pa.array([None if i % 17 == 0 else f"s{i % 5}" for i in range(500)]),
+    "strings_unicode": pa.array(["日本語テキスト№%d" % i for i in range(100)] * 3),
+    "strings_empty_cells": pa.array(["", "a", "", "bb", ""] * 50),
+    "string_empty_array": pa.array([], pa.string()),
+    "all_null_strings": pa.array([None, None, None], pa.string()),
+    "binary": pa.array([bytes([i % 256, 255 - i % 256]) for i in range(300)], pa.binary()),
+    "int32": pa.array(RNG.integers(0, 2**16, 1000).astype(np.int32)),
+    "int_nulls": pa.array([None if i % 3 == 0 else i * 7 for i in range(400)], pa.int64()),
+    "floats": pa.array(RNG.normal(size=400)),
+    "float_nulls": pa.array([None if i % 5 == 0 else float(i) for i in range(100)], pa.float64()),
+    "bools": pa.array((RNG.integers(0, 2, 400) > 0).tolist()),
+    "timestamps": pa.array(np.arange(500) * 10**6, pa.timestamp("us")),
+    "tokens": _tokens_array(),
+    "tokens_edges": pa.array(
+        [[], [1], [7] * 1000, list(range(100, 200)), None, [0, 2**31 - 1, 5]],
+        pa.list_(pa.int32()),
+    ),
+    "tokens_empty": pa.array([], pa.list_(pa.int32())),
+    "one_huge_row": pa.array([list(range(1_000_000))], pa.list_(pa.int32())),
+    "list_int64": pa.array([[2**40, -5], [], [0]], pa.list_(pa.int64())),
+}
+
+
+@pytest.mark.parametrize("name", sorted(COLUMNS))
+def test_column_roundtrip(name):
+    arr = COLUMNS[name]
+    payload, meta = encode_column(arr)
+    back = decode_column(payload, meta)
+    assert back.type == arr.type
+    assert back.equals(arr), f"{name}: {arr.slice(0, 5)} != {back.slice(0, 5)}"
+
+
+@pytest.mark.parametrize("name", ["doc_id_prefixed", "tokens", "source_lowcard"])
+def test_column_encode_deterministic(name):
+    arr = COLUMNS[name]
+    p1, m1 = encode_column(arr)
+    p2, m2 = encode_column(arr)
+    assert p1 == p2 and m1 == m2
+
+
+def test_chunked_array_roundtrip():
+    ch = pa.chunked_array([["a", "b"], ["c"], ["dddd"]])
+    payload, meta = encode_column(ch)
+    back = decode_column(payload, meta)
+    assert back.equals(ch.combine_chunks())
+
+
+def test_compresses_prefixed_ids():
+    arr = COLUMNS["doc_id_prefixed"]
+    payload, _ = encode_column(arr)
+    assert len(payload) < 0.4 * arr.nbytes  # fsst must bite on shared prefixes
+
+
+def test_compresses_lowcard_strings():
+    arr = COLUMNS["source_lowcard"]
+    payload, _ = encode_column(arr)
+    assert len(payload) < 0.15 * arr.nbytes  # dict path
+
+
+def test_compresses_tokens_below_plain():
+    arr = COLUMNS["tokens"]
+    payload, _ = encode_column(arr)
+    n_values = len(arr.flatten())
+    assert len(payload) < 4 * n_values  # strictly below 4 B/token plain
+
+
+def test_sliced_array_roundtrip():
+    """Arrow slices carry a nonzero offset — buffers must be rebased."""
+    base = pa.array([f"val-{i}" for i in range(100)])
+    sl = base.slice(13, 50)
+    payload, meta = encode_column(sl)
+    assert decode_column(payload, meta).equals(pa.array(sl.to_pylist()))
+    base_l = _tokens_array(50)
+    sll = base_l.slice(7, 20)
+    payload, meta = encode_column(sll)
+    assert decode_column(payload, meta).equals(
+        pa.array(sll.to_pylist(), pa.list_(pa.int32()))
+    )
+
+
+def test_fsst_blob_roundtrip():
+    data = "".join(f"doc-{i:08d}" for i in range(3000)).encode()
+    codec = FsstCodec()
+    enc = codec.encode(data, sample=data[:65536])
+    back = codec.decode(Encoded.unpack("fsst", enc.meta, enc.pack()))
+    assert back == data
+    assert enc.nbytes() < 0.35 * len(data)
+
+
+def test_fsst_incompressible():
+    data = RNG.integers(0, 256, 5000).astype(np.uint8).tobytes()
+    codec = FsstCodec()
+    enc = codec.encode(data, sample=data)
+    back = codec.decode(Encoded.unpack("fsst", enc.meta, enc.pack()))
+    assert back == data
+
+
+def test_fsst_shared_table():
+    """Encoder actors reuse a trained table across batches: decode must
+    not need the trainer, only the merges recorded in meta."""
+    sample = b"abcabcabcabc" * 100
+    merges = train_merges(sample)
+    codec = FsstCodec(merges)
+    data = b"xyzabcabc" * 50
+    enc = codec.encode(data)
+    assert FsstCodec().decode(Encoded.unpack("fsst", enc.meta, enc.pack())) == data

@@ -1,0 +1,136 @@
+"""Per-codec golden + property tests (no Ray needed).
+
+Graft of the reference's unit/property strategy
+(siphon/test/Test.hs:49-122 golden cases, 147-177 round-trip
+property): every codec must satisfy decode(encode(x)) == x
+bit-identically, including the columnar analogs of the escaping edge
+cases (FIXTURES.md F2)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st_h
+
+from colonnade_ray.codecs import Encoded, int_stats, select_int_codec
+from colonnade_ray.codecs.base import (
+    pack_uints,
+    unpack_uints,
+    unzigzag,
+    varint_decode,
+    varint_encode,
+    zigzag,
+)
+from colonnade_ray.codecs.ints import INT_CODECS
+
+RNG = np.random.default_rng(42)
+
+EDGE_ARRAYS = {
+    "empty": np.zeros(0, np.int32),
+    "single": np.array([123], np.int64),
+    "constant": np.full(1000, 7, np.int32),
+    "runs": np.repeat(RNG.integers(0, 10, 100), RNG.integers(1, 50, 100)).astype(np.int32),
+    "sorted": np.cumsum(RNG.integers(0, 5, 1000)).astype(np.int64),
+    "zipf": (RNG.zipf(1.3, 5000) % 50000).astype(np.int32),
+    "uniform_high_entropy": RNG.integers(-(2**31), 2**31 - 1, 5000).astype(np.int64),
+    "int32_extremes": np.array([0, 1, -1, 2**31 - 1, -(2**31)], np.int64),
+    "negative": RNG.integers(-100, 100, 500).astype(np.int16),
+    "uint8_full": np.arange(256, dtype=np.uint8).repeat(3),
+    "descending": np.arange(1000, 0, -1).astype(np.int32),
+}
+
+
+@pytest.mark.parametrize("codec_name", sorted(INT_CODECS))
+@pytest.mark.parametrize("arr_name", sorted(EDGE_ARRAYS))
+def test_roundtrip_edges(codec_name, arr_name):
+    arr = EDGE_ARRAYS[arr_name]
+    codec = INT_CODECS[codec_name]
+    enc = codec.encode(arr)
+    payload = enc.pack()
+    back = codec.decode(Encoded.unpack(codec_name, enc.meta, payload))
+    assert back.dtype == arr.dtype
+    assert np.array_equal(back, arr)
+
+
+@pytest.mark.parametrize("codec_name", sorted(INT_CODECS))
+def test_encode_deterministic(codec_name):
+    """Bit-identical across repeated encodes (Ray task retry safety)."""
+    arr = EDGE_ARRAYS["zipf"]
+    codec = INT_CODECS[codec_name]
+    a = codec.encode(arr)
+    b = codec.encode(arr)
+    assert a.pack() == b.pack()
+    assert a.meta == b.meta
+
+
+def test_selector_never_loses_much():
+    """Auto-selector (sizeColumns graft) picks within 5% of true min."""
+    for name, arr in EDGE_ARRAYS.items():
+        if arr.size < 100:
+            continue
+        sel, _, _ = select_int_codec(arr)
+        actuals = {c: INT_CODECS[c].encode(arr).nbytes() for c in INT_CODECS}
+        best = min(actuals.values())
+        assert actuals[sel] <= max(int(best * 1.05), best + 64), (name, sel, actuals)
+
+
+def test_selector_deterministic_tiebreak():
+    arr = np.zeros(100, np.int32)
+    assert select_int_codec(arr)[0] == select_int_codec(arr)[0]
+
+
+@given(
+    st_h.lists(st_h.integers(min_value=-(2**62), max_value=2**62), max_size=300),
+)
+@settings(max_examples=60, deadline=None)
+def test_property_roundtrip_int64(vals):
+    arr = np.array(vals, dtype=np.int64)
+    for codec_name in ("plain", "for_bitpack", "delta_bitpack", "rle"):
+        codec = INT_CODECS[codec_name]
+        enc = codec.encode(arr)
+        back = codec.decode(Encoded.unpack(codec_name, enc.meta, enc.pack()))
+        assert np.array_equal(back, arr), codec_name
+
+
+@given(st_h.lists(st_h.integers(min_value=0, max_value=2**31 - 1), max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_property_roundtrip_dicts(vals):
+    arr = np.array(vals, dtype=np.int32)
+    for codec_name in ("dict_bitpack", "dict_varint"):
+        codec = INT_CODECS[codec_name]
+        enc = codec.encode(arr)
+        back = codec.decode(Encoded.unpack(codec_name, enc.meta, enc.pack()))
+        assert np.array_equal(back, arr), codec_name
+
+
+@pytest.mark.parametrize("width", [1, 2, 3, 7, 8, 9, 15, 16, 17, 31, 32, 33, 63, 64])
+def test_pack_unpack_widths(width):
+    hi = (1 << width) - 1
+    v = RNG.integers(0, min(hi, 2**63 - 1) + 1, 1003, dtype=np.uint64)
+    if width == 64:
+        v[0] = 2**64 - 1
+    buf = pack_uints(v, width)
+    assert len(buf) == (v.size * width + 7) // 8
+    assert np.array_equal(unpack_uints(buf, v.size, width), v)
+
+
+def test_zigzag_extremes():
+    v = np.array([0, 1, -1, 2**62, -(2**62), 2**63 - 1, -(2**63)], np.int64)
+    assert np.array_equal(unzigzag(zigzag(v)).astype(np.int64), v)
+
+
+def test_varint_roundtrip():
+    v = np.concatenate(
+        [
+            np.array([0, 1, 127, 128, 16383, 16384, 2**32, 2**63], np.uint64),
+            RNG.integers(0, 2**62, 5000).astype(np.uint64),
+        ]
+    )
+    buf = varint_encode(v)
+    assert np.array_equal(varint_decode(buf, v.size), v)
+
+
+def test_stats_shapes():
+    st = int_stats(EDGE_ARRAYS["sorted"])
+    assert st.sorted_run and st.dmin >= 0
+    st = int_stats(np.zeros(0, np.int32))
+    assert st.n == 0
