@@ -258,7 +258,13 @@ def _encode_string_raw(arr: pa.Array, fsst: Optional[FsstCodec]) -> tuple[dict, 
     if codec.shared_merges is None and len(sample):
         from .fsst import train_merges
 
-        codec = FsstCodec(train_merges(sample))  # train once, reuse for est+encode
+        if fsst is not None:
+            # warm the caller's cache (EncoderActor shares tables
+            # across batches of the same (column, source))
+            fsst.shared_merges = train_merges(sample)
+            codec = fsst
+        else:
+            codec = FsstCodec(train_merges(sample))  # per-chunk, deterministic
     est_fsst = codec.estimate_bytes(sample, len(data))
     if est_fsst < len(data):
         denc = codec.encode(data, sample=sample)

@@ -1,0 +1,8 @@
+from .encode_pipeline import (
+    corpus_summary,
+    decode_corpus,
+    decode_dataset,
+    encode_corpus,
+    encode_dataset,
+    roundtrip_verify,
+)

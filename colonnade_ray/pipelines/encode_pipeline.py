@@ -1,0 +1,229 @@
+"""End-to-end encode / decode / verify pipelines with per-partition
+lineage and exact resume.
+
+Flagship lifecycle (graft of the reference's top entry points traced
+in SURVEY.md §3: encodeCsvStreamUtf8 / decodeHeadedCsvUtf8 — header
+once per stream ≙ manifest once per partition; suspended parse state ≙
+actor state; row-coordinate errors ≙ lineage records):
+
+    read_parquet(fragments, include_paths=True)
+      -> [optional groupby-on-source + size-aware shuffle]
+      -> map_batches(EncoderActor, batch_format="pyarrow",
+                     concurrency=N)           # actor pool, stateful
+      -> write_parquet(out/data/group=G)      # uncompressed parquet:
+                                              #   payload columns carry
+                                              #   OUR compression
+      -> write lineage manifest (commit marker) -> resume skips G
+
+Resume contract (north_rule "exact resume from checkpoint"): a
+fragment group is complete iff its lineage file exists; a data dir
+without its lineage marker is a torn write and is re-encoded.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from typing import Optional, Sequence
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..stages.decode import DecodeBatch
+from ..stages.encode import EncoderActor, encode_batch
+from ..stages.skew import DEFAULT_TOKEN_BUDGET, PKEY, partition_by_source, salt_counts, source_token_totals
+from ..stages.verify import dataset_digest
+
+LINEAGE_COLS = [
+    "fragment", "chunk_id", "n_rows", "n_tokens",
+    "bytes_in", "bytes_out", "checksum", "codecs_json",
+]
+DEFAULT_BATCH_SIZE = 8192
+
+
+def encode_dataset(
+    ds,
+    plan_names: Optional[Sequence[str]] = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency=None,
+    shared_fsst: bool = True,
+    stateless: bool = False,
+):
+    """Dataset of raw rows -> Dataset of encoded chunk rows (lazy)."""
+    if stateless:
+        return ds.map_batches(
+            lambda b: encode_batch(b, list(plan_names) if plan_names else None),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    if concurrency is None:
+        # actor pools need an explicit size: fill the node minus head-
+        # room for the read/write stages (they're I/O-light tasks).
+        from ..util import default_concurrency
+
+        concurrency = default_concurrency()
+    kwargs = {"concurrency": concurrency}
+    return ds.map_batches(
+        EncoderActor,
+        fn_constructor_kwargs={
+            "plan_names": list(plan_names) if plan_names else None,
+            "shared_fsst": shared_fsst,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        **kwargs,
+    )
+
+
+def decode_dataset(enc_ds, verify_checksum: bool = True, concurrency=None):
+    """Dataset of encoded chunk rows -> Dataset of original rows (lazy)."""
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    fn = DecodeBatch(verify_checksum)  # stateless -> plain tasks, not actors
+    return enc_ds.map_batches(
+        lambda b: fn(b),
+        batch_format="pyarrow",
+        batch_size=4,
+        **kwargs,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level orchestration with lineage + resume
+
+
+def _group_id(files: Sequence[str]) -> str:
+    h = hashlib.blake2b(digest_size=8)
+    for f in sorted(files):
+        h.update(f.rsplit("/", 1)[-1].encode())
+    return h.hexdigest()
+
+
+def _list_input_files(inputs) -> list:
+    if isinstance(inputs, str):
+        if os.path.isdir(inputs):
+            return sorted(
+                os.path.join(inputs, f)
+                for f in os.listdir(inputs)
+                if f.endswith(".parquet")
+            )
+        return [inputs]
+    return list(inputs)
+
+
+def encode_corpus(
+    inputs,
+    out_dir: str,
+    plan_names: Optional[Sequence[str]] = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency=None,
+    partition_by: Optional[str] = None,   # "source" enables the skew shuffle
+    token_budget: int = DEFAULT_TOKEN_BUDGET,
+    group_size: Optional[int] = None,     # fragments per commit group; None = one group
+    resume: bool = True,
+    shared_fsst: bool = True,
+) -> dict:
+    """Encode a parquet corpus to out_dir with lineage + exact resume.
+
+    Returns a summary dict (chunks, rows, tokens, bytes_in/out).
+    """
+    import ray.data as rd
+
+    files = _list_input_files(inputs)
+    data_root = os.path.join(out_dir, "data")
+    lin_root = os.path.join(out_dir, "_lineage")
+    os.makedirs(data_root, exist_ok=True)
+    os.makedirs(lin_root, exist_ok=True)
+
+    groups: list[list[str]] = (
+        [files]
+        if not group_size
+        else [files[i : i + group_size] for i in range(0, len(files), group_size)]
+    )
+
+    done, encoded_any = 0, False
+    for g in groups:
+        gid = _group_id(g)
+        lin_path = os.path.join(lin_root, f"group-{gid}.parquet")
+        gdir = os.path.join(data_root, f"group-{gid}")
+        if resume and os.path.exists(lin_path):
+            done += 1
+            continue
+        if os.path.exists(gdir):
+            shutil.rmtree(gdir)  # torn write from a previous run
+        ds = rd.read_parquet(g, include_paths=True)
+        if partition_by == "source":
+            totals = source_token_totals(g)
+            ds = partition_by_source(ds, salt_counts(totals, token_budget))
+            ds = ds.drop_columns([PKEY])
+        enc = encode_dataset(
+            ds, plan_names, batch_size, concurrency, shared_fsst=shared_fsst
+        )
+        enc.write_parquet(gdir, compression="none")
+        # commit marker: lineage written only after the data lands
+        lineage = pq.read_table(gdir, columns=LINEAGE_COLS)
+        pq.write_table(lineage, lin_path)
+        encoded_any = True
+    return corpus_summary(out_dir) | {"groups": len(groups), "resumed_groups": done}
+
+
+def corpus_summary(out_dir: str) -> dict:
+    lin_root = os.path.join(out_dir, "_lineage")
+    files = [
+        os.path.join(lin_root, f) for f in os.listdir(lin_root) if f.endswith(".parquet")
+    ]
+    if not files:
+        return {"chunks": 0, "rows": 0, "tokens": 0, "bytes_in": 0, "bytes_out": 0}
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    import pyarrow.compute as pc
+
+    return {
+        "chunks": t.num_rows,
+        "rows": int(pc.sum(t["n_rows"]).as_py() or 0),
+        "tokens": int(pc.sum(t["n_tokens"]).as_py() or 0),
+        "bytes_in": int(pc.sum(t["bytes_in"]).as_py() or 0),
+        "bytes_out": int(pc.sum(t["bytes_out"]).as_py() or 0),
+    }
+
+
+def completed_groups(out_dir: str) -> list:
+    lin_root = os.path.join(out_dir, "_lineage")
+    if not os.path.isdir(lin_root):
+        return []
+    return sorted(
+        f[len("group-") : -len(".parquet")]
+        for f in os.listdir(lin_root)
+        if f.startswith("group-") and f.endswith(".parquet")
+    )
+
+
+def decode_corpus(out_dir: str, verify_checksum: bool = True, concurrency=None):
+    """Read back only committed groups (lineage present) and decode."""
+    import ray.data as rd
+
+    data_root = os.path.join(out_dir, "data")
+    files = []
+    for gid in completed_groups(out_dir):
+        gdir = os.path.join(data_root, f"group-{gid}")
+        files.extend(
+            os.path.join(gdir, f) for f in sorted(os.listdir(gdir)) if f.endswith(".parquet")
+        )
+    if not files:
+        raise FileNotFoundError(f"no committed encode groups under {out_dir}")
+    enc = rd.read_parquet(files)
+    return decode_dataset(enc, verify_checksum=verify_checksum, concurrency=concurrency)
+
+
+def roundtrip_verify(original_ds, decoded_ds, columns: Sequence[str]) -> dict:
+    """Order-insensitive multiset equality of per-row fingerprints
+    (the propIsoStream graft at dataset scale)."""
+    a = dataset_digest(original_ds, columns)
+    b = dataset_digest(decoded_ds, columns)
+    return {
+        "match": a == b,
+        "original": {"sum": a[0], "xor": a[1], "rows": a[2]},
+        "decoded": {"sum": b[0], "xor": b[1], "rows": b[2]},
+    }

@@ -1,0 +1,195 @@
+"""Encode stage: Arrow batch -> one encoded chunk row.
+
+The engine's inner loop — the graft of the reference's row/header
+traversal kernels (``row``/``rowMonoidal``,
+colonnade/src/Colonnade/Encode.hs:107-154): *apply every column's
+encode function to the unit of work, fold the results into the output
+block*.  Here the unit is a zero-copy Arrow batch and the fold is
+column-wise, vectorized.
+
+``EncoderActor`` is the stateful form for
+``map_batches(EncoderActor, concurrency=N, batch_format="pyarrow")``:
+FSST symbol tables are trained once per (column, source) key and
+reused across batches (SURVEY.md §7 step 4 — the graft of the
+suspended cross-chunk parser state, siphon/src/Siphon.hs:666-670,
+re-homed into actor state).  ``encode_batch`` is the stateless task
+form (strictly deterministic: tables are trained per chunk).
+
+Output layout (one row per input chunk):
+  fragment, chunk_id, n_rows, n_tokens, bytes_in, bytes_out,
+  checksum, plan_json, codecs_json, col{i}_payload, col{i}_meta
+The per-chunk metadata row IS the lineage record (SURVEY.md §4
+checkpoint/resume row; BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..codecs import FsstCodec, encode_column
+from ..codecs.columns import select_int_codec  # noqa: F401 (re-export for stats tools)
+from ..plan import BoundPlan, CodecPlan, bind_plan
+
+PATH_COL = "path"          # emitted by read_parquet(include_paths=True)
+SYS_PREFIX = "__cr_"
+
+
+def _checksum(parts: list) -> str:
+    h = hashlib.blake2b(digest_size=16)
+    for p in parts:
+        h.update(p)
+    return h.hexdigest()
+
+
+def _fragment_of(batch: pa.Table) -> str:
+    if PATH_COL in batch.column_names and len(batch) > 0:
+        p = batch[PATH_COL][0].as_py()
+        return p.rsplit("/", 1)[-1]
+    return ""
+
+
+def _token_count(batch: pa.Table) -> int:
+    import pyarrow.compute as pc
+
+    if "n_tok" in batch.column_names:
+        v = pc.sum(batch["n_tok"]).as_py()
+        return int(v) if v is not None else 0
+    for name in batch.column_names:
+        if pa.types.is_list(batch.schema.field(name).type):
+            v = pc.sum(pc.list_value_length(batch[name])).as_py()
+            return int(v) if v is not None else 0
+    return 0
+
+
+def encode_chunk(
+    batch: pa.Table,
+    bound: BoundPlan,
+    fsst_codecs: Optional[dict] = None,
+    fragment: str = "",
+) -> dict:
+    """Encode one Arrow chunk under a bound plan -> dict of columns
+    for a one-row encoded table."""
+    n_rows = len(batch)
+    out: dict = {}
+    payload_parts: list = []
+    codec_summary: list = []
+    bytes_in = 0
+    for i, bc in enumerate(bound.columns):
+        arr = batch.column(bc.index)
+        bytes_in += arr.nbytes
+        fsst = (fsst_codecs or {}).get(bc.field.name)
+        payload, meta = encode_column(arr, fsst=fsst)
+        meta["name"] = bc.field.name
+        mjson = json.dumps(meta, separators=(",", ":"))
+        out[f"col{i}_payload"] = [payload]
+        out[f"col{i}_meta"] = [mjson]
+        payload_parts.append(payload)
+        codec_summary.append(_codec_of(meta))
+    checksum = _checksum(payload_parts)
+    bytes_out = sum(len(p) for p in payload_parts) + sum(
+        len(out[f"col{i}_meta"][0]) for i in range(len(bound.columns))
+    )
+    out_meta = {
+        "fragment": [fragment],
+        "chunk_id": [checksum[:16]],
+        "n_rows": [n_rows],
+        "n_tokens": [_token_count(batch)],
+        "bytes_in": [bytes_in],
+        "bytes_out": [bytes_out],
+        "checksum": [checksum],
+        "plan_json": [json.dumps([b.field.name for b in bound.columns])],
+        "codecs_json": [json.dumps(codec_summary)],
+    }
+    out_meta.update(out)
+    return out_meta
+
+
+def _codec_of(meta: dict) -> dict:
+    """Flatten the per-stream codec choices for the lineage record."""
+    res = {}
+    kind = meta["kind"]
+    if kind == "primitive":
+        res["values"] = meta["streams"]["values"]["codec"]
+    elif kind == "string":
+        res["strategy"] = meta["strategy"]
+        inner = meta.get("raw") or meta.get("dict")
+        res["lengths"] = inner["lengths"]["codec"]
+        res["data"] = inner["data"]["codec"]
+    elif kind == "list":
+        res["lengths"] = meta["streams"]["lengths"]["codec"]
+        child = meta["child"]
+        if child["kind"] == "primitive":
+            res["values"] = child["streams"]["values"]["codec"]
+    return res
+
+
+def _strip_sys(batch: pa.Table) -> pa.Table:
+    drop = [c for c in batch.column_names if c == PATH_COL or c.startswith(SYS_PREFIX)]
+    return batch.drop_columns(drop) if drop else batch
+
+
+class EncoderActor:
+    """Stateful encode stage for an actor pool.
+
+    __init__ runs once per actor (plan parse, caches); __call__ per
+    batch.  FSST tables are cached per (column, source) so the symbol
+    table build — inherently sequential, FSST paper §4 — is amortized
+    across every batch of that source this actor sees.
+    """
+
+    def __init__(self, plan_names: Optional[list] = None, shared_fsst: bool = True):
+        self._plan_names = plan_names
+        self._shared_fsst = shared_fsst
+        self._bound: Optional[BoundPlan] = None
+        self._bound_schema: Optional[pa.Schema] = None
+        self._fsst_cache: dict = {}
+
+    def _bind(self, schema: pa.Schema) -> BoundPlan:
+        if self._bound is None or self._bound_schema != schema:
+            plan = (
+                CodecPlan.by_name(*self._plan_names)
+                if self._plan_names
+                else CodecPlan.from_schema(schema)
+            )
+            self._bound = bind_plan(plan, schema)
+            self._bound_schema = schema
+        return self._bound
+
+    def _fsst_for(self, batch: pa.Table, bound: BoundPlan) -> dict:
+        if not self._shared_fsst:
+            return {}
+        src = ""
+        if "source" in batch.column_names and len(batch) > 0:
+            s = batch["source"][0].as_py()
+            src = s if s is not None else ""
+        codecs = {}
+        for bc in bound.columns:
+            t = bc.field.type
+            if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
+                key = (bc.field.name, src)
+                if key not in self._fsst_cache:
+                    self._fsst_cache[key] = FsstCodec()  # trained lazily on first chunk
+                codecs[bc.field.name] = self._fsst_cache[key]
+        return codecs
+
+    def __call__(self, batch: pa.Table) -> dict:
+        fragment = _fragment_of(batch)
+        data = _strip_sys(batch)
+        bound = self._bind(data.schema)
+        return encode_chunk(data, bound, self._fsst_for(data, bound), fragment)
+
+
+def encode_batch(batch: pa.Table, plan_names: Optional[list] = None) -> dict:
+    """Stateless task form — strictly deterministic (tables trained per
+    chunk), used where bit-identical re-execution matters more than
+    amortized table builds."""
+    fragment = _fragment_of(batch)
+    data = _strip_sys(batch)
+    plan = CodecPlan.by_name(*plan_names) if plan_names else CodecPlan.from_schema(data.schema)
+    bound = bind_plan(plan, data.schema)
+    return encode_chunk(data, bound, None, fragment)

@@ -1,0 +1,93 @@
+"""Skew handling: groupby-on-source + size-aware shuffle.
+
+Mandated by BASELINE.json north_rule ("explicitly repartitions with a
+groupby-on-source + size-aware shuffle to defuse skew from long-tail
+token arrays").  The reference is sequential so this is pure design
+(SURVEY.md §4 skew row):
+
+1. A cheap pruned aggregation pass reads ONLY (source, n_tok) and
+   computes tokens per source (``ds.groupby("source").aggregate(Sum)``
+   over per-batch partials — the partial+final pattern of
+   ``annotateFinely``, colonnade/src/Colonnade/Encode.hs:330-340).
+2. Each source gets ceil(tokens/budget) salt buckets; rows are salted
+   by a deterministic doc_id hash.  Hot sources (one source can be 60%
+   of rows, FIXTURES.md F1) split into many buckets; cold sources stay
+   in one.
+3. One range-partition shuffle on the salted key (``ds.sort``) makes
+   every downstream encoder batch single-source and size-bounded, so
+   actor-pool FSST/dict tables hit and no block dwarfs its peers.
+
+Partitioning assumption documented per SURVEY.md: downstream stages
+rely on batches being runs of a single (source, salt) bucket; they
+remain CORRECT without it (codecs are chunk-local), only less
+compressed/balanced.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+PKEY = "__cr_pkey"
+DEFAULT_TOKEN_BUDGET = 32_000_000  # tokens per partition bucket
+
+
+def source_token_totals(paths, token_col: str = "n_tok", source_col: str = "source"):
+    """Pruned-read aggregation: tokens per source (small result)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(paths, columns=[source_col, token_col])
+    out = ds.groupby(source_col).aggregate(Sum(token_col, alias_name="tokens")).take_all()
+    return {r[source_col]: int(r["tokens"]) for r in out}
+
+
+def salt_counts(totals: dict, token_budget: int = DEFAULT_TOKEN_BUDGET) -> dict:
+    return {s: max(1, math.ceil(t / token_budget)) for s, t in totals.items()}
+
+
+class AddPartitionKey:
+    """map_batches callable: adds the salted partition key column.
+
+    salt = siphash(doc_id) % nsalt(source) — deterministic across
+    retries/processes (pandas hash_array uses a fixed key)."""
+
+    def __init__(self, nsalts: dict, id_col: str = "doc_id", source_col: str = "source"):
+        self.nsalts = nsalts
+        self.id_col = id_col
+        self.source_col = source_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        src = batch[self.source_col].to_pylist() if self.source_col in batch.column_names else [""] * n
+        nsalt = np.array([self.nsalts.get(s, 1) for s in src], dtype=np.uint64)
+        if self.id_col in batch.column_names:
+            ids = batch[self.id_col].to_pandas().to_numpy(dtype=object)
+            h = pd.util.hash_array(ids, categorize=False).astype(np.uint64)
+        else:
+            h = np.arange(n, dtype=np.uint64)
+        salt = (h % np.maximum(nsalt, 1)).astype(np.int64)
+        key = pa.array([f"{s}#{int(x):04d}" for s, x in zip(src, salt)])
+        return batch.append_column(PKEY, key)
+
+
+def partition_by_source(
+    ds,
+    nsalts: dict,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+):
+    """The explicit shuffle: salt, range-partition on (source, salt).
+
+    ``ds.sort`` is an all-to-all exchange — this is the ONE mandated
+    shuffle in the encode pipeline (SURVEY.md §7 "shuffles and their
+    keys"); everything else streams."""
+    keyed = ds.map_batches(
+        AddPartitionKey(nsalts, id_col, source_col), batch_format="pyarrow"
+    )
+    return keyed.sort(PKEY)

@@ -1,0 +1,94 @@
+"""Schema-resolution tests — FIXTURES.md F3, graft of the reference's
+headedToIndexed tests (siphon/test/Test.hs:123-138): bind-by-name onto
+shuffled schemas; missing/duplicate diagnostics accumulate (NOT
+fail-fast, siphon/src/Siphon.hs:252-278)."""
+
+import pyarrow as pa
+import pytest
+
+from colonnade_ray.errors import SchemaBindError
+from colonnade_ray.plan import CodecPlan, bind_plan
+
+F1 = ["doc_id", "tokens", "n_tok", "source"]
+
+
+def _schema(names, types=None):
+    types = types or [pa.string()] * len(names)
+    return pa.schema(list(zip(names, types)))
+
+
+def test_bind_shuffled_order():
+    plan = CodecPlan.by_name(*F1)
+    schema = _schema(["source", "n_tok", "doc_id", "tokens"])
+    bound = bind_plan(plan, schema)
+    assert [b.index for b in bound.columns] == [2, 3, 1, 0]
+    assert bound.names() == F1
+
+
+def test_bind_missing_column():
+    plan = CodecPlan.by_name(*F1)
+    schema = _schema(["doc_id", "tokens", "source"])  # n_tok missing
+    with pytest.raises(SchemaBindError) as e:
+        bind_plan(plan, schema)
+    issues = e.value.issues
+    assert len(issues) == 1 and issues[0].kind == "missing" and issues[0].column == "n_tok"
+    assert "n_tok" in str(e.value)
+
+
+def test_bind_duplicate_column():
+    plan = CodecPlan.by_name(*F1)
+    schema = _schema(["doc_id", "tokens", "n_tok", "source", "source"])
+    with pytest.raises(SchemaBindError) as e:
+        bind_plan(plan, schema)
+    (issue,) = e.value.issues
+    assert issue.kind == "duplicate" and issue.positions == (3, 4)
+
+
+def test_bind_accumulates_multiple_errors():
+    """Missing n_tok AND duplicate source reported in ONE pass."""
+    plan = CodecPlan.by_name(*F1)
+    schema = _schema(["doc_id", "tokens", "source", "source"])
+    with pytest.raises(SchemaBindError) as e:
+        bind_plan(plan, schema)
+    kinds = sorted((i.column, i.kind) for i in e.value.issues)
+    assert kinds == [("n_tok", "missing"), ("source", "duplicate")]
+
+
+def test_bind_by_index_and_out_of_range():
+    schema = _schema(["a", "b"])
+    bound = bind_plan(CodecPlan.by_index(1, 0), schema)
+    assert [b.index for b in bound.columns] == [1, 0]
+    with pytest.raises(SchemaBindError):
+        bind_plan(CodecPlan.by_index(5), schema)
+
+
+def test_type_mismatch_diagnostic():
+    plan = CodecPlan(
+        tuple([*CodecPlan.by_name("doc_id").columns]),
+    )
+    import dataclasses
+
+    cp = dataclasses.replace(plan.columns[0], expected_type=pa.int64())
+    with pytest.raises(SchemaBindError) as e:
+        bind_plan(CodecPlan((cp,)), _schema(["doc_id"]))
+    assert e.value.issues[0].kind == "type_mismatch"
+
+
+def test_plan_composition_and_rename():
+    p = CodecPlan.by_name("a") + CodecPlan.by_name("b")
+    assert [c.name for c in p.columns] == ["a", "b"]
+    r = p.rename({"a": "x"})
+    assert [c.name for c in r.columns] == ["x", "b"]
+
+
+def test_from_schema_and_headless():
+    schema = _schema(["a", "b"], [pa.int64(), pa.string()])
+    p = CodecPlan.from_schema(schema)
+    bound = bind_plan(p, schema)
+    headless = CodecPlan(
+        tuple(
+            __import__("dataclasses").replace(b.plan, index=b.index) for b in bound.columns
+        )
+    ).to_headless()
+    rebound = bind_plan(headless, schema)
+    assert [b.index for b in rebound.columns] == [0, 1]
