@@ -1,44 +1,395 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the colonnade_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; no
+ray.init()/shutdown() here or in the library (see package docstring).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` covers the operator inventory of SURVEY.md §2 (the
+DuckDB-checkable analogs: projection/lmap T2, predicated rewrite
+T8/T9, conditional cell C8, grouped render S9, sizing aggregates
+A1/A3, set-op graft, sort/limit) plus the brief-mandated
+training-data operators (dedup, similarity search, text analysis) and
+the flagship encode->decode->verify pipeline.  Column names match
+``oracle_sql()`` exactly (driver hashes values under sorted column
+names).  Float-valued aggregates are avoided or made bit-deterministic
+(integral sums, FLOOR(x*100+0.5) cents) so Ray and DuckDB hash
+identically.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _lineitem(sf_dir, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"), columns=columns)
+
+
+def _tbl(sf_dir, name, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# SQL-checkable operator analogs
+
+
+def q_projection_revenue(sf_dir: str):
+    """lmap/projection graft (SURVEY.md T2): computed column, pruned read."""
+    ds = _lineitem(sf_dir, ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table(
+            {"l_orderkey": b["l_orderkey"], "l_linenumber": b["l_linenumber"], "revenue": rev}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_filter_recent(sf_dir: str):
+    """Row filter (blank-line-skip graft, SURVEY.md §2.7): vectorized predicate."""
+    ds = _lineitem(sf_dir, ["l_orderkey", "l_linenumber", "l_shipdate", "l_discount", "l_quantity"])
+    cutoff = pa.scalar(np.datetime64("1995-09-01", "us"), pa.timestamp("us"))
+
+    def fn(b: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.greater_equal(b["l_shipdate"], cutoff),
+                       pc.greater(b["l_discount"], pa.scalar(0.05)))
+        return b.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_groupby_pricing(sf_dir: str):
+    """sizeColumns/annotateFinely graft (A1/A3): per-batch PARTIAL
+    aggregation, then a small groupby over partials — the step/finish
+    pair of Encode.hs:330-340 as Ray Data partial+final."""
+    from ray.data.aggregate import Sum
+
+    ds = _lineitem(sf_dir, ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = pc.cast(b["l_quantity"], pa.int64())
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(b["l_extendedprice"], pa.scalar(100.0)),
+                                        pa.scalar(0.5))), pa.int64())
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "q": qty,
+                "c": cents,
+                "one": pa.array(np.ones(len(b), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("q", "sum"), ("c", "sum"), ("one", "sum")]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("q_sum", alias_name="sum_qty"),
+        Sum("c_sum", alias_name="sum_price_cents"),
+        Sum("one_sum", alias_name="n_rows"),
+    )
+
+
+def q_predicated_rewrite(sf_dir: str):
+    """modifyWhen/replaceWhen graft (T8/T9): conditional cell rewrite."""
+    ds = _tbl(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        flag = pc.if_else(
+            pc.greater(b["o_totalprice"], pa.scalar(150000.0)),
+            pa.scalar("HIGH"), b["o_orderpriority"],
+        )
+        return pa.table({"o_orderkey": b["o_orderkey"], "priority_class": flag})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_topk_orders(sf_dir: str):
+    """sort + limit (deterministic tie-break on key)."""
+    ds = _tbl(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q_distinct_sources(sf_dir: str):
+    """Set-op graft: distinct as dictionary building (SURVEY.md §2.7)."""
+    vals = sorted(_tbl(sf_dir, "documents", ["source"]).unique("source"))
+    return pa.table({"source": pa.array(vals)})
+
+
+def q_sectioned_doc_stats(sf_dir: str):
+    """sectioned graft (S9, lucid-colonnade/src/Lucid/Colonnade.hs:269-292):
+    the reference's one true group-by -> grouped aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _tbl(sf_dir, "documents", ["source", "n_chars"])
+    return ds.groupby("source").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+
+
+def q_token_count(sf_dir: str):
+    from colonnade_ray.functions.text import token_count_batch
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: token_count_batch(b).select(["doc_id", "token_count"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_quality_scores(sf_dir: str):
+    from colonnade_ray.functions.text import QualityScorer
+    from colonnade_ray.util import default_concurrency
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    scored = ds.map_batches(
+        QualityScorer, batch_format="pyarrow", concurrency=default_concurrency()
+    )
+    return scored.select_columns(
+        ["doc_id", "q_chars", "q_alpha", "q_digit", "q_space", "q_punct", "q_stopwords"]
+    )
+
+
+def q_lang_share(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (
+        _tbl(sf_dir, "documents", ["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+def q_events_hourly(sf_dir: str):
+    """Streaming-shaped workload: tumbling 1h window as groupby on the
+    truncated event time (ray_guide streaming pattern)."""
+    from ray.data.aggregate import Count
+
+    ds = _tbl(sf_dir, "events", ["ts", "event_type"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b["ts"], unit="hour")
+        return pa.table({"event_type": b["event_type"], "hour_ts": hour})
+
+    return ds.map_batches(fn, batch_format="pyarrow").groupby(
+        ["event_type", "hour_ts"]
+    ).aggregate(Count(alias_name="n_events"))
+
+
+def q_dedup_exact(sf_dir: str):
+    from colonnade_ray.functions.dedup import exact_dedup
+
+    return exact_dedup(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_similarity_topk(sf_dir: str):
+    from colonnade_ray.functions.similarity import brute_force_topk
+
+    emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = (
+        emb.filter(lambda r: r["vec_id"] < 3)
+        .take_all()
+    )
+    qrows.sort(key=lambda r: r["vec_id"])
+    queries = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL (rows-only) pipelines
+
+
+def _run_dir(sf_dir: str, tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"colonnade_{tag}_")
+
+
+def q_encode_roundtrip(sf_dir: str):
+    """Flagship: tokenize -> skew-partitioned encode (actor pool) ->
+    decode -> order-free bit-identical verify; returns the summary +
+    verification row."""
+    import ray.data as rd
+
+    from colonnade_ray.corpus import tokenized_documents
+    from colonnade_ray.pipelines import (
+        decode_corpus,
+        encode_corpus,
+        roundtrip_verify,
+    )
+
+    work = _run_dir(sf_dir, "flagship")
+    inp = os.path.join(work, "input")
+    out = os.path.join(work, "out")
+    tokenized_documents(sf_dir).write_parquet(inp)
+    summary = encode_corpus(
+        inp, out, batch_size=2048, partition_by="source", resume=False
+    )
+    decoded = decode_corpus(out)
+    res = roundtrip_verify(
+        rd.read_parquet(inp), decoded, ["doc_id", "tokens", "n_tok", "source"]
+    )
+    return pa.table(
+        {
+            "rows": pa.array([summary["rows"]], pa.int64()),
+            "chunks": pa.array([summary["chunks"]], pa.int64()),
+            "tokens": pa.array([summary["tokens"]], pa.int64()),
+            "bytes_in": pa.array([summary["bytes_in"]], pa.int64()),
+            "bytes_out": pa.array([summary["bytes_out"]], pa.int64()),
+            "roundtrip_match": pa.array([bool(res["match"])], pa.bool_()),
+        }
+    )
+
+
+def q_near_dup_pairs(sf_dir: str):
+    from colonnade_ray.functions.dedup import near_dup_pairs
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    pairs = near_dup_pairs(ds, threshold=0.8)
+    return pairs.select_columns(["id_a", "id_b"]).sort(["id_a", "id_b"])
+
+
+def q_simhash(sf_dir: str):
+    from colonnade_ray.functions.dedup import simhash_signatures
+
+    return simhash_signatures(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    from colonnade_ray.functions.similarity import ivf_topk
+
+    emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = emb.filter(lambda r: r["vec_id"] < 3).take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    queries = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    out = ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
+def q_codec_selection_report(sf_dir: str):
+    """A1/A4 graft: measured stats + selected codec per column chunk."""
+    from colonnade_ray.codecs import encode_column
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"))
+    rows = {"column": [], "kind": [], "bytes_raw": [], "bytes_encoded": []}
+    for name in t.column_names:
+        payload, meta = encode_column(t[name])
+        rows["column"].append(name)
+        rows["kind"].append(meta["kind"])
+        rows["bytes_raw"].append(int(t[name].nbytes))
+        rows["bytes_encoded"].append(len(payload))
+    return pa.table(rows)
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001 (driver smoke check)."""
+    return q_encode_roundtrip("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "projection_revenue": q_projection_revenue,
+        "filter_recent": q_filter_recent,
+        "groupby_pricing": q_groupby_pricing,
+        "predicated_rewrite": q_predicated_rewrite,
+        "topk_orders": q_topk_orders,
+        "distinct_sources": q_distinct_sources,
+        "sectioned_doc_stats": q_sectioned_doc_stats,
+        "token_count": q_token_count,
+        "quality_scores": q_quality_scores,
+        "lang_share": q_lang_share,
+        "events_hourly": q_events_hourly,
+        "dedup_exact": q_dedup_exact,
+        "similarity_topk": q_similarity_topk,
+        # rows-only (non-SQL-expressible)
+        "encode_roundtrip": q_encode_roundtrip,
+        "near_dup_pairs": q_near_dup_pairs,
+        "simhash_signatures": q_simhash,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "codec_selection_report": q_codec_selection_report,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOP_SQL = "the|a|an|and|or|of|to|in|is|are|was|for|on|with|as|by|at|from|this|that"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "projection_revenue": (
+            "SELECT l_orderkey, l_linenumber, "
+            "l_extendedprice * (1 - l_discount) AS revenue FROM lineitem"
+        ),
+        "filter_recent": (
+            "SELECT l_orderkey, l_linenumber, l_shipdate, l_discount, l_quantity "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-09-01' "
+            "AND l_discount > 0.05"
+        ),
+        "groupby_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, "
+            "SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_price_cents, "
+            "COUNT(*) AS n_rows "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "predicated_rewrite": (
+            "SELECT o_orderkey, CASE WHEN o_totalprice > 150000 THEN 'HIGH' "
+            "ELSE o_orderpriority END AS priority_class FROM orders"
+        ),
+        "topk_orders": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "distinct_sources": "SELECT DISTINCT source FROM documents",
+        "sectioned_doc_stats": (
+            "SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars "
+            "FROM documents GROUP BY source"
+        ),
+        "token_count": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) "
+            "AS token_count FROM documents"
+        ),
+        "quality_scores": (
+            "SELECT doc_id, "
+            "CAST(length(text) AS BIGINT) AS q_chars, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS q_alpha, "
+            "CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS q_digit, "
+            "CAST(len(regexp_extract_all(text, '[ ]')) AS BIGINT) AS q_space, "
+            "CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS q_punct, "
+            f"CAST(len(regexp_extract_all(text, '\\b({_STOP_SQL})\\b')) AS BIGINT) "
+            "AS q_stopwords FROM documents"
+        ),
+        "lang_share": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
+        "events_hourly": (
+            "SELECT event_type, date_trunc('hour', ts) AS hour_ts, "
+            "COUNT(*) AS n_events FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+        "similarity_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+            "WHERE vec_id < 3), "
+            "s AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(q.qe, e.embedding) AS score "
+            "FROM q CROSS JOIN embeddings e), "
+            "r AS (SELECT query_id, vec_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) "
+            "AS rank FROM s) "
+            "SELECT query_id, vec_id, rank FROM r WHERE rank <= 5"
+        ),
+    }

@@ -1,0 +1,193 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k as the baseline: the query matrix is
+broadcast once (ray.put), each map_batches task does one float64
+matmul against its batch and emits per-batch top-k partials; a tiny
+driver-side merge finishes.  IVF (inverted-file) variant as the scale
+path: k-means centroids fitted on a deterministic sample, batches
+probe only the nearest cells.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+
+def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    dim = len(arr[0]) if len(arr) else 0
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(arr), dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceTopK:
+    """Per-batch cosine top-k against a broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int, emb_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float64))   # (nq, dim)
+        self.k = k
+        self.emb_col, self.id_col = emb_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_embedding_matrix(batch, self.emb_col))  # (n, dim)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sims = self.q @ m.T                                     # (nq, n)
+        k = min(self.k, sims.shape[1])
+        qq, vv, ss = [], [], []
+        for qi in range(sims.shape[0]):
+            # deterministic: score desc, then id asc
+            order = np.lexsort((ids, -sims[qi]))[:k]
+            qq.extend([qi] * k)
+            vv.extend(ids[order].tolist())
+            ss.extend(sims[qi][order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qq, pa.int64()),
+                self.id_col: pa.array(vv, pa.int64()),
+                "score": pa.array(ss, pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 5,
+                     emb_col: str = "embedding", id_col: str = "vec_id") -> pa.Table:
+    """Exact cosine top-k: distributed partials + tiny driver merge.
+
+    Returns a pyarrow Table (query_id, <id_col>, score, rank) with
+    rank 1..k — small (nq*k rows)."""
+    import ray
+
+    from ..util import default_concurrency
+
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs=dict(queries_ref=qref, k=k, emb_col=emb_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=(1, default_concurrency()),
+    ).take_all()
+    import pandas as pd
+
+    df = pd.DataFrame(partials)
+    out_rows = []
+    for qi, g in df.groupby("query_id"):
+        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        for r, (_, row) in enumerate(g.iterrows(), start=1):
+            out_rows.append((int(qi), int(row[id_col]), float(row["score"]), r))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in out_rows], pa.int64()),
+            id_col: pa.array([r[1] for r in out_rows], pa.int64()),
+            "score": pa.array([r[2] for r in out_rows], pa.float64()),
+            "rank": pa.array([r[3] for r in out_rows], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF: coarse k-means + cell-probed search (the 100-TB path)
+
+
+def fit_centroids(ds, n_cells: int = 16, emb_col: str = "embedding",
+                  sample_rows: int = 4096, iters: int = 8, seed: int = 11) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a driver-side sample."""
+    sample = ds.limit(sample_rows).select_columns([emb_col]).take_all()
+    m = _normalize(np.asarray([r[emb_col] for r in sample], dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    cents = m[rng.choice(m.shape[0], size=min(n_cells, m.shape[0]), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(cents.shape[0]):
+            members = m[assign == c]
+            if members.shape[0]:
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+class IvfTopK:
+    """Probe-limited cosine top-k: batch rows are assigned to their
+    nearest centroid; only rows in cells probed by a query are scored."""
+
+    def __init__(self, queries_ref, cents_ref, k: int, n_probe: int = 4,
+                 emb_col: str = "embedding", id_col: str = "vec_id"):
+        import ray
+
+        self.q = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float64))
+        self.cents = np.asarray(ray.get(cents_ref), dtype=np.float64)
+        self.k, self.n_probe = k, n_probe
+        self.emb_col, self.id_col = emb_col, id_col
+        nb = min(self.n_probe, self.cents.shape[0])
+        self.q_cells = np.argsort(-(self.q @ self.cents.T), axis=1)[:, :nb]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_embedding_matrix(batch, self.emb_col))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        cell = np.argmax(m @ self.cents.T, axis=1)
+        qq, vv, ss = [], [], []
+        for qi in range(self.q.shape[0]):
+            mask = np.isin(cell, self.q_cells[qi])
+            if not mask.any():
+                continue
+            sims = m[mask] @ self.q[qi]
+            sub_ids = ids[mask]
+            k = min(self.k, sims.size)
+            order = np.lexsort((sub_ids, -sims))[:k]
+            qq.extend([qi] * k)
+            vv.extend(sub_ids[order].tolist())
+            ss.extend(sims[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qq, pa.int64()),
+                self.id_col: pa.array(vv, pa.int64()),
+                "score": pa.array(ss, pa.float64()),
+            }
+        )
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 5, n_cells: int = 16, n_probe: int = 4,
+             emb_col: str = "embedding", id_col: str = "vec_id") -> pa.Table:
+    import pandas as pd
+    import ray
+
+    from ..util import default_concurrency
+
+    cents = fit_centroids(ds, n_cells, emb_col)
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    cref = ray.put(cents)
+    partials = ds.map_batches(
+        IvfTopK,
+        fn_constructor_kwargs=dict(queries_ref=qref, cents_ref=cref, k=k,
+                                   n_probe=n_probe, emb_col=emb_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=(1, default_concurrency()),
+    ).take_all()
+    df = pd.DataFrame(partials)
+    out = []
+    for qi, g in df.groupby("query_id"):
+        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        for r, (_, row) in enumerate(g.iterrows(), start=1):
+            out.append((int(qi), int(row[id_col]), float(row["score"]), r))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in out], pa.int64()),
+            id_col: pa.array([r[1] for r in out], pa.int64()),
+            "score": pa.array([r[2] for r in out], pa.float64()),
+            "rank": pa.array([r[3] for r in out], pa.int64()),
+        }
+    )

@@ -59,11 +59,12 @@ def encode_dataset(
             batch_size=batch_size,
         )
     if concurrency is None:
-        # actor pools need an explicit size: fill the node minus head-
-        # room for the read/write stages (they're I/O-light tasks).
+        # autoscaling pool up to node CPUs minus headroom for the
+        # read/write stages — a fixed-size pool can starve co-running
+        # stages (sort tasks) on small CPU counts.
         from ..util import default_concurrency
 
-        concurrency = default_concurrency()
+        concurrency = (1, default_concurrency())
     kwargs = {"concurrency": concurrency}
     return ds.map_batches(
         EncoderActor,
