@@ -55,7 +55,16 @@ def hash_token_lists(arr: pa.Array) -> np.ndarray:
     vals = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
     offsets = np.concatenate(([0], np.cumsum(lens)))
     if vals.size:
-        pos = np.arange(vals.size, dtype=np.int64) - np.repeat(offsets[:-1], lens)
+        # pos-in-row without np.repeat (np.repeat measured 0.4s/4M
+        # here): ones-cumsum with a reset scatter at each row start;
+        # empty rows stack duplicate starts, so use an accumulating
+        # subtract.at over the (small) per-row boundary array.
+        delta = np.ones(vals.size, dtype=np.int64)
+        delta[0] = 0
+        starts = offsets[1:-1]
+        in_range = starts < vals.size
+        np.subtract.at(delta, starts[in_range], lens[:-1][in_range])
+        pos = np.cumsum(delta)
         maxlen = int(lens.max())
         terms = (vals + np.uint64(0x9E3779B97F4A7C15)) * _powers_cached(maxlen)[pos]
         csum = np.concatenate(([np.uint64(0)], np.cumsum(terms, dtype=np.uint64)))
