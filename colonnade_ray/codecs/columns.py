@@ -85,12 +85,14 @@ def desc_to_type(d: dict) -> pa.DataType:
 # Int-stream selection (the auto-selector)
 
 
-def select_int_codec(arr: np.ndarray, candidates=INT_CANDIDATE_ORDER) -> tuple[str, int, ChunkStats]:
+def select_int_codec(arr: np.ndarray, candidates=None) -> tuple[str, int, ChunkStats]:
     """Measure once, estimate every candidate, pick min size.
 
     Returns (codec_name, estimated_bytes, stats).  First-listed wins
     ties — a fixed, documented tie-break so retries are bit-identical
     (SURVEY.md §7 hard parts)."""
+    if candidates is None:
+        candidates = INT_CANDIDATE_ORDER  # read at call time: registry may extend it
     st = int_stats(arr)
     best_name, best_est = "plain", None
     for name in candidates:
@@ -168,11 +170,12 @@ def _fill_nulls(arr: pa.Array) -> pa.Array:
     return pc.fill_null(arr, zero)
 
 
-def _encode_primitive(arr: pa.Array) -> tuple[dict, list]:
+def _encode_primitive(arr: pa.Array, forced: Optional[str] = None) -> tuple[dict, list]:
     validity, vparts = _validity_stream(arr)
     vals = _primitive_values(_fill_nulls(arr))
     if vals.dtype.kind in "iub":
-        enc = encode_int_stream(vals.astype(np.uint8) if vals.dtype.kind == "b" else vals)
+        enc = encode_int_stream(vals.astype(np.uint8) if vals.dtype.kind == "b" else vals,
+                                forced=forced)
         if vals.dtype.kind == "b":
             enc.meta["dt"] = "b1"
     else:
@@ -329,12 +332,12 @@ def _count_meta_rows(raw_meta: dict) -> int:
 # List columns (tokens: list<int32> — the graft axis, SURVEY.md §1.1)
 
 
-def _encode_list(arr: pa.Array) -> tuple[dict, list]:
+def _encode_list(arr: pa.Array, forced: Optional[str] = None) -> tuple[dict, list]:
     validity, vparts = _validity_stream(arr)
     lengths = pc.fill_null(pc.list_value_length(arr), 0).to_numpy(zero_copy_only=False).astype(np.int64)
     child = arr.flatten()  # values of non-null slots, concatenated
     lentry, lparts = _emit(encode_int_stream(lengths))
-    cmeta, cparts = encode_column_chunk(child)
+    cmeta, cparts = encode_column_chunk(child, forced=forced)
     meta = {
         "kind": "list",
         "streams": {"validity": validity, "lengths": lentry},
@@ -372,17 +375,21 @@ def _decode_list(meta: dict, parts: list, atype: pa.DataType, n: int) -> pa.Arra
 # Public chunk API
 
 
-def encode_column_chunk(arr, fsst: Optional[FsstCodec] = None) -> tuple[dict, list]:
-    """Arrow array/chunked-array -> (meta dict, ordered payload parts)."""
+def encode_column_chunk(arr, fsst: Optional[FsstCodec] = None,
+                        forced: Optional[str] = None) -> tuple[dict, list]:
+    """Arrow array/chunked-array -> (meta dict, ordered payload parts).
+
+    ``forced`` pins the integer-stream codec (graft of a user-chosen
+    per-column encoder, bypassing the selector)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     t = arr.type
     if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
         meta, parts = _encode_string(arr, fsst)
     elif pa.types.is_list(t):
-        meta, parts = _encode_list(arr)
+        meta, parts = _encode_list(arr, forced)
     else:
-        meta, parts = _encode_primitive(arr)
+        meta, parts = _encode_primitive(arr, forced)
     meta["atype"] = type_to_desc(t)
     meta["n"] = len(arr)
     return meta, parts
@@ -398,9 +405,10 @@ def decode_column_chunk(meta: dict, parts: list, n: Optional[int] = None) -> pa.
     return _decode_primitive(meta, parts, atype, n)
 
 
-def encode_column(arr, fsst: Optional[FsstCodec] = None) -> tuple[bytes, dict]:
+def encode_column(arr, fsst: Optional[FsstCodec] = None,
+                  forced: Optional[str] = None) -> tuple[bytes, dict]:
     """Pack to a single payload buffer + self-describing meta."""
-    meta, parts = encode_column_chunk(arr, fsst)
+    meta, parts = encode_column_chunk(arr, fsst, forced)
     meta["total_lens"] = [len(p) for p in parts]
     return b"".join(bytes(p) for p in parts), meta
 

@@ -239,9 +239,12 @@ class SimHash:
             words = np.asarray(t.split(), dtype=object)
             if words.size == 0:
                 continue
-            h = pd.util.hash_array(words, categorize=False).astype(np.uint64)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
-            votes = bits.sum(axis=0) * 2 - h.size  # +1/-1 votes
+            # term-frequency weighted (standard SimHash: each distinct
+            # term votes +-tf on every bit of its hash)
+            uniq, counts = np.unique(words, return_counts=True)
+            h = pd.util.hash_array(uniq, categorize=False).astype(np.uint64)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = (counts[:, None] * (2 * bits - 1)).sum(axis=0)
             out[i] = np.packbits((votes > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
         return pa.table(
             {

@@ -1,0 +1,173 @@
+"""Typed CSV source: header-resolved, per-column validated decode.
+
+Graft of the reference's CSV decode flow (SURVEY.md §3.2):
+``decodeHeadedCsvUtf8`` (siphon/src/Siphon.hs:92-111) — read the
+header row, resolve declared columns by name (``headedToIndexed``,
+Siphon.hs:252-278, accumulated diagnostics), then decode each body row
+with per-cell parsers whose failures carry (row, column, content)
+coordinates (``SiphonError``, siphon/src/Siphon/Types.hs:35-59).
+
+Ray-Data-first shape: ``ray.data.read_csv`` handles RFC-4180 lexing
+(the D4 parser row of SURVEY.md §2.6 — quoting, CRLF, embedded
+separators); this module owns the *typed* layer the reference builds
+on top: name binding, per-column cast/validate with coordinates, and
+the nullable/optional semantics of geolite-csv
+(geolite-csv/src/Geolite/Csv.hs:24-57: ``optional``, ``trueFalse "1"
+"0"``, fixed-point E4 lat/long).
+
+Columns are declared as ``CsvColumn(name, parser)`` where parser is a
+vectorized Arrow transform; cells that fail to parse on a non-nullable
+column raise ``ChunkDecodeError`` with per-cell coordinates
+(accumulated across columns, not fail-fast —
+siphon/src/Siphon.hs:731-749).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..errors import CellError, ChunkDecodeError, SchemaBindError
+from ..plan import CodecPlan, bind_plan
+
+
+@dataclass(frozen=True)
+class CsvColumn:
+    """Declared typed column: name + cell parser (graft of
+    ``S.headed name parser``, siphon/src/Siphon.hs:756-758)."""
+
+    name: str
+    target: pa.DataType
+    nullable: bool = False
+    # parser: string array -> (values array of target type, ok mask);
+    # None = generic cast-based parse
+    parser: Optional[Callable] = None
+
+
+def _generic_parse(arr: pa.Array, target: pa.DataType):
+    """Cast with per-cell failure mask (cast errors -> null + flagged)."""
+    try:
+        vals = pc.cast(arr, target)
+        return vals, pc.is_valid(vals)
+    except pa.ArrowInvalid:
+        # per-cell: cast one by one is slow; bisect via safe cast on
+        # cleaned values: mark unparsable cells by attempting cast on
+        # each distinct value (cheap: ndv << n for categorical-ish cols)
+        uniq = pc.unique(arr)
+        ok_vals = {}
+        for v in uniq.to_pylist():
+            if v is None:
+                continue
+            try:
+                ok_vals[v] = pa.scalar(v, pa.string()).cast(target).as_py()
+            except (pa.ArrowInvalid, ValueError):
+                ok_vals[v] = None
+        py = [None if v is None else ok_vals[v] for v in arr.to_pylist()]
+        vals = pa.array(py, target)
+        ok = pa.array([v is not None and ok_vals.get(v) is not None for v in arr.to_pylist()])
+        return vals, ok
+
+
+def bool_10_parser(arr: pa.Array, target: pa.DataType):
+    """Graft of ``trueFalse "1" "0"`` (geolite-csv/src/Geolite/Csv.hs:22)."""
+    is1 = pc.equal(arr, "1")
+    is0 = pc.equal(arr, "0")
+    ok = pc.or_kleene(is1, is0)
+    vals = pc.if_else(is1, True, pc.if_else(is0, False, pa.scalar(None, pa.bool_())))
+    return vals, ok
+
+
+def fixed_e4_parser(arr: pa.Array, target: pa.DataType):
+    """Fixed-point E4 decimal (lat/long) — graft of ``Fixed E4``
+    (geolite-csv/src/Geolite/Types.hs:27-28)."""
+    vals = pc.cast(arr, pa.decimal128(9, 4))
+    return vals, pc.is_valid(vals)
+
+
+GEOLITE_BLOCK_COLUMNS = [
+    CsvColumn("network", pa.string()),
+    CsvColumn("geoname_id", pa.int64(), nullable=True),
+    CsvColumn("is_anonymous_proxy", pa.bool_(), parser=bool_10_parser),
+    CsvColumn("postal_code", pa.string(), nullable=True),
+    CsvColumn("latitude", pa.decimal128(9, 4), nullable=True, parser=fixed_e4_parser),
+    CsvColumn("longitude", pa.decimal128(9, 4), nullable=True, parser=fixed_e4_parser),
+    CsvColumn("accuracy_radius", pa.int32(), nullable=True),
+]
+
+
+class TypedCsvDecoder:
+    """map_batches callable: all-string CSV batch -> typed batch.
+
+    Binding happens once per actor on first batch (plan-time name
+    resolution with accumulated missing/duplicate diagnostics)."""
+
+    def __init__(self, columns: list, fragment: str = ""):
+        self.columns = columns
+        self.fragment = fragment
+        self._bound = None
+
+    def _bind(self, schema: pa.Schema):
+        if self._bound is None:
+            plan = CodecPlan.by_name(*[c.name for c in self.columns])
+            self._bound = bind_plan(plan, schema)  # raises SchemaBindError
+        return self._bound
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self._bind(batch.schema)
+        out_arrays, out_fields = [], []
+        cell_errors: list[CellError] = []
+        for col in self.columns:
+            raw = batch[col.name]
+            if isinstance(raw, pa.ChunkedArray):
+                raw = raw.combine_chunks()
+            if not pa.types.is_string(raw.type):
+                raw = pc.cast(raw, pa.string())
+            # empty cell -> null (the reference reads empty optional
+            # cells as Nothing: geolite-csv/src/Geolite/Csv.hs:17-20)
+            raw = pc.if_else(pc.equal(pc.coalesce(raw, ""), ""), pa.scalar(None, pa.string()), raw)
+            parse = col.parser or _generic_parse
+            vals, ok = parse(raw, col.target)
+            was_present = pc.is_valid(raw)
+            bad = pc.and_(was_present, pc.fill_null(pc.invert(pc.cast(ok, pa.bool_())), True))
+            if pc.any(bad).as_py():
+                for row in pc.indices_nonzero(bad).to_pylist():
+                    cell_errors.append(
+                        CellError(col.name, int(row), str(raw[int(row)]), "unparseable cell")
+                    )
+            if not col.nullable:
+                missing = pc.and_(pc.invert(was_present), pa.scalar(True))
+                if pc.any(missing).as_py():
+                    for row in pc.indices_nonzero(missing).to_pylist():
+                        cell_errors.append(
+                            CellError(col.name, int(row), "", "empty cell in non-nullable column")
+                        )
+            out_arrays.append(vals)
+            out_fields.append(pa.field(col.name, col.target, nullable=col.nullable or True))
+        if cell_errors:
+            raise ChunkDecodeError(self.fragment, "", cell_errors)
+        return pa.Table.from_arrays(out_arrays, schema=pa.schema(out_fields))
+
+
+def read_typed_csv(paths, columns: list, concurrency=None):
+    """ray.data.read_csv -> typed validated Dataset."""
+    import ray.data as rd
+    from pyarrow import csv as pacsv
+
+    from ..util import default_concurrency
+
+    ds = rd.read_csv(
+        paths,
+        convert_options=pacsv.ConvertOptions(
+            column_types={c.name: pa.string() for c in columns},
+            strings_can_be_null=False,
+        ),
+    )
+    return ds.map_batches(
+        TypedCsvDecoder,
+        fn_constructor_kwargs={"columns": columns},
+        batch_format="pyarrow",
+        concurrency=concurrency or (1, default_concurrency()),
+    )

@@ -83,7 +83,7 @@ def encode_chunk(
         arr = batch.column(bc.index)
         bytes_in += arr.nbytes
         fsst = (fsst_codecs or {}).get(bc.field.name)
-        payload, meta = encode_column(arr, fsst=fsst)
+        payload, meta = encode_column(arr, fsst=fsst, forced=bc.plan.forced_codec)
         meta["name"] = bc.field.name
         mjson = json.dumps(meta, separators=(",", ":"))
         out[f"col{i}_payload"] = [payload]

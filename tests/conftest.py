@@ -1,4 +1,11 @@
+import os
+
 import pytest
+
+# see bench.py: avoids kernel page-fault churn in Ray workers; must be
+# set before ray.init so workers inherit it
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,268 @@
+"""Tests: typed CSV source (F4), render sinks, multimodal plumbing,
+dedup/similarity kernels, skew partitioning units."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from colonnade_ray.errors import ChunkDecodeError, SchemaBindError
+
+# ---------------------------------------------------------------------------
+# F4 typed CSV (graft of geolite-csv conformance, Spec.hs:56-80)
+
+CSV_GOOD = """network,geoname_id,is_anonymous_proxy,postal_code,latitude,longitude,accuracy_radius
+1.0.0.0/24,2077456,0,,−0.0000,133.0000,500
+1.0.4.0/22,2065740,1,3825,-37.7000,145.1833,5
+1.0.16.0/23,1862415,0,,34.7667,137.3833,
+""".replace("−", "-")
+
+
+def _decode_csv_text(text, columns=None):
+    import io
+
+    from pyarrow import csv as pacsv
+
+    from colonnade_ray.sources.typed_csv import GEOLITE_BLOCK_COLUMNS, TypedCsvDecoder
+
+    cols = columns or GEOLITE_BLOCK_COLUMNS
+    table = pacsv.read_csv(
+        io.BytesIO(text.encode()),
+        convert_options=pacsv.ConvertOptions(
+            column_types={c.name: pa.string() for c in cols}
+        ),
+    )
+    return TypedCsvDecoder(cols)(table)
+
+
+def test_typed_csv_decodes_nullable_and_bool():
+    out = _decode_csv_text(CSV_GOOD)
+    assert out["geoname_id"].type == pa.int64()
+    assert out["is_anonymous_proxy"].to_pylist() == [False, True, False]
+    assert out["postal_code"].to_pylist() == [None, "3825", None]
+    assert out["accuracy_radius"].to_pylist() == [500, 5, None]
+    assert str(out["latitude"][1].as_py()) == "-37.7000"
+
+
+def test_typed_csv_cell_error_coordinates():
+    bad = CSV_GOOD.replace("2065740", "not-a-number")
+    with pytest.raises(ChunkDecodeError) as e:
+        _decode_csv_text(bad)
+    errs = e.value.cell_errors
+    assert any(c.column == "geoname_id" and c.row == 1 for c in errs)
+    assert "geoname_id" in str(e.value)
+
+
+def test_typed_csv_missing_column_diagnostic():
+    truncated = "\n".join(
+        ",".join(line.split(",")[:3]) for line in CSV_GOOD.splitlines()
+    )
+    with pytest.raises(SchemaBindError) as e:
+        _decode_csv_text(truncated)
+    missing = {i.column for i in e.value.issues}
+    assert "postal_code" in missing and "latitude" in missing
+
+
+def test_typed_csv_bool_parse_failure():
+    bad = CSV_GOOD.replace("1.0.4.0/22,2065740,1", "1.0.4.0/22,2065740,yes")
+    with pytest.raises(ChunkDecodeError) as e:
+        _decode_csv_text(bad)
+    assert any(c.column == "is_anonymous_proxy" for c in e.value.cell_errors)
+
+
+def test_typed_csv_ray_path(tmp_path, ray_session):
+    from colonnade_ray.sources.typed_csv import GEOLITE_BLOCK_COLUMNS, read_typed_csv
+
+    p = tmp_path / "blocks.csv"
+    p.write_text(CSV_GOOD)
+    ds = read_typed_csv(str(p), GEOLITE_BLOCK_COLUMNS)
+    t = pa.Table.from_pylist(ds.take_all())
+    assert t.num_rows == 3
+
+
+# ---------------------------------------------------------------------------
+# Render (ascii / sectioned graft)
+
+
+def test_ascii_table_golden():
+    from colonnade_ray.render import ascii_table
+
+    t = pa.table({"name": ["a", "bb"], "n": [1, 22]})
+    out = ascii_table(t)
+    assert out.splitlines()[0] == "+------+----+"
+    assert "| name | n  |" in out
+    assert "| bb   | 22 |" in out
+
+
+def test_ascii_sectioned():
+    from colonnade_ray.render import ascii_table
+
+    t = pa.table({"g": ["x", "x", "y"], "v": [1, 2, 3]})
+    out = ascii_table(t, sections="g")
+    assert "=== g: x " in out and "=== g: y " in out
+    assert "| g" not in out  # section column is lifted out of the grid
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+
+
+def test_media_feature_extract_plumbing():
+    from colonnade_ray.functions.multimodal import (
+        MediaFeatureExtract,
+        synth_media_table,
+    )
+
+    t = synth_media_table(20)
+    out = MediaFeatureExtract()(t)
+    assert out.num_rows == 20
+    assert out["features"].type == pa.list_(pa.float32())
+    assert len(out["features"][0]) == 64
+    # deterministic
+    out2 = MediaFeatureExtract()(t)
+    assert out.equals(out2)
+
+
+def test_media_unavailable_decoder_raises():
+    from colonnade_ray.functions.multimodal import (
+        MediaFeatureExtract,
+        synth_media_table,
+        unavailable_decoder,
+    )
+
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtract(decoder=unavailable_decoder)(synth_media_table(2))
+
+
+def test_media_ray_stage(ray_session):
+    import ray.data as rd
+
+    from colonnade_ray.functions.multimodal import extract_media_features, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(50))
+    out = extract_media_features(ds, batch_size=16)
+    rows = out.take_all()
+    assert len(rows) == 50 and len(rows[0]["features"]) == 64
+
+
+# ---------------------------------------------------------------------------
+# Dedup kernels
+
+
+def test_minhash_similar_docs_collide():
+    from colonnade_ray.functions.dedup import (
+        _minhash_perms,
+        _word_shingle_hashes,
+        minhash_signature,
+    )
+
+    a, b = _minhash_perms(64)
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different words entirely unrelated content " * 20
+    s = _word_shingle_hashes(pd.Series([base, near, far]))
+    sig = [minhash_signature(x, a, b) for x in s]
+    sim_near = (sig[0] == sig[1]).mean()
+    sim_far = (sig[0] == sig[2]).mean()
+    assert sim_near > 0.7 and sim_far < 0.2
+
+
+def test_simhash_hamming():
+    from colonnade_ray.functions.dedup import SimHash
+
+    rng = np.random.default_rng(0)
+    vocab = np.array([f"word{i}" for i in range(500)], dtype=object)
+    base_words = vocab[rng.integers(0, 500, 2000)]
+    near_words = base_words.copy()
+    near_words[:20] = vocab[rng.integers(0, 500, 20)]  # 1% change
+    far_words = np.array([f"other{i}" for i in rng.integers(0, 500, 2000)], dtype=object)
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [" ".join(base_words), " ".join(near_words), " ".join(far_words)],
+        }
+    )
+    out = SimHash()(t)
+    h = np.array(out["simhash"].to_pylist(), dtype=np.int64).view(np.uint64)
+    d01 = bin(int(h[0] ^ h[1])).count("1")
+    d02 = bin(int(h[0] ^ h[2])).count("1")
+    assert d01 <= 6 and d02 >= 20, (d01, d02)
+    # identical docs hash identically
+    t2 = pa.table({"doc_id": [1, 2], "text": [" ".join(base_words)] * 2})
+    h2 = SimHash()(t2)["simhash"].to_pylist()
+    assert h2[0] == h2[1]
+
+
+def test_exact_dedup_kernel(ray_session):
+    import ray.data as rd
+
+    from colonnade_ray.functions.dedup import exact_dedup
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": "aaa"},
+            {"doc_id": 2, "text": "bbb"},
+            {"doc_id": 3, "text": "aaa"},
+            {"doc_id": 4, "text": "aaa"},
+        ]
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(ds).take_all())
+    assert kept == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# Similarity kernels
+
+
+def test_brute_force_topk_exact(ray_session):
+    import ray.data as rd
+
+    from colonnade_ray.functions.similarity import brute_force_topk
+
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(100, 16)).astype(np.float32)
+    t = pa.table(
+        {"vec_id": pa.array(range(100), pa.int64()),
+         "embedding": pa.array([list(map(float, e)) for e in emb], pa.list_(pa.float32()))}
+    )
+    ds = rd.from_arrow(t)
+    out = brute_force_topk(ds, emb[:2].astype(np.float64), k=3)
+    df = out.to_pandas()
+    # self is always rank 1 with score ~1
+    r1 = df[df["rank"] == 1]
+    assert list(r1["vec_id"]) == [0, 1]
+    assert (r1["score"] > 0.999).all()
+    # verify vs numpy reference for query 0
+    ref = emb.astype(np.float64)
+    ref = ref / np.linalg.norm(ref, axis=1, keepdims=True)
+    sims = ref @ ref[0]
+    expect = np.lexsort((np.arange(100), -sims))[:3]
+    assert list(df[df["query_id"] == 0]["vec_id"]) == list(expect)
+
+
+# ---------------------------------------------------------------------------
+# Skew partitioning units
+
+
+def test_salt_counts_size_aware():
+    from colonnade_ray.stages.skew import salt_counts
+
+    t = {"hot": 100_000_000, "cold": 1_000}
+    s = salt_counts(t, token_budget=10_000_000)
+    assert s["hot"] == 10 and s["cold"] == 1
+
+
+def test_add_partition_key_deterministic():
+    from colonnade_ray.stages.skew import PKEY, AddPartitionKey
+
+    t = pa.table(
+        {"doc_id": [f"d{i}" for i in range(100)],
+         "source": ["hot" if i % 2 == 0 else "cold" for i in range(100)]}
+    )
+    k1 = AddPartitionKey({"hot": 4, "cold": 1})(t)[PKEY].to_pylist()
+    k2 = AddPartitionKey({"hot": 4, "cold": 1})(t)[PKEY].to_pylist()
+    assert k1 == k2
+    # cold rows all share one bucket; hot rows spread over up to 4
+    cold_keys = {k for k, s in zip(k1, t["source"].to_pylist()) if s == "cold"}
+    hot_keys = {k for k, s in zip(k1, t["source"].to_pylist()) if s == "hot"}
+    assert len(cold_keys) == 1 and 1 < len(hot_keys) <= 4
