@@ -277,6 +277,31 @@ def q_ann_ivf_topk(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+def q_cosine_near_dups(sf_dir: str):
+    """Exact embedding-cosine near-dup pairs (SQL-checkable)."""
+    from colonnade_ray.functions.similarity import cosine_pairs_exact
+
+    emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_pairs_exact(emb, threshold=0.42)
+
+
+def q_embedding_lsh_candidates(sf_dir: str):
+    """Scale-path LSH candidates for embedding near-dups (rows-only)."""
+    from colonnade_ray.functions.similarity import embedding_near_dup_candidates
+
+    emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dup_candidates(emb, bands=8, bits_per_band=10)
+
+
+def q_dup_groups(sf_dir: str):
+    """Connected components over near-dup pairs (rows-only)."""
+    from colonnade_ray.functions.dedup import dup_groups, near_dup_pairs
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    pairs = near_dup_pairs(ds, threshold=0.8)
+    return dup_groups(pairs.select_columns(["id_a", "id_b"]))
+
+
 def q_codec_selection_report(sf_dir: str):
     """A1/A4 graft: measured stats + selected codec per column chunk."""
     from colonnade_ray.codecs import encode_column
@@ -318,11 +343,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "dedup_exact": q_dedup_exact,
         "similarity_topk": q_similarity_topk,
+        "cosine_near_dups": q_cosine_near_dups,
         # rows-only (non-SQL-expressible)
         "encode_roundtrip": q_encode_roundtrip,
         "near_dup_pairs": q_near_dup_pairs,
+        "dup_groups": q_dup_groups,
         "simhash_signatures": q_simhash,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_lsh_candidates": q_embedding_lsh_candidates,
         "codec_selection_report": q_codec_selection_report,
     }
 
@@ -391,5 +419,10 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) "
             "AS rank FROM s) "
             "SELECT query_id, vec_id, rank FROM r WHERE rank <= 5"
+        ),
+        "cosine_near_dups": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42"
         ),
     }

@@ -263,3 +263,46 @@ def simhash_signatures(ds, text_col="text", id_col="doc_id", concurrency=None):
         batch_format="pyarrow",
         concurrency=concurrency or (1, default_concurrency()),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-group resolution (connected components over dup pairs)
+
+
+def dup_groups(pairs_ds):
+    """Connected components over near-dup pairs -> (doc_id, group_id)
+    with group_id = min doc id of the component.
+
+    The candidate-pair set is orders of magnitude smaller than the
+    corpus (only docs that shared an LSH bucket), so per the ray guide
+    it is pulled once to the driver and resolved with union-find; for
+    pathologically large pair sets switch to iterated min-label
+    propagation (groupby per round) instead.
+    """
+    import ray.data as rd
+
+    edges = pairs_ds.take_all()  # small: candidates only
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in edges:
+        a, b = r["id_a"], r["id_b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id so group_id is deterministic
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [{"doc_id": k, "group_id": find(k)} for k in sorted(parent)]
+    if not rows:
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "group_id": pa.array([], pa.int64())})
+        )
+    return rd.from_items(rows)

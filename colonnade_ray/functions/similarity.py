@@ -191,3 +191,124 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 5, n_cells: int = 16, n_probe: in
             "rank": pa.array([r[3] for r in out], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicates
+
+
+class CosinePairs:
+    """Exact near-dup pairs: each batch is scored against the broadcast
+    full (normalized) matrix; emits (id_a < id_b) with cos >= tau.
+    Exact -> DuckDB-checkable.  Quadratic in corpus size: the scale
+    path is random-hyperplane LSH below."""
+
+    def __init__(self, mat_ref, ids_ref, threshold: float,
+                 emb_col: str = "embedding", id_col: str = "vec_id"):
+        import ray
+
+        self.mat = np.asarray(ray.get(mat_ref), dtype=np.float64)   # normalized (n, d)
+        self.ids = np.asarray(ray.get(ids_ref))
+        self.threshold = threshold
+        self.emb_col, self.id_col = emb_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_embedding_matrix(batch, self.emb_col))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sims = m @ self.mat.T                                      # (b, n)
+        bi, nj = np.nonzero(sims >= self.threshold)
+        a = ids[bi]
+        b = self.ids[nj]
+        keep = a < b
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b[keep], pa.int64()),
+            }
+        )
+
+
+def cosine_pairs_exact(ds, threshold: float = 0.95,
+                       emb_col: str = "embedding", id_col: str = "vec_id"):
+    """Exact embedding-cosine near-dup pairs (broadcast matrix)."""
+    import ray
+
+    from ..util import default_concurrency
+
+    rows = ds.select_columns([id_col, emb_col]).take_all()
+    rows.sort(key=lambda r: r[id_col])
+    mat = _normalize(np.asarray([r[emb_col] for r in rows], dtype=np.float64))
+    ids = np.asarray([r[id_col] for r in rows], dtype=np.int64)
+    mref, iref = ray.put(mat), ray.put(ids)
+    return ds.map_batches(
+        CosinePairs,
+        fn_constructor_kwargs=dict(mat_ref=mref, ids_ref=iref, threshold=threshold,
+                                   emb_col=emb_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=(1, default_concurrency()),
+    )
+
+
+class HyperplaneLsh:
+    """Scale path: random-hyperplane signatures; vectors sharing a
+    band bucket are candidate near-dups (sign-LSH for cosine)."""
+
+    def __init__(self, dim: int, bands: int = 8, bits_per_band: int = 8, seed: int = 13,
+                 emb_col: str = "embedding", id_col: str = "vec_id"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.normal(size=(bands * bits_per_band, dim))
+        self.bands, self.bpb = bands, bits_per_band
+        self.emb_col, self.id_col = emb_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_embedding_matrix(batch, self.emb_col))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        signs = (m @ self.planes.T) > 0                         # (n, bands*bpb)
+        n = m.shape[0]
+        sig = signs.reshape(n, self.bands, self.bpb)
+        weights = (1 << np.arange(self.bpb)).astype(np.int64)
+        keys = (sig * weights[None, None, :]).sum(axis=2)       # (n, bands)
+        out_band, out_key, out_id = [], [], []
+        for b in range(self.bands):
+            out_band.extend([b] * n)
+            out_key.extend(keys[:, b].tolist())
+            out_id.extend(ids.tolist())
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_key, pa.int64()),
+                self.id_col: pa.array(out_id, pa.int64()),
+            }
+        )
+
+
+def embedding_near_dup_candidates(ds, bands: int = 8, bits_per_band: int = 8,
+                                  emb_col: str = "embedding", id_col: str = "vec_id"):
+    """LSH candidate pairs for embedding near-dups (the 100-TB path:
+    one shuffle on band keys instead of a quadratic scan)."""
+    import pandas as pd
+
+    from ..util import default_concurrency
+
+    first = ds.take(1)
+    dim = len(first[0][emb_col])
+    exploded = ds.map_batches(
+        HyperplaneLsh,
+        fn_constructor_kwargs=dict(dim=dim, bands=bands, bits_per_band=bits_per_band,
+                                   emb_col=emb_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=(1, default_concurrency()),
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy())
+        if ids.size < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        ia, ib = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    cand = exploded.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
