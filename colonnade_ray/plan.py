@@ -150,3 +150,71 @@ def bind_plan(plan: CodecPlan, schema: pa.Schema) -> BoundPlan:
     if issues:
         raise SchemaBindError(issues)
     return BoundPlan(tuple(bound), schema)
+
+
+# ---------------------------------------------------------------------------
+# Plan sections — graft of the Cornice tiered-header tree
+# (colonnade/src/Colonnade/Encode.hs:581-603: CorniceBase/CorniceCap
+# with type-level depth).  A section tree groups column plans under
+# named tiers; flattening either drops the tiers (``discard``,
+# Encode.hs:273-277) or folds them into leaf names (``endow``,
+# Encode.hs:279-286).  In the engine the tree shape becomes the
+# partition-manifest section layout (SURVEY.md §2 T10-T14).
+
+
+@dataclass(frozen=True)
+class PlanSection:
+    """One tier: a named group of column plans and/or sub-sections."""
+
+    title: str
+    children: tuple = ()  # of ColumnPlan | PlanSection
+
+    def cap(self, title: str) -> "PlanSection":
+        """Wrap under one more spanning tier — graft of ``recap``
+        (colonnade/src/Colonnade.hs:324-325)."""
+        return PlanSection(title, (self,))
+
+    def discard(self) -> CodecPlan:
+        """Flatten to the base plan, dropping tiers — graft of
+        ``discard`` (Encode.hs:273-277)."""
+        cols: list = []
+        for c in self.children:
+            if isinstance(c, PlanSection):
+                cols.extend(c.discard().columns)
+            else:
+                cols.append(c)
+        return CodecPlan(tuple(cols))
+
+    def endow(self, sep: str = ".") -> CodecPlan:
+        """Flatten by folding tier titles into leaf names — graft of
+        ``endow`` (Encode.hs:279-286): group names prefix columns."""
+        cols: list = []
+        for c in self.children:
+            if isinstance(c, PlanSection):
+                for leaf in c.endow(sep).columns:
+                    cols.append(
+                        replace(leaf, name=f"{self.title}{sep}{leaf.name}")
+                    )
+            else:
+                cols.append(replace(c, name=f"{self.title}{sep}{c.name}"))
+        return CodecPlan(tuple(cols))
+
+    def annotate(self) -> dict:
+        """Leaf-count annotation per tier — graft of ``annotate``
+        colspan counting (Encode.hs:301-315)."""
+        total = 0
+        subs = []
+        for c in self.children:
+            if isinstance(c, PlanSection):
+                a = c.annotate()
+                total += a["leaves"]
+                subs.append(a)
+            else:
+                total += 1
+        return {"title": self.title, "leaves": total, "sections": subs}
+
+
+def cap(title: str, plan: CodecPlan) -> PlanSection:
+    """Wrap a flat plan under one spanning tier — graft of ``cap``
+    (colonnade/src/Colonnade.hs:289-290)."""
+    return PlanSection(title, tuple(plan.columns))

@@ -129,3 +129,22 @@ def test_checksum_detects_corruption(corpus_dir, tmp_path, ray_session):
     bad["col1_payload"] = bytes(p)
     with pytest.raises(ChecksumError):
         decode_chunk_row(bad)
+
+
+def test_csv_conformance_sink(corpus_dir, tmp_path, ray_session):
+    """S3/S4 graft: one decoded plan -> CSV sink; re-read matches
+    (scalar columns; CSV has no list type, as in the reference's
+    scalar-only CSV world)."""
+    import ray.data as rd
+
+    out = str(tmp_path / "enc")
+    encode_corpus(corpus_dir, out, batch_size=256)
+    decoded = decode_corpus(out)
+    csv_dir = str(tmp_path / "csv")
+    decoded.select_columns(["doc_id", "n_tok", "source"]).write_csv(csv_dir)
+    back = rd.read_csv(csv_dir)
+    orig = rd.read_parquet(corpus_dir)
+    from colonnade_ray.pipelines import roundtrip_verify
+
+    res = roundtrip_verify(orig, back, ["doc_id", "n_tok", "source"])
+    assert res["match"], res

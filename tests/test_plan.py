@@ -92,3 +92,29 @@ def test_from_schema_and_headless():
     ).to_headless()
     rebound = bind_plan(headless, schema)
     assert [b.index for b in rebound.columns] == [0, 1]
+
+
+def test_cornice_sections():
+    """T10-T14: cap/recap/discard/endow/annotate grafts."""
+    from colonnade_ray.plan import PlanSection, cap
+
+    ids = CodecPlan.by_name("doc_id")
+    payload = CodecPlan.by_name("tokens", "n_tok")
+    sec = PlanSection("corpus", (cap("ids", ids), cap("payload", payload)))
+    # discard: flat base plan, original names (Encode.hs:273-277)
+    assert [c.name for c in sec.discard().columns] == ["doc_id", "tokens", "n_tok"]
+    # endow: tier titles folded into names (Encode.hs:279-286)
+    assert [c.name for c in sec.endow().columns] == [
+        "corpus.ids.doc_id", "corpus.payload.tokens", "corpus.payload.n_tok",
+    ]
+    # recap adds a tier (Colonnade.hs:324-325)
+    capped = sec.cap("root")
+    assert [c.name for c in capped.endow().columns][0] == "root.corpus.ids.doc_id"
+    # annotate: per-tier leaf counts = colspan (Encode.hs:301-315)
+    ann = sec.annotate()
+    assert ann["leaves"] == 3
+    assert [s["leaves"] for s in ann["sections"]] == [1, 2]
+    # a discarded plan binds like any flat plan
+    schema = _schema(["n_tok", "doc_id", "tokens"])
+    bound = bind_plan(sec.discard(), schema)
+    assert [b.index for b in bound.columns] == [1, 2, 0]
