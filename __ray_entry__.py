@@ -188,6 +188,63 @@ def q_events_hourly(sf_dir: str):
     ).aggregate(Count(alias_name="n_events"))
 
 
+def q_broadcast_join(sf_dir: str):
+    """Small-side broadcast join (guide pattern: ray.put once, probe
+    per batch) -> grouped integer aggregate."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Count, Sum
+
+    from colonnade_ray.functions.relational import broadcast_join
+
+    orders = _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    ).rename_columns(["o_custkey", "c_mktsegment"])
+    joined = broadcast_join(orders, cust, on="o_custkey")
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(b["o_totalprice"], pa.scalar(100.0)),
+                                    pa.scalar(0.5))), pa.int64())
+        return pa.table({"c_mktsegment": b["c_mktsegment"], "price_cents": c})
+
+    return joined.map_batches(cents, batch_format="pyarrow").groupby(
+        "c_mktsegment"
+    ).aggregate(Count(alias_name="n_orders"), Sum("price_cents", alias_name="sum_cents"))
+
+
+def q_hash_join(sf_dir: str):
+    """Large-large hash-partitioned join (Dataset.join) -> aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    from colonnade_ray.functions.relational import hash_join
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_quantity"]).map_batches(
+        lambda b: pa.table(
+            {"l_orderkey": b["l_orderkey"], "qty": pc.cast(b["l_quantity"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda b: pa.table(
+            {"l_orderkey": b["o_orderkey"], "o_orderpriority": b["o_orderpriority"]}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(li, orders, on=["l_orderkey"])
+    return joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_items"), Sum("qty", alias_name="sum_qty")
+    )
+
+
+def q_sessions(sf_dir: str):
+    """Session windows (30-min gap) per user over the events stream."""
+    from colonnade_ray.functions.relational import sessionize
+
+    ev = _tbl(sf_dir, "events", ["user_id", "ts"])
+    return sessionize(ev, key_col="user_id", ts_col="ts", gap_minutes=30)
+
+
 def q_dedup_exact(sf_dir: str):
     from colonnade_ray.functions.dedup import exact_dedup
 
@@ -341,6 +398,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": q_quality_scores,
         "lang_share": q_lang_share,
         "events_hourly": q_events_hourly,
+        "broadcast_join": q_broadcast_join,
+        "hash_join": q_hash_join,
+        "sessions": q_sessions,
         "dedup_exact": q_dedup_exact,
         "similarity_topk": q_similarity_topk,
         "cosine_near_dups": q_cosine_near_dups,
@@ -407,6 +467,28 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": (
             "SELECT event_type, date_trunc('hour', ts) AS hour_ts, "
             "COUNT(*) AS n_events FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "broadcast_join": (
+            "SELECT c.c_mktsegment, COUNT(*) AS n_orders, "
+            "SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS sum_cents "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_mktsegment"
+        ),
+        "hash_join": (
+            "SELECT o.o_orderpriority, COUNT(*) AS n_items, "
+            "SUM(CAST(l.l_quantity AS BIGINT)) AS sum_qty "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY o.o_orderpriority"
+        ),
+        "sessions": (
+            "WITH d AS (SELECT user_id, ts, "
+            "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+            "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE "
+            "THEN 1 ELSE 0 END AS is_new FROM events), "
+            "s AS (SELECT user_id, ts, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS session_id FROM d) "
+            "SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start "
+            "FROM s GROUP BY user_id, session_id"
         ),
         "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
         "similarity_topk": (

@@ -266,3 +266,52 @@ def test_add_partition_key_deterministic():
     cold_keys = {k for k, s in zip(k1, t["source"].to_pylist()) if s == "cold"}
     hot_keys = {k for k, s in zip(k1, t["source"].to_pylist()) if s == "hot"}
     assert len(cold_keys) == 1 and 1 < len(hot_keys) <= 4
+
+
+# ---------------------------------------------------------------------------
+# Relational lookups
+
+
+def test_broadcast_join_unit(ray_session):
+    import ray.data as rd
+
+    from colonnade_ray.functions.relational import broadcast_join
+
+    left = rd.from_items([{"k": i % 3, "v": i} for i in range(9)])
+    small = pa.table({"k": [0, 1], "name": ["zero", "one"]})
+    out = broadcast_join(left, small, on="k").take_all()
+    assert len(out) == 6  # k=2 rows dropped (inner)
+    assert {r["name"] for r in out} == {"zero", "one"}
+
+
+def test_hash_join_unit(ray_session):
+    import ray.data as rd
+
+    from colonnade_ray.functions.relational import hash_join
+
+    a = rd.from_items([{"k": i, "va": i * 2} for i in range(10)])
+    b = rd.from_items([{"k": i, "vb": i * 3} for i in range(5, 15)])
+    out = hash_join(a, b, on=["k"]).take_all()
+    assert sorted(r["k"] for r in out) == list(range(5, 10))
+
+
+def test_sessionize_unit(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from colonnade_ray.functions.relational import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        {"user_id": 1, "ts": t0},
+        {"user_id": 1, "ts": t0 + dt.timedelta(minutes=10)},   # same session
+        {"user_id": 1, "ts": t0 + dt.timedelta(minutes=50)},   # gap > 30 -> new
+        {"user_id": 2, "ts": t0},
+    ]
+    out = sessionize(rd.from_items(rows), gap_minutes=30).take_all()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append((r["session_id"], r["n_events"]))
+    assert sorted(by_user[1]) == [(1, 2), (2, 1)]
+    assert by_user[2] == [(1, 1)]
