@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .base import ChunkStats, Encoded, int_stats
+from .base import ChunkStats, Encoded, code_dtype, dtype_code, int_stats
 from .fsst import FsstCodec
 from .ints import INT_CODECS
 
@@ -179,10 +179,55 @@ def _encode_primitive(arr: pa.Array, forced: Optional[str] = None) -> tuple[dict
         if vals.dtype.kind == "b":
             enc.meta["dt"] = "b1"
     else:
-        enc = INT_CODECS["plain"].encode(vals)
+        enc = _encode_float_stream(vals)
     ventry, parts = _emit(enc)
     meta = {"kind": "primitive", "streams": {"validity": validity, "values": ventry}}
     return meta, vparts + parts
+
+
+def _encode_float_stream(vals: np.ndarray) -> Encoded:
+    """Float columns: byte-plane split (BtrBlocks-style, public
+    literature) — view as uint bytes, encode each byte plane through
+    the int selector.  Sign/exponent planes are low-entropy for
+    real-world value ranges even when mantissa planes are random;
+    falls back to plain when planes don't pay."""
+    n = int(vals.size)
+    w = vals.dtype.itemsize
+    if n < 64:
+        return INT_CODECS["plain"].encode(vals)
+    as_bytes = np.ascontiguousarray(vals).view(np.uint8).reshape(n, w)
+    plane_encs = []
+    total = 0
+    for j in range(w):
+        pe = encode_int_stream(np.ascontiguousarray(as_bytes[:, j]))
+        plane_encs.append(pe)
+        total += pe.nbytes()
+    if total >= n * w:  # planes don't pay (random floats)
+        return INT_CODECS["plain"].encode(vals)
+    meta = {
+        "dt": dtype_code(vals.dtype),
+        "n": n,
+        "planes": [{"codec": p.codec, "meta": p.meta} for p in plane_encs],
+        "plane_nparts": [len(p.parts) for p in plane_encs],
+    }
+    parts: list = []
+    for p in plane_encs:
+        p.meta["part_lens"] = [len(x) for x in p.parts]
+        parts.extend(p.parts)
+    return Encoded("float_planes", meta, parts)
+
+
+def _decode_float_stream(enc: Encoded) -> np.ndarray:
+    m = enc.meta
+    dt = code_dtype(m["dt"])
+    n, w = m["n"], np.dtype(dt).itemsize
+    out = np.empty((n, w), dtype=np.uint8)
+    idx = 0
+    for j, (pmeta, k) in enumerate(zip(m["planes"], m["plane_nparts"])):
+        pe = Encoded(pmeta["codec"], pmeta["meta"], enc.parts[idx : idx + k])
+        out[:, j] = decode_int_stream(pe).astype(np.uint8)
+        idx += k
+    return out.reshape(-1).view(dt)[:n]
 
 
 def _decode_primitive(meta: dict, parts: list, atype: pa.DataType, n: int) -> pa.Array:
@@ -196,7 +241,9 @@ def _decode_primitive(meta: dict, parts: list, atype: pa.DataType, n: int) -> pa
     ventry = meta["streams"]["values"]
     k = len(ventry["meta"]["part_lens"])
     enc = Encoded(ventry["codec"], ventry["meta"], parts[idx : idx + k])
-    if ventry["meta"].get("dt") == "b1" and enc.codec != "plain":
+    if enc.codec == "float_planes":
+        vals = _decode_float_stream(enc)
+    elif ventry["meta"].get("dt") == "b1" and enc.codec != "plain":
         enc.meta = dict(enc.meta, dt="u1")
         vals = decode_int_stream(enc).astype(bool)
     else:

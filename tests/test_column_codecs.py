@@ -133,3 +133,27 @@ def test_fsst_shared_table():
     data = b"xyzabcabc" * 50
     enc = codec.encode(data)
     assert FsstCodec().decode(Encoded.unpack("fsst", enc.meta, enc.pack())) == data
+
+
+def test_float_plane_split_compresses_prices():
+    """BtrBlocks-style byte-plane split: bounded-range doubles (price
+    columns) compress via their low-entropy sign/exponent planes."""
+    rng = np.random.default_rng(3)
+    arr = pa.array(np.round(rng.uniform(900, 105000, 20000), 2))
+    payload, meta = encode_column(arr)
+    assert decode_column(payload, meta).equals(arr)
+    assert meta["streams"]["values"]["codec"] == "float_planes"
+    assert len(payload) < 0.75 * arr.nbytes
+
+
+def test_float_planes_nan_inf_exact():
+    vals = [0.0, -0.0, float("nan"), float("inf"), float("-inf"), 1e-300, 1e300] * 20
+    arr = pa.array(vals, pa.float64())
+    payload, meta = encode_column(arr)
+    back = decode_column(payload, meta)
+    # NaN != NaN under equals? arrow equals treats NaN as equal at array level
+    import numpy as np
+
+    a = arr.to_numpy(zero_copy_only=False)
+    b = back.to_numpy(zero_copy_only=False)
+    assert np.array_equal(a.view(np.uint64), b.view(np.uint64))  # bit-identical
