@@ -392,12 +392,15 @@ class DictBitlenCodec(Codec):
         rank_of[order] = np.arange(uniq.size, dtype=np.uint32)
         ranks = rank_of[inv]
         W = bit_width(int(uniq.size - 1))
-        # bit lengths: 0 for 0, else floor(log2)+1
-        bl = np.zeros(n, dtype=np.int8)
-        nz = ranks > 0
-        bl[nz] = np.frexp(ranks[nz].astype(np.float64))[1]  # exact for < 2^53
-        sel = np.minimum(bl, self._ESCAPE)
-        parts = [pack_uints(sel.astype(np.uint64), self._SEL_BITS)]
+        # bit length per UNIQUE value then one gather — avoids an
+        # n-sized float64 frexp pass (24B/token of memory traffic on
+        # a bandwidth-limited box)
+        bl_uniq = np.zeros(uniq.size, dtype=np.uint8)
+        nzu = rank_of > 0
+        bl_uniq[nzu] = np.frexp(rank_of[nzu].astype(np.float64))[1]
+        sel_uniq = np.minimum(bl_uniq, np.uint8(self._ESCAPE))
+        sel = sel_uniq[inv]
+        parts = [pack_uints(sel, self._SEL_BITS)]
         class_counts = []
         for b in range(2, self._ESCAPE):  # payload width b-1 (classes 0,1 have none)
             m = sel == b

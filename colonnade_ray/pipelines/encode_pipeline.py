@@ -81,9 +81,11 @@ def encode_dataset(
 
 def decode_dataset(enc_ds, verify_checksum: bool = True, concurrency=None):
     """Dataset of encoded chunk rows -> Dataset of original rows (lazy)."""
-    kwargs = {}
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
+    if concurrency is None:
+        from ..util import default_concurrency
+
+        concurrency = default_concurrency()  # cap concurrent heavy tasks
+    kwargs = {"concurrency": concurrency}
     fn = DecodeBatch(verify_checksum)  # stateless -> plain tasks, not actors
     return enc_ds.map_batches(
         lambda b: fn(b),

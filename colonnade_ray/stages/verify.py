@@ -118,9 +118,12 @@ def batch_digest(batch: pa.Table, columns=None) -> dict:
 
 def dataset_digest(ds, columns=None) -> tuple:
     """(sum mod 2^64, xor, count) over a whole Dataset — order-free."""
+    from ..util import default_concurrency
+
     cols = list(columns) if columns else None
     digests = ds.map_batches(
-        lambda b: batch_digest(b, cols), batch_format="pyarrow"
+        lambda b: batch_digest(b, cols), batch_format="pyarrow",
+        concurrency=default_concurrency(),
     ).take_all()
     s, x, n = 0, 0, 0
     for d in digests:
