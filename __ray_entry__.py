@@ -245,6 +245,25 @@ def q_sessions(sf_dir: str):
     return sessionize(ev, key_col="user_id", ts_col="ts", gap_minutes=30)
 
 
+def q_asof_clicks(sf_dir: str):
+    """As-of join: each purchase matched to the user's latest prior
+    click (custom operator; one groupby shuffle + merge_asof/group)."""
+    from colonnade_ray.functions.relational import asof_join
+
+    ev = _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    purchases = ev.filter(lambda r: r["event_type"] == "purchase").drop_columns(["event_type"]).map_batches(
+        lambda b: b.rename_columns(["purchase_id", "ts", "user_id"]), batch_format="pyarrow"
+    )
+    clicks = ev.filter(lambda r: r["event_type"] == "click").drop_columns(["event_type"]).map_batches(
+        lambda b: b.rename_columns(["click_id", "ts", "user_id"]), batch_format="pyarrow"
+    )
+    joined = asof_join(purchases, clicks, on="user_id", ts_col="ts")
+    return joined.select_columns(["purchase_id", "user_id", "click_id_right"]).map_batches(
+        lambda b: b.rename_columns(["purchase_id", "user_id", "click_id"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_dedup_exact(sf_dir: str):
     from colonnade_ray.functions.dedup import exact_dedup
 
@@ -401,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join": q_broadcast_join,
         "hash_join": q_hash_join,
         "sessions": q_sessions,
+        "asof_clicks": q_asof_clicks,
         "dedup_exact": q_dedup_exact,
         "similarity_topk": q_similarity_topk,
         "cosine_near_dups": q_cosine_near_dups,
@@ -489,6 +509,12 @@ def oracle_sql() -> dict[str, str]:
             "ROWS UNBOUNDED PRECEDING) AS session_id FROM d) "
             "SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start "
             "FROM s GROUP BY user_id, session_id"
+        ),
+        "asof_clicks": (
+            "SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id "
+            "FROM (SELECT * FROM events WHERE event_type='purchase') p "
+            "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') c "
+            "ON p.user_id = c.user_id AND p.ts >= c.ts"
         ),
         "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
         "similarity_topk": (

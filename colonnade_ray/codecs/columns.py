@@ -147,9 +147,14 @@ def _decode_validity(entry: Optional[dict], parts: list, n: int) -> Optional[np.
 def _primitive_values(arr: pa.Array) -> np.ndarray:
     """Zero-copy-ish numpy view of a (filled, null-free) primitive array."""
     t = arr.type
+    if len(arr) == 0:
+        if pa.types.is_timestamp(t) or pa.types.is_date32(t):
+            return np.zeros(0, dtype=f"i{t.bit_width // 8}")
+        return np.zeros(0, dtype=np.dtype(t.to_pandas_dtype()))
     if pa.types.is_boolean(t):
-        return arr.to_numpy(zero_copy_only=False)  # bool_ -> np.bool_
-    np_arr = arr.to_numpy(zero_copy_only=True)
+        np_arr = arr.to_numpy(zero_copy_only=False)  # bool_ -> np.bool_
+    else:
+        np_arr = arr.to_numpy(zero_copy_only=True)
     if pa.types.is_timestamp(t) or pa.types.is_date32(t):
         return np_arr.view(f"i{np_arr.dtype.itemsize}")
     return np_arr

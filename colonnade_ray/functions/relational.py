@@ -89,3 +89,60 @@ def sessionize(events_ds, key_col: str = "user_id", ts_col: str = "ts",
         return out[[key_col, "session_id", "n_events", "session_start"]]
 
     return events_ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def asof_join(left, right, on: str, ts_col: str = "ts",
+              right_suffix: str = "_right"):
+    """As-of join: for each left row, the latest right row with the
+    same key and ts <= left ts (inclusive) — the brief's custom-
+    operator example, composed from Dataset primitives: tag-union both
+    sides, one groupby(key) shuffle, pd.merge_asof per ts-sorted group.
+
+    Partitioning assumption (documented per SURVEY.md): correctness
+    requires all rows of one key in one group — guaranteed by the
+    groupby; within-group ordering is established locally by sort.
+    Returns all left columns plus right columns suffixed.
+    """
+    import pyarrow as pa
+
+    lcols = [f.name for f in left.schema().base_schema if f.name not in (on, ts_col)]
+    rcols = [f.name for f in right.schema().base_schema if f.name not in (on, ts_col)]
+
+    def tag(side: str, other_cols):
+        def fn(b: pa.Table) -> pa.Table:
+            t = b.append_column("__side", pa.array([side] * len(b)))
+            for c in other_cols:  # align schemas for union
+                t = t.append_column(c, pa.nulls(len(b)))
+            return t
+
+        return fn
+
+    tagged = left.map_batches(tag("L", rcols), batch_format="pyarrow").union(
+        right.map_batches(tag("R", lcols), batch_format="pyarrow")
+    )
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "L"].sort_values(ts_col, kind="mergesort")
+        rg = g[g["__side"] == "R"].sort_values(ts_col, kind="mergesort")
+        lg = lg[[on, ts_col] + lcols]
+        rg = rg[[on, ts_col] + rcols].rename(
+            columns={c: c + right_suffix for c in rcols}
+        )
+        cols_out = [on, ts_col] + lcols + [ts_col + right_suffix] + [
+            c + right_suffix for c in rcols
+        ]
+        if lg.empty:
+            return pd.DataFrame({c: [] for c in cols_out})
+        if rg.empty:
+            for c in rcols:
+                lg[c + right_suffix] = None
+            lg[ts_col + right_suffix] = pd.NaT
+            return lg[cols_out]
+        merged = pd.merge_asof(
+            lg, rg.rename(columns={ts_col: ts_col + right_suffix}),
+            left_on=ts_col, right_on=ts_col + right_suffix,
+            by=on, direction="backward", allow_exact_matches=True,
+        )
+        return merged[cols_out]
+
+    return tagged.groupby(on).map_groups(per_key, batch_format="pandas")

@@ -1,0 +1,72 @@
+"""Whole-table fuzzing of the encode->decode round trip — the
+propIsoStream graft (siphon/test/Test.hs:262-276) at table granularity
+with hypothesis-driven shapes: random mixes of column types, null
+densities, list lengths, string alphabets (incl. the escape-analog
+edge alphabet of commas/quotes/newlines/unicode from
+siphon/test/Test.hs:157-177)."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from colonnade_ray.stages.decode import decode_batch
+from colonnade_ray.stages.encode import encode_batch
+
+EDGE_ALPHABET = ["", ",", '"', "\n", "\r\n", "a,b", 'say "hi"', "日本語", "x" * 300]
+
+
+@st.composite
+def arrow_tables(draw):
+    n = draw(st.integers(min_value=0, max_value=120))
+    rng = np.random.default_rng(draw(st.integers(0, 2**32 - 1)))
+    cols = {}
+    if draw(st.booleans()):
+        cols["ints"] = pa.array(
+            [None if rng.random() < 0.2 else int(v)
+             for v in rng.integers(-(2**40), 2**40, n)],
+            pa.int64(),
+        )
+    if draw(st.booleans()):
+        cols["small"] = pa.array(rng.integers(0, 50, n).astype(np.int32))
+    if draw(st.booleans()):
+        cols["floats"] = pa.array(
+            [None if rng.random() < 0.1 else float(v) for v in rng.normal(size=n)],
+            pa.float64(),
+        )
+    if draw(st.booleans()):
+        idx = rng.integers(0, len(EDGE_ALPHABET), n)
+        cols["strs"] = pa.array(
+            [None if rng.random() < 0.15 else EDGE_ALPHABET[i] for i in idx],
+            pa.string(),
+        )
+    # always include a tokens-like list column (the graft axis)
+    lens = rng.integers(0, 40, n)
+    cols["tokens"] = pa.array(
+        [
+            None if rng.random() < 0.1 else list(rng.integers(0, 5000, int(l)).astype(np.int32))
+            for l in lens
+        ],
+        pa.list_(pa.int32()),
+    )
+    cols["bools"] = pa.array([bool(b) for b in rng.integers(0, 2, n)], pa.bool_())
+    return pa.table(cols)
+
+
+@given(arrow_tables())
+@settings(max_examples=40, deadline=None)
+def test_fuzz_table_roundtrip(t):
+    enc = pa.table(encode_batch(t))
+    back = decode_batch(enc)
+    assert back.num_rows == t.num_rows
+    for c in t.column_names:
+        a, b = t[c].combine_chunks(), back[c].combine_chunks()
+        if pa.types.is_floating(a.type):
+            # bit-pattern equality (NaN-safe)
+            av = a.to_numpy(zero_copy_only=False)
+            bv = b.to_numpy(zero_copy_only=False)
+            assert np.array_equal(
+                np.nan_to_num(av, nan=-1.5), np.nan_to_num(bv, nan=-1.5)
+            ) and np.array_equal(np.isnan(av), np.isnan(bv))
+        else:
+            assert b.equals(a), c

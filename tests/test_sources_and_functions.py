@@ -315,3 +315,31 @@ def test_sessionize_unit(ray_session):
         by_user.setdefault(r["user_id"], []).append((r["session_id"], r["n_events"]))
     assert sorted(by_user[1]) == [(1, 2), (2, 1)]
     assert by_user[2] == [(1, 1)]
+
+
+def test_asof_join_unit(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from colonnade_ray.functions.relational import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    left = rd.from_items([
+        {"k": 1, "ts": m(10), "lv": "a"},
+        {"k": 1, "ts": m(30), "lv": "b"},
+        {"k": 2, "ts": m(5), "lv": "c"},   # no prior right row
+    ])
+    right = rd.from_items([
+        {"k": 1, "ts": m(8), "rv": 100},
+        {"k": 1, "ts": m(25), "rv": 200},
+        {"k": 2, "ts": m(50), "rv": 300},  # after left -> no match
+    ])
+    out = {(r["k"], r["lv"]): r["rv_right"] for r in asof_join(left, right, on="k").take_all()}
+    assert out[(1, "a")] == 100
+    assert out[(1, "b")] == 200
+    assert out[(2, "c")] is None or (out[(2, "c")] != out[(2, "c")])  # null/nan
