@@ -378,6 +378,16 @@ def q_dup_groups(sf_dir: str):
     return dup_groups(pairs.select_columns(["id_a", "id_b"]))
 
 
+def q_pack_sequences(sf_dir: str):
+    """LLM data prep: tokenize -> pack into fixed 512-token training
+    examples (EOS-separated, chunk-local)."""
+    from colonnade_ray.corpus import tokenized_documents
+    from colonnade_ray.functions.sequences import pack_sequences
+
+    tok = tokenized_documents(sf_dir)
+    return pack_sequences(tok, seq_len=512)
+
+
 def q_codec_selection_report(sf_dir: str):
     """A1/A4 graft: measured stats + selected codec per column chunk."""
     from colonnade_ray.codecs import encode_column
@@ -431,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": q_simhash,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_lsh_candidates": q_embedding_lsh_candidates,
+        "pack_sequences": q_pack_sequences,
         "codec_selection_report": q_codec_selection_report,
     }
 

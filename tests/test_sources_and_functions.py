@@ -343,3 +343,59 @@ def test_asof_join_unit(ray_session):
     assert out[(1, "a")] == 100
     assert out[(1, "b")] == 200
     assert out[(2, "c")] is None or (out[(2, "c")] != out[(2, "c")])  # null/nan
+
+
+# ---------------------------------------------------------------------------
+# Sequence operators (LLM data prep)
+
+
+def test_truncate_tokens():
+    from colonnade_ray.functions.sequences import truncate_tokens_batch
+
+    t = pa.table(
+        {
+            "tokens": pa.array([[1, 2, 3, 4, 5], [], [7, 8], [9] * 10], pa.list_(pa.int32())),
+            "n_tok": pa.array([5, 0, 2, 10], pa.int32()),
+        }
+    )
+    out = truncate_tokens_batch(t, max_len=3)
+    assert out["tokens"].to_pylist() == [[1, 2, 3], [], [7, 8], [9, 9, 9]]
+    assert out["n_tok"].to_pylist() == [3, 0, 2, 3]
+
+
+def test_remap_tokens(ray_session):
+    import ray.data as rd
+
+    from colonnade_ray.functions.sequences import remap_tokens
+
+    lut = np.arange(10, dtype=np.int32)[::-1].copy()  # 0..9 -> 9..0
+    ds = rd.from_arrow(
+        pa.table({"tokens": pa.array([[0, 1, 2], [9, 50]], pa.list_(pa.int32()))})
+    )
+    out = remap_tokens(ds, lut, unk_id=-1).take_all()
+    assert out[0]["tokens"] == [9, 8, 7]
+    assert out[1]["tokens"] == [0, -1]  # 50 out of vocab -> unk
+
+
+def test_pack_sequences_conservation(ray_session):
+    import ray.data as rd
+
+    from colonnade_ray.corpus import synth_rows
+    from colonnade_ray.functions.sequences import PackSequences, pack_sequences
+
+    t = synth_rows(200, seed=9, start_id=0)
+    packer = PackSequences(seq_len=512, eos_id=0, keep_remainder=True)
+    out = packer(t)
+    total_in = sum(len(x) for x in t["tokens"].to_pylist()) + t.num_rows  # + EOS
+    total_out = sum(out["n_tok"].to_pylist())
+    assert total_in == total_out  # token conservation incl. remainder
+    # all but last example exactly seq_len
+    lens = out["n_tok"].to_pylist()
+    assert all(l == 512 for l in lens[:-1]) and lens[-1] <= 512
+    # ray path, dropping remainders -> every example exactly seq_len
+    ds = rd.from_arrow(t)
+    packed = pack_sequences(ds, seq_len=512).take_all()
+    assert packed and all(r["n_tok"] == 512 for r in packed)
+    # EOS boundaries: first doc's tokens then a 0
+    first = t["tokens"][0].as_py()
+    assert out["tokens"][0].as_py()[: len(first) + 1] == first + [0]
