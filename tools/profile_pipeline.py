@@ -15,6 +15,11 @@ import time
 os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
 os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
 os.environ.setdefault("COLONNADE_EFFECTIVE_CPUS", "16")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ["PYTHONPATH"] = (
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    + os.pathsep + os.environ.get("PYTHONPATH", "")
+)
 
 
 def main():
@@ -43,11 +48,11 @@ def main():
     totals = source_token_totals(files)
     ds = rd.read_parquet(files, include_paths=True, override_num_blocks=len(files))
     ds = partition_by_source(ds, salt_counts(totals)).drop_columns([PKEY])
-    enc = encode_dataset(ds, batch_size=8192)
+    enc = encode_dataset(ds, batch_size=8192).materialize()
     t0 = time.time()
-    n = enc.map_batches(lambda b: {"n": [b.num_rows]}, batch_format="pyarrow").count()
+    n = enc.count()
     wall = time.time() - t0
-    print(f"wall: {wall:.1f}s  chunks: {n}\n")
+    print(f"chunks: {n}\n")
     stats = enc.stats()
     keep = re.compile(
         r"(Operator \d|Suboperator|Remote wall time|UDF time|tasks executed|"
