@@ -1,0 +1,10 @@
+from .dedup import dup_groups, exact_dedup, near_dup_pairs, simhash_signatures
+from .relational import asof_join, broadcast_join, hash_join, sessionize
+from .sequences import pack_sequences, remap_tokens, truncate_tokens_batch
+from .similarity import (
+    brute_force_topk,
+    cosine_pairs_exact,
+    embedding_near_dup_candidates,
+    ivf_topk,
+)
+from .text import HashTokenizer, LanguageId, QualityScorer, token_count_batch

@@ -96,6 +96,32 @@ def decode_dataset(enc_ds, verify_checksum: bool = True, concurrency=None):
     )
 
 
+def _stub_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` importable from driver
+    threads.  Without aiohttp the real module raises on import; a
+    failed import is removed from sys.modules, so concurrent path
+    resolutions in Ray race into plain ImportError past Ray's
+    ModuleNotFoundError guard.  Since no HTTP filesystem can exist
+    without aiohttp, a stub with a never-instantiated HTTPFileSystem
+    (only isinstance-checked by Ray) is safe and ends the race."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+
+        return
+    except Exception:
+        pass
+    stub = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # pragma: no cover - marker class only
+        pass
+
+    stub.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = stub
+
+
 # ---------------------------------------------------------------------------
 # Corpus-level orchestration with lineage + resume
 
@@ -130,8 +156,15 @@ def encode_corpus(
     group_size: Optional[int] = None,     # fragments per commit group; None = one group
     resume: bool = True,
     shared_fsst: bool = True,
+    max_concurrent_groups: int = 1,
 ) -> dict:
     """Encode a parquet corpus to out_dir with lineage + exact resume.
+
+    Groups are independent pipelines (own read -> shuffle -> encode ->
+    write -> commit marker); ``max_concurrent_groups > 1`` runs them
+    from driver threads so small commit groups don't serialize the
+    cluster (the DESIGN.md scale path — Ray's streaming executor
+    multiplexes concurrent Dataset executions).
 
     Returns a summary dict (chunks, rows, tokens, bytes_in/out).
     """
@@ -149,14 +182,13 @@ def encode_corpus(
         else [files[i : i + group_size] for i in range(0, len(files), group_size)]
     )
 
-    done, encoded_any = 0, False
-    for g in groups:
+    def encode_group(g: list) -> bool:
+        """True if resumed (already committed)."""
         gid = _group_id(g)
         lin_path = os.path.join(lin_root, f"group-{gid}.parquet")
         gdir = os.path.join(data_root, f"group-{gid}")
         if resume and os.path.exists(lin_path):
-            done += 1
-            continue
+            return True
         if os.path.exists(gdir):
             shutil.rmtree(gdir)  # torn write from a previous run
         # one block per file, split only when a file exceeds ~64 MiB:
@@ -177,8 +209,17 @@ def encode_corpus(
         # commit marker: lineage written only after the data lands
         lineage = pq.read_table(gdir, columns=LINEAGE_COLS)
         pq.write_table(lineage, lin_path)
-        encoded_any = True
-    return corpus_summary(out_dir) | {"groups": len(groups), "resumed_groups": done}
+        return False
+
+    if max_concurrent_groups <= 1 or len(groups) <= 1:
+        done = sum(encode_group(g) for g in groups)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _stub_fsspec_http()
+        with ThreadPoolExecutor(max_workers=max_concurrent_groups) as ex:
+            done = sum(ex.map(encode_group, groups))
+    return corpus_summary(out_dir) | {"groups": len(groups), "resumed_groups": int(done)}
 
 
 def corpus_summary(out_dir: str) -> dict:

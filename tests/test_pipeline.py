@@ -148,3 +148,24 @@ def test_csv_conformance_sink(corpus_dir, tmp_path, ray_session):
 
     res = roundtrip_verify(orig, back, ["doc_id", "n_tok", "source"])
     assert res["match"], res
+
+
+def test_concurrent_group_encode(corpus_dir, tmp_path, ray_session):
+    """DESIGN.md scale path: independent commit groups run from driver
+    threads; correctness identical to sequential."""
+    import ray.data as rd
+
+    out = str(tmp_path / "enc")
+    s = encode_corpus(
+        corpus_dir, out, batch_size=256, group_size=1,
+        max_concurrent_groups=3, concurrency=(1, 2),
+    )
+    assert s["groups"] == 3 and s["resumed_groups"] == 0
+    decoded = decode_corpus(out)
+    res = roundtrip_verify(rd.read_parquet(corpus_dir), decoded, F1_COLS)
+    assert res["match"], res
+    # second run resumes all three concurrently
+    s2 = encode_corpus(
+        corpus_dir, out, batch_size=256, group_size=1, max_concurrent_groups=3
+    )
+    assert s2["resumed_groups"] == 3

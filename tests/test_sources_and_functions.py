@@ -399,3 +399,20 @@ def test_pack_sequences_conservation(ray_session):
     # EOS boundaries: first doc's tokens then a 0
     first = t["tokens"][0].as_py()
     assert out["tokens"][0].as_py()[: len(first) + 1] == first + [0]
+
+
+def test_language_id():
+    from colonnade_ray.functions.text import LanguageId
+
+    t = pa.table(
+        {
+            "text": [
+                "the cat and the dog of the house is big",
+                "der Hund und die Katze das ist gut",
+                "le chat et la maison les arbres des fleurs",
+                "12345 !!!",
+            ]
+        }
+    )
+    out = LanguageId()(t)["lang_guess"].to_pylist()
+    assert out == ["en", "de", "fr", "und"]
