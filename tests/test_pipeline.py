@@ -169,3 +169,31 @@ def test_concurrent_group_encode(corpus_dir, tmp_path, ray_session):
         corpus_dir, out, batch_size=256, group_size=1, max_concurrent_groups=3
     )
     assert s2["resumed_groups"] == 3
+
+
+def test_plan_names_subset_encoding(corpus_dir, tmp_path, ray_session):
+    """A declared plan encodes ONLY its columns (lmap projection at the
+    pipeline level); decode returns exactly that schema."""
+    out = str(tmp_path / "enc")
+    s = encode_corpus(corpus_dir, out, batch_size=256,
+                      plan_names=["doc_id", "n_tok"])
+    decoded = decode_corpus(out)
+    schema = decoded.schema()
+    assert schema.names == ["doc_id", "n_tok"]
+    assert decoded.count() == 1200
+
+
+def test_synth_corpus_deterministic(tmp_path, ray_session):
+    from colonnade_ray.corpus import synth_corpus, synth_rows
+
+    a = synth_rows(100, seed=5, start_id=0)
+    b = synth_rows(100, seed=5, start_id=0)
+    assert a.equals(b)
+    d = str(tmp_path / "c")
+    synth_corpus(d, 300, seed=7, rows_per_file=100)
+    # idempotent: marker short-circuits
+    import os
+
+    files = sorted(os.listdir(d))
+    synth_corpus(d, 300, seed=7, rows_per_file=100)
+    assert sorted(os.listdir(d)) == files
