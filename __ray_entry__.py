@@ -460,10 +460,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-09-01' "
             "AND l_discount > 0.05"
         ),
+        # NB: DuckDB SUM(BIGINT) returns HUGEINT (int128) — every
+        # aggregate sum is CAST back to BIGINT so the driver hashes the
+        # same int64 values the Ray side emits (round-1 hash_match fix).
         "groupby_pricing": (
             "SELECT l_returnflag, l_linestatus, "
-            "SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, "
-            "SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_price_cents, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS sum_price_cents, "
             "COUNT(*) AS n_rows "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
@@ -477,7 +481,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "distinct_sources": "SELECT DISTINCT source FROM documents",
         "sectioned_doc_stats": (
-            "SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars "
+            "SELECT source, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY source"
         ),
         "token_count": (
@@ -501,13 +506,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "broadcast_join": (
             "SELECT c.c_mktsegment, COUNT(*) AS n_orders, "
-            "SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS sum_cents "
+            "CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS sum_cents "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "GROUP BY c.c_mktsegment"
         ),
         "hash_join": (
             "SELECT o.o_orderpriority, COUNT(*) AS n_items, "
-            "SUM(CAST(l.l_quantity AS BIGINT)) AS sum_qty "
+            "CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
             "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
             "GROUP BY o.o_orderpriority"
         ),
@@ -516,8 +522,8 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
             "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE "
             "THEN 1 ELSE 0 END AS is_new FROM events), "
-            "s AS (SELECT user_id, ts, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts "
-            "ROWS UNBOUNDED PRECEDING) AS session_id FROM d) "
+            "s AS (SELECT user_id, ts, CAST(SUM(is_new) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM d) "
             "SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start "
             "FROM s GROUP BY user_id, session_id"
         ),

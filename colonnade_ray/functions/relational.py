@@ -105,21 +105,46 @@ def asof_join(left, right, on: str, ts_col: str = "ts",
     """
     import pyarrow as pa
 
-    lcols = [f.name for f in left.schema().base_schema if f.name not in (on, ts_col)]
-    rcols = [f.name for f in right.schema().base_schema if f.name not in (on, ts_col)]
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    lcols = [f.name for f in lschema if f.name not in (on, ts_col)]
+    rcols = [f.name for f in rschema if f.name not in (on, ts_col)]
+    ltypes = {f.name: f.type for f in lschema}
+    rtypes = {f.name: f.type for f in rschema}
 
-    def tag(side: str, other_cols):
+    def tag(side: str, other_cols, other_types):
         def fn(b: pa.Table) -> pa.Table:
             t = b.append_column("__side", pa.array([side] * len(b)))
-            for c in other_cols:  # align schemas for union
-                t = t.append_column(c, pa.nulls(len(b)))
+            for c in other_cols:  # align schemas for union — TYPED nulls,
+                # so pandas keeps nullable Int64 instead of degrading
+                # int64+NaN to float64 (round-1 asof_clicks hash fix)
+                t = t.append_column(c, pa.nulls(len(b), type=other_types[c]))
             return t
 
         return fn
 
-    tagged = left.map_batches(tag("L", rcols), batch_format="pyarrow").union(
-        right.map_batches(tag("R", lcols), batch_format="pyarrow")
+    tagged = left.map_batches(tag("L", rcols, rtypes), batch_format="pyarrow").union(
+        right.map_batches(tag("R", lcols, ltypes), batch_format="pyarrow")
     )
+
+    # output dtype contract: unmatched left rows carry nulls in right
+    # columns; integer columns must stay integral (pandas nullable Int*)
+    _PD_INT = {pa.int8(): "Int8", pa.int16(): "Int16", pa.int32(): "Int32",
+               pa.int64(): "Int64", pa.uint8(): "UInt8", pa.uint16(): "UInt16",
+               pa.uint32(): "UInt32", pa.uint64(): "UInt64"}
+    out_int_dtypes = {}
+    for c in lcols:
+        if ltypes[c] in _PD_INT:
+            out_int_dtypes[c] = _PD_INT[ltypes[c]]
+    for c in rcols:
+        if rtypes[c] in _PD_INT:
+            out_int_dtypes[c + right_suffix] = _PD_INT[rtypes[c]]
+
+    def _fix_dtypes(df: pd.DataFrame) -> pd.DataFrame:
+        for c, dt in out_int_dtypes.items():
+            if c in df.columns and str(df[c].dtype) != dt:
+                df[c] = pd.array(df[c], dtype=dt)
+        return df
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"] == "L"].sort_values(ts_col, kind="mergesort")
@@ -132,17 +157,17 @@ def asof_join(left, right, on: str, ts_col: str = "ts",
             c + right_suffix for c in rcols
         ]
         if lg.empty:
-            return pd.DataFrame({c: [] for c in cols_out})
+            return _fix_dtypes(pd.DataFrame({c: [] for c in cols_out}))
         if rg.empty:
             for c in rcols:
                 lg[c + right_suffix] = None
             lg[ts_col + right_suffix] = pd.NaT
-            return lg[cols_out]
+            return _fix_dtypes(lg[cols_out])
         merged = pd.merge_asof(
             lg, rg.rename(columns={ts_col: ts_col + right_suffix}),
             left_on=ts_col, right_on=ts_col + right_suffix,
             by=on, direction="backward", allow_exact_matches=True,
         )
-        return merged[cols_out]
+        return _fix_dtypes(merged[cols_out])
 
     return tagged.groupby(on).map_groups(per_key, batch_format="pandas")

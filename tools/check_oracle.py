@@ -79,6 +79,14 @@ def main():
             status = f"ROWCOUNT {len(mine)} vs {len(theirs)}"
         elif list(mine.columns) != list(theirs.columns):
             status = f"SCHEMA {list(mine.columns)} vs {list(theirs.columns)}"
+        elif [d.kind for d in mine.dtypes] != [d.kind for d in theirs.dtypes]:
+            # the driver hashes VALUES under their dtype: int64 vs the
+            # float64/object a DuckDB HUGEINT becomes => hash mismatch
+            # even when values are equal.  Catch it locally.
+            status = (
+                f"DTYPE {dict(zip(mine.columns, (str(d) for d in mine.dtypes)))} "
+                f"vs {dict(zip(theirs.columns, (str(d) for d in theirs.dtypes)))}"
+            )
         else:
             try:
                 pd.testing.assert_frame_equal(
