@@ -153,9 +153,13 @@ def _primitive_values(arr: pa.Array) -> np.ndarray:
         return np.zeros(0, dtype=np.dtype(t.to_pandas_dtype()))
     if pa.types.is_boolean(t):
         np_arr = arr.to_numpy(zero_copy_only=False)  # bool_ -> np.bool_
+    elif pa.types.is_date32(t):
+        # date32 -> numpy datetime64[D] would need a widening copy;
+        # reinterpret the 32-bit day values instead (zero-copy)
+        np_arr = arr.view(pa.int32()).to_numpy(zero_copy_only=True)
     else:
         np_arr = arr.to_numpy(zero_copy_only=True)
-    if pa.types.is_timestamp(t) or pa.types.is_date32(t):
+    if pa.types.is_timestamp(t):
         return np_arr.view(f"i{np_arr.dtype.itemsize}")
     return np_arr
 
@@ -164,8 +168,12 @@ def _fill_nulls(arr: pa.Array) -> pa.Array:
     t = arr.type
     if arr.null_count == 0:
         return arr
-    if pa.types.is_timestamp(t) or pa.types.is_date32(t):
+    if pa.types.is_timestamp(t):
         zero = pa.scalar(0, pa.int64()).cast(t)
+    elif pa.types.is_date32(t):
+        # int64->date32 cast is unsupported in Arrow; date32 is
+        # day-resolution int32 under the hood
+        zero = pa.scalar(0, pa.int32()).cast(t)
     elif pa.types.is_string(t) or pa.types.is_large_string(t):
         zero = pa.scalar("", t)
     elif pa.types.is_binary(t):

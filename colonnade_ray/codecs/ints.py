@@ -54,10 +54,18 @@ def _unique_counts(arr: np.ndarray):
         vmax = int(arr.max())
         rng = vmax - vmin
         if 0 <= rng <= _BINCOUNT_MAX_RANGE:
-            shifted = (arr.astype(np.int64) - vmin)
+            if arr.dtype == np.uint64:  # vmin may be >= 2^63
+                shifted = (arr - np.uint64(vmin)).astype(np.int64)
+            else:
+                shifted = (arr.astype(np.int64) - vmin)
             bc = np.bincount(shifted, minlength=rng + 1)
             present = np.flatnonzero(bc)
-            uniq = (present + vmin).astype(arr.dtype)
+            if arr.dtype == np.uint64:
+                # int64 + big python int would promote to float64 and
+                # lose precision above 2^53
+                uniq = (present.astype(np.uint64) + np.uint64(vmin)).astype(arr.dtype)
+            else:
+                uniq = (present + vmin).astype(arr.dtype)
             counts = bc[present]
             lut = np.zeros(rng + 1, dtype=np.int32)
             lut[present] = np.arange(present.size, dtype=np.int32)
@@ -66,11 +74,18 @@ def _unique_counts(arr: np.ndarray):
     return uniq, inv, counts
 
 
+_U64_MASK = (1 << 64) - 1
+
+
 def _to_u64_residuals(arr: np.ndarray, vmin: int) -> np.ndarray:
-    """(arr - vmin) as uint64, overflow-safe for signed int64 ranges
-    (wraparound subtraction in the uint64 ring is exact)."""
-    a = arr.astype(np.int64, copy=False)
-    return a.view(np.uint64) - np.int64(vmin).view(np.uint64)
+    """(arr - vmin) as uint64, overflow-safe for the full signed int64
+    AND uint64 domains (wraparound subtraction in the uint64 ring is
+    exact; vmin >= 2^63 from uint64 columns stays native uint64)."""
+    if arr.dtype == np.uint64:
+        a = arr
+    else:
+        a = arr.astype(np.int64, copy=False).view(np.uint64)
+    return a - np.uint64(vmin & _U64_MASK)
 
 
 class PlainCodec(Codec):
@@ -124,10 +139,12 @@ class ForBitpackCodec(Codec):
 
     def decode(self, enc: Encoded) -> np.ndarray:
         m = enc.meta
-        dt = code_dtype(m["dt"])
+        dt = np.dtype(code_dtype(m["dt"]))
         res = unpack_uints(enc.parts[0], m["n"], m["width"])
-        out = (res + np.int64(m["vmin"]).view(np.uint64)).view(np.int64)
-        return out.astype(dt)
+        out = res + np.uint64(m["vmin"] & _U64_MASK)  # mirror of encode's ring
+        if dt.kind == "u":
+            return out.astype(dt)
+        return out.view(np.int64).astype(dt)
 
 
 class DeltaBitpackCodec(Codec):

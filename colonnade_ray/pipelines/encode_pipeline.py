@@ -127,9 +127,15 @@ def _stub_fsspec_http() -> None:
 
 
 def _group_id(files: Sequence[str]) -> str:
+    """Lineage id of a commit group: hash of the FULL paths plus the
+    file count — basenames alone collide across input directories with
+    identical shard names (a/part-0 vs b/part-0), which would make
+    resume silently skip or clobber the second group."""
     h = hashlib.blake2b(digest_size=8)
+    h.update(str(len(files)).encode())
     for f in sorted(files):
-        h.update(f.rsplit("/", 1)[-1].encode())
+        h.update(f.encode())
+        h.update(b"\x00")
     return h.hexdigest()
 
 

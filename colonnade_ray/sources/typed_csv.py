@@ -145,7 +145,9 @@ class TypedCsvDecoder:
                             CellError(col.name, int(row), "", "empty cell in non-nullable column")
                         )
             out_arrays.append(vals)
-            out_fields.append(pa.field(col.name, col.target, nullable=col.nullable or True))
+            # declared non-nullable columns keep their constraint (the
+            # per-cell empty-cell errors above enforce it at parse time)
+            out_fields.append(pa.field(col.name, col.target, nullable=col.nullable))
         if cell_errors:
             raise ChunkDecodeError(self.fragment, "", cell_errors)
         return pa.Table.from_arrays(out_arrays, schema=pa.schema(out_fields))

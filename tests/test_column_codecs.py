@@ -45,6 +45,12 @@ COLUMNS = {
         pa.list_(pa.int32()),
     ),
     "tokens_empty": pa.array([], pa.list_(pa.int32())),
+    "date32_nulls": pa.array(
+        [18000 + i if i % 3 else None for i in range(300)], pa.date32()
+    ),
+    "uint64_high_nulls": pa.array(
+        [2**63 + i if i % 5 else None for i in range(200)], pa.uint64()
+    ),
     "one_huge_row": pa.array([list(range(1_000_000))], pa.list_(pa.int32())),
     "list_int64": pa.array([[2**40, -5], [], [0]], pa.list_(pa.int64())),
 }

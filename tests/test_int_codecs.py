@@ -36,6 +36,10 @@ EDGE_ARRAYS = {
     "negative": RNG.integers(-100, 100, 500).astype(np.int16),
     "uint8_full": np.arange(256, dtype=np.uint8).repeat(3),
     "descending": np.arange(1000, 0, -1).astype(np.int32),
+    # uint64 values >= 2^63 with a small range: the FOR/bitpack path
+    # must compute residuals natively in uint64 (round-2 ADVICE fix)
+    "uint64_high": np.uint64(2**63) + RNG.integers(0, 100, 500).astype(np.uint64),
+    "uint64_extremes": np.array([0, 1, 2**63 - 1, 2**63, 2**64 - 1], np.uint64),
 }
 
 
@@ -71,6 +75,26 @@ def test_selector_never_loses_much():
         actuals = {c: INT_CODECS[c].encode(arr).nbytes() for c in INT_CODECS}
         best = min(actuals.values())
         assert actuals[sel] <= max(int(best * 1.05), best + 64), (name, sel, actuals)
+
+
+def test_selector_uint64_high():
+    """Auto-selected codec must round-trip uint64 >= 2^63 (the selector
+    may legitimately pick for_bitpack / rle on the small range)."""
+    from colonnade_ray.codecs.columns import encode_int_stream
+
+    for name in ("uint64_high", "uint64_extremes"):
+        arr = EDGE_ARRAYS[name]
+        enc = encode_int_stream(arr)
+        payload = enc.pack()
+        back = INT_CODECS[enc.codec].decode(Encoded.unpack(enc.codec, enc.meta, payload))
+        assert back.dtype == arr.dtype and np.array_equal(back, arr), (name, enc.codec)
+    # repeated-value variant exercises RLE's inner for_bitpack too
+    arr = np.repeat(EDGE_ARRAYS["uint64_high"][:20], 50)
+    enc = encode_int_stream(arr)
+    back = INT_CODECS[enc.codec].decode(
+        Encoded.unpack(enc.codec, enc.meta, enc.pack())
+    )
+    assert np.array_equal(back, arr)
 
 
 def test_selector_deterministic_tiebreak():

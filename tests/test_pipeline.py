@@ -197,3 +197,18 @@ def test_synth_corpus_deterministic(tmp_path, ray_session):
     files = sorted(os.listdir(d))
     synth_corpus(d, 300, seed=7, rows_per_file=100)
     assert sorted(os.listdir(d)) == files
+
+
+def test_group_id_distinguishes_same_basenames():
+    """Commit groups from different directories with identical shard
+    basenames must never share a lineage marker (round-2 ADVICE fix)."""
+    from colonnade_ray.pipelines.encode_pipeline import _group_id
+
+    a = _group_id(["/in/a/part-0.parquet", "/in/a/part-1.parquet"])
+    b = _group_id(["/in/b/part-0.parquet", "/in/b/part-1.parquet"])
+    assert a != b
+    # order-insensitive within a group, sensitive to membership
+    assert _group_id(["/x/1.parquet", "/x/2.parquet"]) == _group_id(
+        ["/x/2.parquet", "/x/1.parquet"]
+    )
+    assert _group_id(["/x/1.parquet"]) != _group_id(["/x/1.parquet", "/x/2.parquet"])
