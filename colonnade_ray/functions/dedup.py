@@ -21,6 +21,40 @@ import pyarrow.compute as pc
 from .text import fingerprint_batch
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+_GRAM_FOLD = np.uint64(1099511628211)          # FNV prime, gram/band fold
+_EMPTY_SIG = np.uint64(0xFFFFFFFFFFFFFFFF)     # signature of an empty doc
+
+
+def _mod_m61(x: np.ndarray) -> np.ndarray:
+    """Reduce uint64 values (< 2^63) mod the Mersenne prime 2^61-1."""
+    x = (x & _MERSENNE) + (x >> np.uint64(61))
+    x = (x & _MERSENNE) + (x >> np.uint64(61))
+    return np.where(x >= _MERSENNE, x - _MERSENNE, x)
+
+
+def _mulmod_m61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """a*x mod 2^61-1 for a, x < 2^61, fully vectorized in uint64.
+
+    32-bit split: a*x = A*2^64 + B*2^32 + C with A = a_hi*x_hi,
+    B = a_hi*x_lo + a_lo*x_hi, C = a_lo*x_lo.  With p = 2^61-1:
+    2^64 === 8 (mod p), and B*2^32 = B_hi*2^61 + B_lo*2^32 ===
+    B_hi + B_lo*2^32 after splitting B at bit 29.  Every partial term
+    stays < 2^63, so the sum fits uint64 before the final fold.
+    This is the exact universal family (ax+b mod p) — the round-1
+    version wrapped mod 2^64 BEFORE reducing, which broke min-wise
+    independence (round-2 ADVICE fix; signatures changed vs round 1).
+    """
+    m32 = np.uint64(0xFFFFFFFF)
+    a_hi, a_lo = a >> np.uint64(32), a & m32
+    x_hi, x_lo = x >> np.uint64(32), x & m32
+    with np.errstate(over="ignore"):
+        A = a_hi * x_hi                       # < 2^58
+        B = a_hi * x_lo + a_lo * x_hi         # < 2^62
+        C = a_lo * x_lo                       # < 2^64
+        B_hi, B_lo = B >> np.uint64(29), B & np.uint64((1 << 29) - 1)
+        C_red = (C & _MERSENNE) + (C >> np.uint64(61))
+        s = A * np.uint64(8) + B_hi + (B_lo << np.uint64(32)) + C_red
+    return _mod_m61(s)
 
 
 # ---------------------------------------------------------------------------
@@ -47,21 +81,64 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 # Shingles + MinHash
 
 
+def _flat_words(texts: pd.Series) -> tuple:
+    """Whole-batch word explode: (flat word hashes uint64, words-per-doc).
+
+    One pandas explode + one hash_array pass for the entire batch — no
+    per-doc Python (the HashTokenizer flat-explode pattern,
+    functions/text.py)."""
+    words = texts.fillna("").str.split()
+    lens = words.str.len().to_numpy().astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, np.uint64), lens
+    flat = words.explode().to_numpy(dtype=object)
+    if flat.size != total:  # empty docs each contribute one NaN slot
+        flat = flat[~pd.isna(flat)]
+    h = pd.util.hash_array(np.ascontiguousarray(flat), categorize=False)
+    return h.astype(np.uint64), lens
+
+
+def _flat_shingles(texts: pd.Series, k: int = 5) -> tuple:
+    """Whole-batch word-k-gram hashes: (flat gram hashes, grams-per-doc).
+
+    Gram hash = polynomial fold (mod 2^64) of the k word hashes — a
+    rolling polynomial over the flat word-hash array instead of
+    re-joining/hashing gram strings per doc.  Docs with 0 < words < k
+    get one gram folding all their words (the round-1 "join everything"
+    semantics, re-expressed on hashes)."""
+    h, lens = _flat_words(texts)
+    s = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    g = np.where(lens >= k, lens - k + 1, (lens > 0).astype(np.int64))
+    goff = np.concatenate(([0], np.cumsum(g)))[:-1]
+    out = np.zeros(int(g.sum()), np.uint64)
+    big = lens >= k
+    if big.any():
+        gc = lens[big] - k + 1
+        within = np.arange(int(gc.sum())) - np.repeat(
+            np.concatenate(([0], np.cumsum(gc)))[:-1], gc
+        )
+        idx = np.repeat(s[big], gc) + within
+        acc = np.zeros(idx.size, np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                acc = acc * _GRAM_FOLD + h[idx + j]
+        out[np.repeat(goff[big], gc) + within] = acc
+    for d in np.flatnonzero((lens > 0) & (lens < k)):  # rare short docs
+        acc = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for v in h[s[d] : s[d] + lens[d]]:
+                acc = acc * _GRAM_FOLD + v
+        out[goff[d]] = acc
+    return out, g
+
+
 def _word_shingle_hashes(texts: pd.Series, k: int = 5) -> list:
-    """Per doc: uint64 hashes of word k-grams (vectorized per batch)."""
-    out = []
-    for t in texts.fillna(""):
-        words = t.split()
-        if len(words) < k:
-            grams = [" ".join(words)] if words else []
-        else:
-            grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-        if grams:
-            h = pd.util.hash_array(np.asarray(grams, dtype=object), categorize=False)
-            out.append(np.unique(h.astype(np.uint64)))
-        else:
-            out.append(np.zeros(0, np.uint64))
-    return out
+    """Per doc: sorted-unique uint64 shingle hashes (set semantics for
+    Jaccard verification)."""
+    flat, g = _flat_shingles(texts, k)
+    goff = np.concatenate(([0], np.cumsum(g)))
+    return [np.unique(flat[goff[i] : goff[i + 1]]) for i in range(g.size)]
 
 
 def _minhash_perms(n_perm: int, seed: int = 7) -> tuple:
@@ -72,51 +149,166 @@ def _minhash_perms(n_perm: int, seed: int = 7) -> tuple:
 
 
 def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(a*x+b) mod Mersenne61, min per permutation — uint64[n_perm]."""
+    """(a*x+b) mod Mersenne61 in the exact ring, min per permutation —
+    uint64[n_perm].  Single-doc form; batch form is _batch_signatures."""
     if shingle_hashes.size == 0:
-        return np.full(a.size, np.uint64(0xFFFFFFFFFFFFFFFF))
+        return np.full(a.size, _EMPTY_SIG)
     x = (shingle_hashes % _MERSENNE).astype(np.uint64)
+    v = _mod_m61(_mulmod_m61(a[:, None], x[None, :]) + b[:, None])
+    return v.min(axis=1)
+
+
+_GRAM_BLOCK = 1024  # grams per inner block: (n_perm, 1024) u64 scratch
+                    # buffers stay L2-resident, so the 18-pass ring
+                    # arithmetic is compute- not memory-bound
+
+
+def _minhash_ring_block(a_hi, a_lo, bb, x, t1, t2, t3):
+    """(a*x+b) mod 2^61-1 into t1, minimal temporaries (in-place ring
+    arithmetic; see _mulmod_m61 for the 32-bit-split derivation)."""
+    u = np.uint64
+    x_hi, x_lo = x >> u(32), x & u(0xFFFFFFFF)
     with np.errstate(over="ignore"):
-        prods = (x[None, :] * a[:, None] + b[:, None]) % _MERSENNE
-    return prods.min(axis=1)
+        np.multiply(a_hi, x_hi, out=t1)            # A
+        np.multiply(t1, u(8), out=t1)              # A*8 (2^64 === 8)
+        np.multiply(a_hi, x_lo, out=t2)
+        np.multiply(a_lo, x_hi, out=t3)
+        np.add(t2, t3, out=t2)                     # B < 2^62
+        np.right_shift(t2, u(29), out=t3)          # B_hi
+        np.add(t1, t3, out=t1)
+        np.bitwise_and(t2, u((1 << 29) - 1), out=t2)
+        np.left_shift(t2, u(32), out=t2)           # B_lo * 2^32
+        np.add(t1, t2, out=t1)
+        np.multiply(a_lo, x_lo, out=t2)            # C
+        np.bitwise_and(t2, _MERSENNE, out=t3)
+        np.right_shift(t2, u(61), out=t2)
+        np.add(t2, t3, out=t2)                     # C folded
+        np.add(t1, t2, out=t1)                     # s < 2^62.6
+        np.add(t1, bb, out=t1)                     # + b, still < 2^63
+        for _ in range(2):                         # fold mod 2^61-1
+            np.right_shift(t1, u(61), out=t2)
+            np.bitwise_and(t1, _MERSENNE, out=t1)
+            np.add(t1, t2, out=t1)
+        t1[t1 >= _MERSENNE] -= _MERSENNE
+    return t1
+
+
+def _batch_signatures(texts: pd.Series, a: np.ndarray, b: np.ndarray,
+                      k: int = 5) -> np.ndarray:
+    """MinHash signatures for a whole batch: (n_docs, n_perm) uint64.
+
+    Grams are NOT dedup'd per doc (min is idempotent over repeats);
+    per-doc mins come from minimum.reduceat over doc-aligned gram
+    blocks — no per-doc Python at all."""
+    grams, g = _flat_shingles(texts, k)
+    n_docs, P = g.size, a.size
+    sig = np.full((n_docs, P), _EMPTY_SIG, np.uint64)
+    nz = g > 0
+    if not nz.any():
+        return sig
+    x = grams % _MERSENNE
+    goff = np.concatenate(([0], np.cumsum(g)))
+    nz_idx = np.flatnonzero(nz)
+    starts = goff[:-1][nz]
+    a_hi, a_lo = (a >> np.uint64(32))[:, None], (a & np.uint64(0xFFFFFFFF))[:, None]
+    bb = b[:, None]
+    t1 = np.empty((P, _GRAM_BLOCK), np.uint64)
+    t2 = np.empty_like(t1)
+    t3 = np.empty_like(t1)
+    # doc-aligned blocks of ~_GRAM_BLOCK grams
+    d0 = 0
+    while d0 < nz_idx.size:
+        d1 = d0 + 1
+        lo = starts[d0]
+        while d1 < nz_idx.size and starts[d1] - lo < _GRAM_BLOCK:
+            d1 += 1
+        hi = goff[nz_idx[d1 - 1] + 1]
+        nb = int(hi - lo)
+        if nb > t1.shape[1]:  # one giant doc overflows the scratch
+            u1, u2, u3 = (np.empty((P, nb), np.uint64) for _ in range(3))
+        else:
+            u1, u2, u3 = t1[:, :nb], t2[:, :nb], t3[:, :nb]
+        v = _minhash_ring_block(a_hi, a_lo, bb, x[lo:hi], u1, u2, u3)
+        mins = np.minimum.reduceat(v, starts[d0:d1] - lo, axis=1)
+        sig[nz_idx[d0:d1]] = mins.T
+        d0 = d1
+    return sig
+
+
+def _batch_signatures_oph(texts: pd.Series, n_perm: int, k: int = 5) -> np.ndarray:
+    """One-permutation hashing (Li/Owen/Zhang, NIPS 2012) with rotation
+    densification (Shrivastava/Li, ICML 2014): ONE hash per gram; the
+    sketch cell for bin j is the min gram hash among grams whose top
+    log2(n_perm) bits equal j; empty bins borrow cyclically from the
+    next non-empty bin.  O(grams) work instead of O(grams * n_perm) —
+    the 100-TB default (the exact-permutation family stays available
+    as mode="perm").  n_perm must be a power of two."""
+    if n_perm & (n_perm - 1):
+        raise ValueError("OPH n_perm must be a power of two")
+    grams, g = _flat_shingles(texts, k)
+    n = g.size
+    sig = np.full((n, n_perm), _EMPTY_SIG, np.uint64)
+    if grams.size:
+        b_bits = n_perm.bit_length() - 1
+        bins = (grams >> np.uint64(64 - b_bits)).astype(np.int64)
+        doc = np.repeat(np.arange(n, dtype=np.int64), g)
+        keys = doc * n_perm + bins
+        order = np.argsort(keys, kind="stable")
+        sk, sv = keys[order], grams[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(sk)) + 1))
+        sig.reshape(-1)[sk[starts]] = np.minimum.reduceat(sv, starts)
+    valid = sig != _EMPTY_SIG
+    any_valid = valid.any(axis=1)
+    if any_valid.any():
+        # vectorized cyclic forward-borrow: index of the next valid
+        # cell >= j over the doubled row, then wrap
+        ext = np.concatenate([valid, valid], axis=1)
+        idx = np.where(ext, np.arange(2 * n_perm)[None, :], 2 * n_perm)
+        nxt = np.minimum.accumulate(idx[:, ::-1], axis=1)[:, ::-1]
+        fill = nxt[:, :n_perm] % n_perm
+        fill[~any_valid] = 0
+        sig = sig[np.arange(n)[:, None], fill]
+        sig[~any_valid] = _EMPTY_SIG
+    return sig
 
 
 class MinHashBands:
     """map_batches callable: text -> exploded (band, band_hash, doc_id)
     rows.  n_perm = bands * rows_per_band; docs sharing any band bucket
-    are near-dup candidates (LSH)."""
+    are near-dup candidates (LSH).  mode="oph" (default) sketches with
+    one-permutation hashing; mode="perm" uses bands*rows_per_band exact
+    Mersenne-ring permutations."""
 
     def __init__(self, text_col="text", id_col="doc_id", bands=16, rows_per_band=4,
-                 shingle_k=5, seed=7):
+                 shingle_k=5, seed=7, mode="oph"):
         self.text_col, self.id_col = text_col, id_col
         self.bands, self.rpb = bands, rows_per_band
         self.k = shingle_k
+        self.mode = mode
         self.a, self.b = _minhash_perms(bands * rows_per_band, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pandas()
-        ids = batch[self.id_col].to_pylist()
-        sh = _word_shingle_hashes(texts, self.k)
-        band_ids, band_hashes, doc_ids = [], [], []
-        for i, s in enumerate(sh):
-            sig = minhash_signature(s, self.a, self.b)
-            bands = sig.reshape(self.bands, self.rpb)
-            # exact polynomial fold of the rows_per_band minhashes —
-            # equal band <-> equal key (mod 2^64 collisions only)
-            with np.errstate(over="ignore"):
-                key = bands[:, 0].copy()
-                for j in range(1, self.rpb):
-                    key = key * np.uint64(1099511628211) + bands[:, j]
-            key = key.view(np.int64)
-            for bi in range(self.bands):
-                band_ids.append(bi)
-                band_hashes.append(int(key[bi]))
-                doc_ids.append(ids[i])
+        if self.mode == "oph":
+            sig = _batch_signatures_oph(texts, self.bands * self.rpb, self.k)
+        else:
+            sig = _batch_signatures(texts, self.a, self.b, self.k)  # (n, P)
+        n = sig.shape[0]
+        sig3 = sig.reshape(n, self.bands, self.rpb)
+        # exact polynomial fold of the rows_per_band minhashes —
+        # equal band <-> equal key (mod 2^64 collisions only)
+        with np.errstate(over="ignore"):
+            key = sig3[:, :, 0].copy()
+            for j in range(1, self.rpb):
+                key = key * _GRAM_FOLD + sig3[:, :, j]
+        ids = batch[self.id_col].take(
+            pa.array(np.repeat(np.arange(n, dtype=np.int64), self.bands))
+        )
         return pa.table(
             {
-                "band": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.int64()),
-                self.id_col: pa.array(doc_ids),
+                "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+                "band_hash": pa.array(key.view(np.int64).reshape(-1)),
+                self.id_col: ids,
             }
         )
 
@@ -129,8 +321,24 @@ def _pairs_from_group(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
     return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
 
+def distinct_pairs(pairs_ds):
+    """Distinct (id_a, id_b) rows: per-batch drop_duplicates, then ONE
+    count-aggregate on the pair key (vectorized sort-based combine, one
+    output row per pair).  Replaces the round-1
+    groupby(pair).map_groups(head(1)), which shuffled millions of
+    1-row pandas groups through per-group Python."""
+    from ray.data.aggregate import Count
+
+    local = pairs_ds.map_batches(
+        lambda df: df.drop_duplicates(["id_a", "id_b"]), batch_format="pandas"
+    )
+    return local.groupby(["id_a", "id_b"]).aggregate(
+        Count(alias_name="__c")
+    ).drop_columns(["__c"])
+
+
 def minhash_candidates(ds, text_col="text", id_col="doc_id", bands=16, rows_per_band=4,
-                       shingle_k=5, concurrency=None):
+                       shingle_k=5, concurrency=None, mode="oph"):
     """LSH candidate pairs (id_a < id_b), deduplicated."""
     from ..util import default_concurrency
 
@@ -139,7 +347,7 @@ def minhash_candidates(ds, text_col="text", id_col="doc_id", bands=16, rows_per_
         MinHashBands,
         fn_constructor_kwargs=dict(
             text_col=text_col, id_col=id_col, bands=bands, rows_per_band=rows_per_band,
-            shingle_k=shingle_k,
+            shingle_k=shingle_k, mode=mode,
         ),
         batch_format="pyarrow",
         concurrency=conc,
@@ -148,9 +356,7 @@ def minhash_candidates(ds, text_col="text", id_col="doc_id", bands=16, rows_per_
         lambda g: _pairs_from_group(g, id_col), batch_format="pandas"
     )
     # a pair can surface from several bands — dedup
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return distinct_pairs(pairs)
 
 
 class JaccardVerify:
@@ -197,25 +403,64 @@ class JaccardVerify:
         )
 
 
+class JaccardVerifyTexts:
+    """Verify candidate pairs that carry their own text_a/text_b
+    columns (the join path): batch-vectorized shingling, per-pair set
+    intersection over precomputed sorted-unique hash arrays."""
+
+    def __init__(self, shingle_k=5, threshold=0.7):
+        self.k = shingle_k
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sa = _word_shingle_hashes(batch["text_a"].to_pandas(), self.k)
+        sb = _word_shingle_hashes(batch["text_b"].to_pandas(), self.k)
+        jac = np.empty(len(batch), np.float64)
+        for i in range(len(batch)):
+            inter = np.intersect1d(sa[i], sb[i], assume_unique=True).size
+            u = sa[i].size + sb[i].size - inter
+            jac[i] = (inter / u) if u else 1.0
+        keep = jac >= self.threshold
+        out = batch.select(["id_a", "id_b"]).filter(pa.array(keep))
+        return out.append_column("jaccard", pa.array(jac[keep]))
+
+
 def near_dup_pairs(ds, texts_ref=None, text_col="text", id_col="doc_id",
-                   threshold=0.7, bands=16, rows_per_band=4, shingle_k=5):
+                   threshold=0.7, bands=16, rows_per_band=4, shingle_k=5,
+                   mode="oph"):
     """MinHash-LSH candidates -> exact Jaccard verification.
 
-    texts_ref: ray.put({id: text}) broadcast handle; if None it is
-    built here with a driver-side pull (fine at test scale; at corpus
-    scale pass a pre-built shared handle or verify via a join)."""
-    import ray
-
-    if texts_ref is None:
-        rows = ds.select_columns([id_col, text_col]).take_all()
-        texts_ref = ray.put({r[id_col]: r[text_col] for r in rows})
-    cands = minhash_candidates(ds, text_col, id_col, bands, rows_per_band, shingle_k)
+    Default path is scale-safe: candidate ids are hash-joined back to
+    the (id, text) table twice (id_a, then id_b) and verified per
+    batch — candidate rows, never the corpus, are what shuffles, and
+    nothing materializes on the driver (round-1 What's-wrong #3 fix).
+    ``texts_ref=ray.put({id: text})`` selects the explicit broadcast
+    path for small corpora instead."""
+    cands = minhash_candidates(ds, text_col, id_col, bands, rows_per_band,
+                               shingle_k, mode=mode)
     from ..util import default_concurrency
 
-    return cands.map_batches(
-        JaccardVerify,
-        fn_constructor_kwargs=dict(texts_ref=texts_ref, shingle_k=shingle_k,
-                                   threshold=threshold),
+    if texts_ref is not None:
+        return cands.map_batches(
+            JaccardVerify,
+            fn_constructor_kwargs=dict(texts_ref=texts_ref, shingle_k=shingle_k,
+                                       threshold=threshold),
+            batch_format="pyarrow",
+            concurrency=(1, default_concurrency()),
+        )
+    from .relational import keyed_attach
+
+    docs = ds.select_columns([id_col, text_col])
+    id_type = docs.schema().base_schema.field(id_col).type
+    ids = [("id_a", id_type), ("id_b", id_type)]
+    with_a = keyed_attach(cands, docs, "id_a", "text_a", ids,
+                          id_col=id_col, text_col=text_col)
+    with_ab = keyed_attach(with_a, docs, "id_b", "text_b",
+                           ids + [("text_a", pa.string())],
+                           id_col=id_col, text_col=text_col)
+    return with_ab.map_batches(
+        JaccardVerifyTexts,
+        fn_constructor_kwargs=dict(shingle_k=shingle_k, threshold=threshold),
         batch_format="pyarrow",
         concurrency=(1, default_concurrency()),
     )
@@ -233,19 +478,25 @@ class SimHash:
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pandas().fillna("")
-        out = np.zeros(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            words = np.asarray(t.split(), dtype=object)
-            if words.size == 0:
-                continue
-            # term-frequency weighted (standard SimHash: each distinct
-            # term votes +-tf on every bit of its hash)
-            uniq, counts = np.unique(words, return_counts=True)
-            h = pd.util.hash_array(uniq, categorize=False).astype(np.uint64)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-            votes = (counts[:, None] * (2 * bits - 1)).sum(axis=0)
-            out[i] = np.packbits((votes > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
+        texts = batch[self.text_col].to_pandas()
+        h, lens = _flat_words(texts)
+        out = np.zeros(lens.size, dtype=np.uint64)
+        nz = lens > 0
+        if h.size:
+            # term-frequency weighted (standard SimHash): every word
+            # occurrence votes +-1 per bit of its hash; summing bit
+            # matrices over occurrences == summing tf * (2*bit - 1)
+            # over distinct terms.  One unpackbits + one reduceat for
+            # the whole batch — no per-doc Python (round-1 hot loop).
+            bits = np.unpackbits(
+                h[:, None].view(np.uint8), axis=1, bitorder="little"
+            ).astype(np.int64)                                   # (total, 64)
+            starts = np.concatenate(([0], np.cumsum(lens)))[:-1][nz]
+            sums = np.add.reduceat(bits, starts, axis=0)         # (n_nz, 64)
+            votes = 2 * sums - lens[nz][:, None]
+            out[nz] = np.packbits(
+                (votes > 0).astype(np.uint8), axis=1, bitorder="little"
+            ).view(np.uint64).reshape(-1)
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
@@ -269,17 +520,21 @@ def simhash_signatures(ds, text_col="text", id_col="doc_id", concurrency=None):
 # Duplicate-group resolution (connected components over dup pairs)
 
 
-def dup_groups(pairs_ds):
+def dup_groups(pairs_ds, driver_threshold: int = 200_000, max_iters: int = 50):
     """Connected components over near-dup pairs -> (doc_id, group_id)
     with group_id = min doc id of the component.
 
     The candidate-pair set is orders of magnitude smaller than the
-    corpus (only docs that shared an LSH bucket), so per the ray guide
-    it is pulled once to the driver and resolved with union-find; for
-    pathologically large pair sets switch to iterated min-label
-    propagation (groupby per round) instead.
+    corpus (only docs that shared an LSH bucket), so up to
+    ``driver_threshold`` pairs it is pulled once to the driver and
+    resolved with union-find; above that, iterated distributed
+    min-label propagation (one groupby-min per round, diameter-bounded)
+    computes the same components without any driver materialization.
     """
     import ray.data as rd
+
+    if pairs_ds.count() > driver_threshold:
+        return _dup_groups_distributed(pairs_ds, max_iters)
 
     edges = pairs_ds.take_all()  # small: candidates only
     parent: dict = {}
@@ -306,3 +561,66 @@ def dup_groups(pairs_ds):
                       "group_id": pa.array([], pa.int64())})
         )
     return rd.from_items(rows)
+
+
+def _dup_groups_distributed(pairs_ds, max_iters: int = 50):
+    """Iterated min-label propagation: label(v) starts at v, each round
+    becomes min(label(v), min over neighbors' labels), one
+    groupby-min shuffle per round, until the label multiset digest is
+    stable.  Converges in <= component-diameter rounds; near-dup
+    components are shallow (clusters of rewrites), so a handful of
+    rounds suffices in practice.  Nothing ever lands on the driver."""
+    from ray.data.aggregate import Min
+
+    from .relational import field_type, keyed_attach
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.concat([df["id_a"], df["id_b"]], ignore_index=True),
+                "nbr": pd.concat([df["id_b"], df["id_a"]], ignore_index=True),
+            }
+        )
+
+    edges = pairs_ds.map_batches(both_dirs, batch_format="pandas").materialize()
+    labels = (
+        edges.groupby("node")
+        .aggregate(Min("nbr", alias_name="label"))
+        .map_batches(
+            lambda df: df.assign(label=np.minimum(df["node"], df["label"])),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    def digest_of(lab_ds) -> int:
+        def h(df: pd.DataFrame) -> pd.DataFrame:
+            v = pd.util.hash_pandas_object(df[["node", "label"]], index=False)
+            return pd.DataFrame({"h": [int(v.to_numpy().sum()) & ((1 << 48) - 1)]})
+
+        return int(lab_ds.map_batches(h, batch_format="pandas").sum("h"))
+
+    node_type = field_type(labels, "node")
+    prev = digest_of(labels)
+    for _ in range(max_iters):
+        # deliver each neighbor's label to the node: keyed_attach is a
+        # hash join expressed as tag-union + groupby (robust to empty
+        # hash partitions, see relational.keyed_attach)
+        nbr_labels = keyed_attach(
+            edges, labels, key_from="nbr", out_col="label",
+            carry=[("node", node_type)], id_col="node", text_col="label",
+        )
+        labels = (
+            labels.union(nbr_labels)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur = digest_of(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels.map_batches(
+        lambda df: df.rename(columns={"node": "doc_id", "label": "group_id"}),
+        batch_format="pandas",
+    )

@@ -67,6 +67,85 @@ def hash_join(left, right, on: Sequence[str], join_type: str = "inner",
                      on=tuple(on))
 
 
+def field_type(ds, name: str):
+    """Arrow type of a Dataset column, tolerant of pandas-backed
+    schemas (PandasBlockSchema has numpy dtypes, not pa fields)."""
+    import numpy as np
+    import pyarrow as pa
+
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", sch)
+    if isinstance(base, pa.Schema):
+        return base.field(name).type
+    dt = dict(zip(base.names, base.types))[name]
+    if isinstance(dt, pa.DataType):
+        return dt
+    if dt == np.dtype("O"):
+        return pa.string()
+    return pa.from_numpy_dtype(dt)
+
+
+def keyed_attach(pairs_ds, docs_ds, key_from: str, out_col: str,
+                 carry: Sequence[tuple], id_col: str = "doc_id",
+                 text_col: str = "text"):
+    """Attach one column of ``docs_ds`` to every row of ``pairs_ds``
+    whose ``key_from`` column matches ``id_col`` — a hash join
+    expressed as tag-union + ONE groupby(key) shuffle.
+
+    Used instead of ``Dataset.join`` where a side can have EMPTY hash
+    partitions (ray 2.49's join aggregator builds ``pa.table({})`` for
+    those and Arrow rejects the keyed join — e.g. a tiny candidate-pair
+    set against a large corpus).  ``carry`` lists (name, arrow_type) of
+    pair columns to carry through; integer carries are restored to
+    int64 after the pandas group pass."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    carry = list(carry)
+    carry_names = [c for c, _ in carry]
+    val_type = field_type(docs_ds, text_col)
+
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        cols = {"__key": pc.cast(b[key_from], pa.string())}
+        for c, t in carry:
+            cols[c] = pc.cast(b[c], t) if c in b.column_names else pa.nulls(len(b), t)
+        cols["__val"] = pa.nulls(len(b), val_type)
+        cols["__is_doc"] = pa.array(np.zeros(len(b), dtype=bool))
+        return pa.table(cols)
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        cols = {"__key": pc.cast(b[id_col], pa.string())}
+        for c, t in carry:
+            cols[c] = pa.nulls(len(b), t)
+        cols["__val"] = b[text_col]
+        cols["__is_doc"] = pa.array(np.ones(len(b), dtype=bool))
+        return pa.table(cols)
+
+    tagged = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
+        docs_ds.map_batches(tag_docs, batch_format="pyarrow")
+    )
+    int_cols = [c for c, t in carry if pa.types.is_integer(t)]
+    if pa.types.is_integer(val_type):
+        int_cols = int_cols + [out_col]
+    fill = "" if pa.types.is_string(val_type) or pa.types.is_large_string(val_type) else None
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["__is_doc"]]
+        p = g[~g["__is_doc"]]
+        out_cols = carry_names + [out_col]
+        if p.empty:
+            return pd.DataFrame({c: [] for c in out_cols})
+        p = p[carry_names].copy()
+        p[out_col] = docs["__val"].iloc[0] if len(docs) else fill
+        for c in int_cols:
+            if c in p.columns:
+                p[c] = p[c].astype("int64")
+        return p[out_cols]
+
+    return tagged.groupby("__key").map_groups(per_key, batch_format="pandas")
+
+
 def sessionize(events_ds, key_col: str = "user_id", ts_col: str = "ts",
                gap_minutes: int = 30):
     """Session windows: per key, a new session starts when the gap to

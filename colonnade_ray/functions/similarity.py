@@ -308,7 +308,7 @@ def embedding_near_dup_candidates(ds, bands: int = 8, bits_per_band: int = 8,
         ia, ib = np.triu_indices(ids.size, k=1)
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
+    from .dedup import distinct_pairs
+
     cand = exploded.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return distinct_pairs(cand)

@@ -164,7 +164,32 @@ def test_minhash_similar_docs_collide():
     sig = [minhash_signature(x, a, b) for x in s]
     sim_near = (sig[0] == sig[1]).mean()
     sim_far = (sig[0] == sig[2]).mean()
-    assert sim_near > 0.7 and sim_far < 0.2
+    # signature agreement estimates the TRUE Jaccard (the exact
+    # Mersenne-ring family is unbiased): here |A|=9 unique shingles,
+    # one replaced word adds 5 grams while all old grams survive in
+    # the 19 other repetitions -> J = 9/14 ~= 0.643
+    j_true = len(np.intersect1d(s[0], s[1])) / len(np.union1d(s[0], s[1]))
+    assert abs(sim_near - j_true) < 0.15, (sim_near, j_true)
+    assert sim_far < 0.2
+
+
+def test_minhash_batch_matches_per_doc():
+    """_batch_signatures (reduceat path) must equal the per-doc form."""
+    from colonnade_ray.functions.dedup import (
+        _batch_signatures,
+        _minhash_perms,
+        _word_shingle_hashes,
+        minhash_signature,
+    )
+
+    a, b = _minhash_perms(32)
+    texts = pd.Series(
+        ["alpha beta gamma delta epsilon zeta " * 8, "", "one two", None,
+         " ".join(f"z{i}" for i in range(3000))]
+    )
+    sig = _batch_signatures(texts, a, b)
+    for i, s in enumerate(_word_shingle_hashes(texts)):
+        assert np.array_equal(sig[i], minhash_signature(s, a, b)), i
 
 
 def test_simhash_hamming():
@@ -416,3 +441,91 @@ def test_language_id():
     )
     out = LanguageId()(t)["lang_guess"].to_pylist()
     assert out == ["en", "de", "fr", "und"]
+
+
+def test_pack_sequences_unique_ids_and_sources(ray_session):
+    import ray.data as rd
+
+    from colonnade_ray.functions.sequences import PackSequences, pack_sequences
+
+    # two different batches must not produce colliding example_ids
+    t1 = pa.table(
+        {
+            "tokens": pa.array([[i % 7 for i in range(100)]] * 30, pa.list_(pa.int32())),
+            "source": pa.array(["s_a"] * 30),
+        }
+    )
+    t2 = pa.table(
+        {
+            "tokens": pa.array([[i % 5 for i in range(100)]] * 30, pa.list_(pa.int32())),
+            "source": pa.array(["s_b"] * 30),
+        }
+    )
+    p = PackSequences(seq_len=64, keep_remainder=True)
+    ids1 = p(t1)["example_id"].to_pylist()
+    ids2 = p(t2)["example_id"].to_pylist()
+    assert len(set(ids1)) == len(ids1) and len(set(ids2)) == len(ids2)
+    assert not (set(ids1) & set(ids2))
+    # deterministic across re-encodes (retry safety)
+    assert p(t1)["example_id"].to_pylist() == ids1
+
+    # per-example source = source of the first-contributing doc
+    tmix = pa.table(
+        {
+            "tokens": pa.array([[1] * 64, [2] * 64], pa.list_(pa.int32())),
+            "source": pa.array(["alpha", "beta"]),
+        }
+    )
+    out = PackSequences(seq_len=64, keep_remainder=True)(tmix)
+    # example 0 starts at doc0 (alpha); example 1 starts at doc0's EOS
+    # (still alpha); example 2 at doc1's tail
+    assert out["source"].to_pylist()[:2] == ["alpha", "alpha"]
+    # multi-batch ray path: ids unique across the whole run
+    ds = rd.from_arrow(pa.concat_tables([t1, t2]))
+    rows = pack_sequences(ds, seq_len=64).take_all()
+    all_ids = [r["example_id"] for r in rows]
+    assert len(set(all_ids)) == len(all_ids)
+
+
+def test_dup_groups_distributed_matches_union_find(ray_session):
+    import ray.data as rd
+
+    from colonnade_ray.functions.dedup import dup_groups
+
+    pairs = [
+        {"id_a": 1, "id_b": 2}, {"id_a": 2, "id_b": 3},   # chain 1-2-3
+        {"id_a": 10, "id_b": 11},                          # pair
+        {"id_a": 20, "id_b": 22}, {"id_a": 21, "id_b": 22},
+        {"id_a": 5, "id_b": 30}, {"id_a": 30, "id_b": 31}, {"id_a": 31, "id_b": 6},
+    ]
+    ds = rd.from_items(pairs)
+    via_uf = sorted(
+        (r["doc_id"], r["group_id"]) for r in dup_groups(ds).take_all()
+    )
+    via_dist = sorted(
+        (r["doc_id"], r["group_id"])
+        for r in dup_groups(ds, driver_threshold=0).take_all()
+    )
+    assert via_dist == via_uf
+    assert via_uf[0] == (1, 1) and (31, 5) in via_uf  # 5-30-31-6 -> min 5
+
+
+def test_near_dup_pairs_join_path(ray_session):
+    import ray.data as rd
+
+    from colonnade_ray.functions.dedup import near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog wearing boots " * 10
+    docs = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base.replace("boots", "hats", 1)},
+        {"doc_id": 3, "text": "entirely different content about other things " * 12},
+        {"doc_id": 4, "text": base},
+    ]
+    ds = rd.from_items(docs)
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs(ds, threshold=0.5).take_all()
+    )
+    assert (1, 4) in got and (1, 2) in got
+    assert not any(3 in p for p in got)
