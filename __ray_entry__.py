@@ -388,6 +388,48 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(tok, seq_len=512)
 
 
+def q_jaccard_pairs_exact(sf_dir: str):
+    """EXACT word-5-gram Jaccard near-dup pairs (no LSH): distinct
+    shingle explode -> shingle groupby pair counts -> size attach ->
+    threshold.  DuckDB oracle reproduces it with a shingle-unnest
+    self-join."""
+    from colonnade_ray.functions.dedup import jaccard_pairs_exact
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    return jaccard_pairs_exact(ds, threshold=0.8).sort(["id_a", "id_b"])
+
+
+def q_pack_conservation(sf_dir: str):
+    """Token-conservation invariant of sequence packing: with
+    keep_remainder=True, sum of packed n_tok == sum(doc tokens) +
+    one EOS per doc — SQL-checkable against the documents table."""
+    from ray.data.aggregate import Sum
+
+    from colonnade_ray.corpus import tokenized_documents
+    from colonnade_ray.functions.sequences import pack_sequences
+
+    packed = pack_sequences(tokenized_documents(sf_dir), seq_len=512,
+                            keep_remainder=True)
+    total = packed.aggregate(Sum("n_tok", alias_name="total_tokens"))
+    return pa.table({"total_tokens": pa.array([int(total["total_tokens"])], pa.int64())})
+
+
+def q_embedding_near_dups_lsh(sf_dir: str):
+    """Scale-shaped near-dup pipeline with exact precision: sign-LSH
+    candidates -> exact cosine verify.  Oracle = the exact all-pairs
+    SQL; green iff the LSH bands recall every true pair.
+
+    Band shape note: the synthetic corpus's near-dups sit at cos
+    0.41-0.51 over a ~0.35 background, far below the cos>=0.9 regime
+    where sign-LSH prunes; 64 bands x 2 bits guarantees recall
+    (miss ~1e-14 at cos 0.41) at the cost of weak pruning here.  The
+    pruning-shaped parameters live in embedding_lsh_candidates."""
+    from colonnade_ray.functions.similarity import lsh_verified_near_dups
+
+    emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return lsh_verified_near_dups(emb, threshold=0.42, bands=64, bits_per_band=2)
+
+
 def q_codec_selection_report(sf_dir: str):
     """A1/A4 graft: measured stats + selected codec per column chunk."""
     from colonnade_ray.codecs import encode_column
@@ -434,6 +476,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "similarity_topk": q_similarity_topk,
         "cosine_near_dups": q_cosine_near_dups,
+        "jaccard_pairs_exact": q_jaccard_pairs_exact,
+        "pack_conservation": q_pack_conservation,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         # rows-only (non-SQL-expressible)
         "encode_roundtrip": q_encode_roundtrip,
         "near_dup_pairs": q_near_dup_pairs,
@@ -549,5 +594,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42"
+        ),
+        "embedding_near_dups_lsh": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42"
+        ),
+        "pack_conservation": (
+            "SELECT CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) "
+            "+ COUNT(*) AS BIGINT) AS total_tokens FROM documents"
+        ),
+        "jaccard_pairs_exact": (
+            # distinct word-5-grams per doc (docs with 1-4 words fold to
+            # one whole-doc gram, matching the engine's shingling), then
+            # shared-shingle pair counts vs set sizes
+            "WITH d AS (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS ws "
+            "FROM documents WHERE len(trim(text)) > 0), "
+            "g AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS gram "
+            "FROM d, UNNEST(range(1, len(ws) - 3)) AS t(i) WHERE len(ws) >= 5 "
+            "UNION ALL SELECT doc_id, array_to_string(ws, ' ') FROM d "
+            "WHERE len(ws) BETWEEN 1 AND 4), "
+            "gs AS (SELECT DISTINCT doc_id, gram FROM g), "
+            "sz AS (SELECT doc_id, COUNT(*) AS n FROM gs GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c "
+            "FROM gs a JOIN gs b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+            "GROUP BY a.doc_id, b.doc_id) "
+            "SELECT id_a, id_b FROM inter "
+            "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
+            "WHERE c >= 0.8 * (sa.n + sb.n - c) ORDER BY id_a, id_b"
         ),
     }

@@ -321,20 +321,48 @@ def _pairs_from_group(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
     return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
 
-def distinct_pairs(pairs_ds):
-    """Distinct (id_a, id_b) rows: per-batch drop_duplicates, then ONE
-    count-aggregate on the pair key (vectorized sort-based combine, one
-    output row per pair).  Replaces the round-1
-    groupby(pair).map_groups(head(1)), which shuffled millions of
-    1-row pandas groups through per-group Python."""
-    from ray.data.aggregate import Count
+_PAIR_BUCKETS = 64
 
+
+def _with_pair_bucket(df: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
+    h = pd.util.hash_pandas_object(df[["id_a", "id_b"]], index=False)
+    return df.assign(__b=(h.to_numpy() % np.uint64(num_buckets)).astype(np.int64))
+
+
+def distinct_pairs(pairs_ds, num_buckets: int = _PAIR_BUCKETS):
+    """Distinct (id_a, id_b) rows: per-batch drop_duplicates, then one
+    shuffle on a HASH BUCKET of the pair key and a vectorized
+    drop_duplicates per bucket.  Replaces both the round-1
+    groupby(pair).map_groups(head(1)) AND a naive
+    groupby(pair).aggregate(Count): Ray's sort aggregate pays
+    per-group overhead, which at millions of 1-row pair groups
+    dominates wall time (measured ~60 s for 2M rows / 250k groups on
+    8 cpus vs ~2 s for 64 bucket groups)."""
     local = pairs_ds.map_batches(
-        lambda df: df.drop_duplicates(["id_a", "id_b"]), batch_format="pandas"
+        lambda df: _with_pair_bucket(df.drop_duplicates(["id_a", "id_b"]), num_buckets)
+        if len(df) else df.assign(__b=pd.Series([], dtype=np.int64)),
+        batch_format="pandas",
     )
-    return local.groupby(["id_a", "id_b"]).aggregate(
-        Count(alias_name="__c")
-    ).drop_columns(["__c"])
+    return local.groupby("__b").map_groups(
+        lambda g: g.drop_duplicates(["id_a", "id_b"]).drop(columns="__b"),
+        batch_format="pandas",
+    )
+
+
+def pair_counts(pairs_ds, out_col: str = "inter", num_buckets: int = _PAIR_BUCKETS):
+    """(id_a, id_b, count) over duplicate pair rows — bucketed like
+    distinct_pairs, pandas groupby-size inside each bucket."""
+    local = pairs_ds.map_batches(
+        lambda df: _with_pair_bucket(df, num_buckets) if len(df)
+        else df.assign(__b=pd.Series([], dtype=np.int64)),
+        batch_format="pandas",
+    )
+
+    def count_group(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["id_a", "id_b"], as_index=False).size()
+        return out.rename(columns={"size": out_col})
+
+    return local.groupby("__b").map_groups(count_group, batch_format="pandas")
 
 
 def minhash_candidates(ds, text_col="text", id_col="doc_id", bands=16, rows_per_band=4,
@@ -624,3 +652,117 @@ def _dup_groups_distributed(pairs_ds, max_iters: int = 50):
         lambda df: df.rename(columns={"node": "doc_id", "label": "group_id"}),
         batch_format="pandas",
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (no LSH): the DuckDB-checkable truth set
+
+
+class DistinctShingleExplode:
+    """map_batches callable: documents -> distinct (shingle, doc_id)
+    rows plus a per-doc distinct-shingle count (carried on a side
+    table via union tag).  Fully vectorized: one lexsort over the flat
+    gram array per batch."""
+
+    def __init__(self, text_col="text", id_col="doc_id", shingle_k=5):
+        self.text_col, self.id_col, self.k = text_col, id_col, shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grams, g = _flat_shingles(batch[self.text_col].to_pandas(), self.k)
+        n = len(batch)
+        doc_rep = np.repeat(np.arange(n, dtype=np.int64), g)
+        order = np.lexsort((grams, doc_rep))
+        gs, dr = grams[order], doc_rep[order]
+        new = np.ones(gs.size, dtype=bool)
+        if gs.size > 1:
+            new[1:] = (gs[1:] != gs[:-1]) | (dr[1:] != dr[:-1])
+        ids = batch[self.id_col].take(pa.array(dr[new]))
+        return pa.table(
+            {
+                "shingle": pa.array(gs[new].view(np.int64)),
+                self.id_col: ids,
+            }
+        )
+
+
+class ShingleSetSizes:
+    """map_batches callable: documents -> (doc_id, n_shingles) distinct
+    shingle-set size per doc."""
+
+    def __init__(self, text_col="text", id_col="doc_id", shingle_k=5):
+        self.text_col, self.id_col, self.k = text_col, id_col, shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grams, g = _flat_shingles(batch[self.text_col].to_pandas(), self.k)
+        n = len(batch)
+        doc_rep = np.repeat(np.arange(n, dtype=np.int64), g)
+        order = np.lexsort((grams, doc_rep))
+        gs, dr = grams[order], doc_rep[order]
+        new = np.ones(gs.size, dtype=bool)
+        if gs.size > 1:
+            new[1:] = (gs[1:] != gs[:-1]) | (dr[1:] != dr[:-1])
+        sizes = np.bincount(dr[new], minlength=n).astype(np.int64)
+        return pa.table({self.id_col: batch[self.id_col],
+                         "n_shingles": pa.array(sizes)})
+
+
+def jaccard_pairs_exact(ds, threshold=0.8, text_col="text", id_col="doc_id",
+                        shingle_k=5):
+    """EXACT word-k-gram Jaccard near-dup pairs — no LSH, no driver
+    materialization: distinct (shingle, doc) explode -> groupby(shingle)
+    pair emission -> one count-aggregate = |A & B| -> attach |A|, |B|
+    via keyed_attach -> threshold filter.  The truth set LSH candidates
+    are judged against; quadratic in the worst case (every shared
+    shingle emits its pair once), intended for oracle checks and
+    bounded-similarity corpora."""
+    from ..util import default_concurrency
+    from .relational import field_type, keyed_attach
+
+    conc = (1, default_concurrency())
+    kw = dict(text_col=text_col, id_col=id_col, shingle_k=shingle_k)
+    exploded = ds.map_batches(DistinctShingleExplode, fn_constructor_kwargs=kw,
+                              batch_format="pyarrow", concurrency=conc)
+    # bucket shingles so the shuffle has O(num_buckets) groups and the
+    # per-bucket pair emission is one vectorized self-merge — not one
+    # Python call per distinct shingle (Ray's per-group overhead at
+    # ~1 group per shingle dominates otherwise).  A shingle shared by
+    # s docs emits s(s-1)/2 rows; at corpus scale cap stop-grams
+    # upstream (drop shingles above a doc-frequency bound) before this.
+    bucketed = exploded.map_batches(
+        lambda df: df.assign(
+            __b=(df["shingle"].to_numpy().view(np.uint64) % np.uint64(_PAIR_BUCKETS)
+                 ).astype(np.int64)
+        ) if len(df) else df.assign(__b=pd.Series([], dtype=np.int64)),
+        batch_format="pandas",
+    )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="shingle")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        return m.rename(columns={f"{id_col}_x": "id_a", f"{id_col}_y": "id_b"})[
+            ["id_a", "id_b"]
+        ]
+
+    pair_rows = bucketed.groupby("__b").map_groups(pairs_in_bucket,
+                                                   batch_format="pandas")
+    inter = pair_counts(pair_rows, out_col="inter")
+    sizes = ds.map_batches(ShingleSetSizes, fn_constructor_kwargs=kw,
+                           batch_format="pyarrow", concurrency=conc)
+    id_type = field_type(ds, id_col)
+    carry = [("id_a", id_type), ("id_b", id_type), ("inter", pa.int64())]
+    with_a = keyed_attach(inter, sizes, "id_a", "sz_a", carry,
+                          id_col=id_col, text_col="n_shingles")
+    with_ab = keyed_attach(with_a, sizes, "id_b", "sz_b",
+                           carry + [("sz_a", pa.int64())],
+                           id_col=id_col, text_col="n_shingles")
+
+    def thresh(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df[["id_a", "id_b"]] if "id_a" in df.columns else pd.DataFrame(
+                {"id_a": [], "id_b": []}
+            )
+        union = df["sz_a"] + df["sz_b"] - df["inter"]
+        keep = df["inter"] >= threshold * union
+        return df.loc[keep, ["id_a", "id_b"]]
+
+    return with_ab.map_batches(thresh, batch_format="pandas")

@@ -312,3 +312,62 @@ def embedding_near_dup_candidates(ds, bands: int = 8, bits_per_band: int = 8,
 
     cand = exploded.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
     return distinct_pairs(cand)
+
+
+class CosineVerifyPairs:
+    """Verify candidate (id_a, id_b) pairs against exact cosine: the
+    normalized embedding matrix is assembled once per actor from
+    object-store block refs (no driver materialization), then each
+    batch is two gathers + one row-wise dot product."""
+
+    def __init__(self, block_refs, threshold: float,
+                 emb_col: str = "embedding", id_col: str = "vec_id"):
+        import ray
+
+        tables = ray.get(list(block_refs))
+        t = pa.concat_tables([tb for tb in tables if tb.num_rows])
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize(_embedding_matrix(t, emb_col))
+        order = np.argsort(ids)
+        self.ids_sorted = ids[order]
+        self.mat = mat[order]
+        self.threshold = threshold
+
+    def _rows(self, ids: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(self.ids_sorted, ids)
+        return np.clip(pos, 0, self.ids_sorted.size - 1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "id_a" not in batch.column_names:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ra, rb = self._rows(a), self._rows(b)
+        ok = (self.ids_sorted[ra] == a) & (self.ids_sorted[rb] == b)
+        cos = (self.mat[ra] * self.mat[rb]).sum(axis=1)
+        keep = ok & (cos >= self.threshold)
+        return pa.table({"id_a": pa.array(a[keep]), "id_b": pa.array(b[keep])})
+
+
+def lsh_verified_near_dups(ds, threshold: float, bands: int = 8,
+                           bits_per_band: int = 10,
+                           emb_col: str = "embedding", id_col: str = "vec_id"):
+    """The scale-shaped near-dup pipeline with an exact guarantee on
+    precision: sign-LSH candidates (one band-key shuffle) -> exact
+    cosine verification per batch.  Equals cosine_pairs_exact whenever
+    the LSH bands recall every true pair (checked by the driver oracle
+    at sf0.01)."""
+    import ray
+
+    from ..util import default_concurrency
+
+    cand = embedding_near_dup_candidates(ds, bands, bits_per_band, emb_col, id_col)
+    refs = ds.select_columns([id_col, emb_col]).to_arrow_refs()
+    return cand.map_batches(
+        CosineVerifyPairs,
+        fn_constructor_kwargs=dict(block_refs=refs, threshold=threshold,
+                                   emb_col=emb_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=(1, default_concurrency()),
+    )

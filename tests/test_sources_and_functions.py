@@ -529,3 +529,36 @@ def test_near_dup_pairs_join_path(ray_session):
     )
     assert (1, 4) in got and (1, 2) in got
     assert not any(3 in p for p in got)
+
+
+def test_jaccard_pairs_exact_matches_reference(ray_session):
+    """Distributed exact Jaccard == per-doc set math on the driver."""
+    import itertools
+
+    import ray.data as rd
+
+    from colonnade_ray.functions.dedup import _word_shingle_hashes, jaccard_pairs_exact
+
+    base = "one two three four five six seven eight nine ten " * 5
+    docs = {
+        1: base,
+        2: base.replace("seven", "misc", 1),
+        3: "alpha beta gamma delta epsilon zeta eta theta " * 6,
+        4: base + " extra tail words here",
+        5: "",
+    }
+    sh = {
+        k: set(_word_shingle_hashes(pd.Series([v]))[0].tolist())
+        for k, v in docs.items()
+    }
+    expect = set()
+    for a, b in itertools.combinations(sorted(docs), 2):
+        u = sh[a] | sh[b]
+        if u and len(sh[a] & sh[b]) / len(u) >= 0.6:
+            expect.add((a, b))
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs_exact(ds, threshold=0.6).take_all()
+    }
+    assert got == expect and expect  # non-trivial truth set
