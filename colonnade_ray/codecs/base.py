@@ -190,9 +190,19 @@ def pack_uints(vals: np.ndarray, width: int) -> bytes:
 
 
 def unpack_uints(buf: bytes, n: int, width: int) -> np.ndarray:
-    """Inverse of pack_uints -> uint64 array of length n."""
+    """Inverse of pack_uints -> uint64 array of length n.
+
+    Validates the frame length up front: a payload truncated mid-word
+    (torn frame) raises instead of silently yielding short/garbage
+    output — the columnar analog of the reference's one-byte-per-chunk
+    quote corner cases (siphon/test/Test.hs:93-122)."""
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
+    need = (n * width + 7) // 8
+    if len(buf) < need:
+        raise ValueError(
+            f"bitpack stream truncated: have {len(buf)} bytes, need {need}"
+        )
     raw = np.frombuffer(buf, dtype=np.uint8)
     nb = _lane_bytes(width)
     out = np.empty(n, dtype=np.uint64)
@@ -252,11 +262,15 @@ def varint_decode(buf: bytes, n: int) -> np.ndarray:
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
     raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        raise ValueError("varint stream truncated: empty buffer")
     is_end = (raw & 0x80) == 0
     # group id of each byte = count of terminators strictly before it
     gid = np.concatenate(([0], np.cumsum(is_end)[:-1]))
     if gid[-1] != n - 1 or not is_end[-1]:
-        raise ValueError("varint stream corrupt")
+        raise ValueError(
+            "varint stream corrupt: truncated mid-value or wrong count"
+        )
     starts = np.concatenate(([0], np.flatnonzero(is_end)[:-1] + 1))
     k = np.arange(raw.size, dtype=np.int64) - starts[gid]  # byte index within value
     payload = (raw & 0x7F).astype(np.uint64)

@@ -354,6 +354,11 @@ def _decode_string_raw(meta: dict, parts: list, atype: pa.DataType, n: int) -> t
         data = dparts[0]
     off_t = pa.int64() if pa.types.is_large_string(atype) else pa.int32()
     offsets = np.concatenate(([0], np.cumsum(lengths)))
+    if len(data) < int(offsets[-1]):
+        raise ValueError(
+            f"string data stream truncated: have {len(data)} bytes, "
+            f"need {int(offsets[-1])}"
+        )
     off_np = offsets.astype(np.int64 if off_t == pa.int64() else np.int32)
     out = pa.Array.from_buffers(
         atype, n, [None, pa.py_buffer(off_np.tobytes()), pa.py_buffer(data)]

@@ -106,7 +106,13 @@ class PlainCodec(Codec):
 
     def decode(self, enc: Encoded) -> np.ndarray:
         dt = code_dtype(enc.meta["dt"])
-        return np.frombuffer(enc.parts[0], dtype=dt)[: enc.meta["n"]]
+        n = enc.meta["n"]
+        need = n * np.dtype(dt).itemsize
+        if len(enc.parts[0]) < need:
+            raise ValueError(
+                f"plain stream truncated: have {len(enc.parts[0])} bytes, need {need}"
+            )
+        return np.frombuffer(enc.parts[0][:need], dtype=dt)
 
 
 class ForBitpackCodec(Codec):
@@ -292,9 +298,6 @@ class DictVarintCodec(Codec):
 
     name = "dict_varint"
 
-    def __init__(self):
-        self._dv = DeltaBitpackCodec()
-
     def estimate(self, st: ChunkStats) -> Optional[int]:
         if st.n == 0 or st.sample_n == 0 or st.top_counts is None:
             return None
@@ -316,30 +319,30 @@ class DictVarintCodec(Codec):
         p_unseen = min(f1 / st.sample_n, 0.9) if st.sample_n < st.n else 0.0
         tail_bytes = max((bit_width(max(ndv - 1, 1)) + 6) // 7, 1)
         avg_bytes = (1 - p_unseen) * avg_seen + p_unseen * tail_bytes
-        est = int(st.n * avg_bytes) + _dict_store_bytes(st, ndv) + 2 * _META_OVERHEAD
+        est = (int(st.n * avg_bytes)
+               + _dict_store_bytes(st, ndv, rank_ordered=True) + 2 * _META_OVERHEAD)
         return est + est // 20  # +5% conservative margin, as dict_bitpack
 
     def encode(self, arr: np.ndarray) -> Encoded:
         n = int(arr.size)
         meta = {"dt": dtype_code(arr.dtype), "n": n}
         if n == 0:
-            meta.update(ndv=0, values={}, perm={})
-            return Encoded(self.name, meta, [b"", b"", b""])
+            meta.update(ndv=0, values={})
+            return Encoded(self.name, meta, [b"", b""])
         uniq, inv, counts = _unique_counts(arr)
         # rank by (count desc, value asc) — deterministic
         order = np.lexsort((np.arange(uniq.size), -counts))
         rank_of = np.empty(uniq.size, dtype=np.int64)
         rank_of[order] = np.arange(uniq.size)
         codes = rank_of[inv]
-        ev = self._dv.encode(uniq)  # sorted uniques delta-pack well
-        # permutation sorted-index -> rank, bit-packed
-        wp = bit_width(int(uniq.size - 1))
-        meta.update(ndv=int(uniq.size), values=ev.meta, perm_width=wp)
+        # dictionary stored directly in RANK order (by_rank[r] = value
+        # with rank r) — no redundant rank permutation stream, same
+        # trick as DictBitlenCodec (round-2 cleanup)
+        ev = INT_CODECS["for_bitpack"].encode(uniq[order])
+        meta.update(ndv=int(uniq.size), values=ev.meta)
         return Encoded(
-            self.name,
-            meta,
-            [varint_encode(codes.astype(np.uint64)), ev.parts[0],
-             pack_uints(rank_of.astype(np.uint64), wp)],
+            self.name, meta,
+            [varint_encode(codes.astype(np.uint64)), ev.parts[0]],
         )
 
     def decode(self, enc: Encoded) -> np.ndarray:
@@ -347,11 +350,9 @@ class DictVarintCodec(Codec):
         dt = code_dtype(m["dt"])
         if m["n"] == 0:
             return np.zeros(0, dtype=dt)
-        uniq = self._dv.decode(Encoded("delta_bitpack", m["values"], [enc.parts[1]]))
-        rank_of = unpack_uints(enc.parts[2], m["ndv"], m["perm_width"]).astype(np.int64)
-        # value for rank r: inverse permutation
-        by_rank = np.empty(m["ndv"], dtype=uniq.dtype)
-        by_rank[rank_of] = uniq
+        by_rank = INT_CODECS["for_bitpack"].decode(
+            Encoded("for_bitpack", m["values"], [enc.parts[1]])
+        )
         codes = varint_decode(enc.parts[0], m["n"]).astype(np.int64)
         return by_rank[codes].astype(dt, copy=False)
 
@@ -467,15 +468,15 @@ class DictBitlenCodec(Codec):
         return by_rank[ranks.astype(np.int64)].astype(dt, copy=False)
 
 
-def _dict_store_bytes(st: ChunkStats, ndv: int) -> int:
-    """Bytes to store a sorted, delta-bitpacked dictionary of ndv
-    values spread over [vmin, vmax] (+ the rank permutation for the
-    varint variant — charged to both for simplicity)."""
+def _dict_store_bytes(st: ChunkStats, ndv: int, rank_ordered: bool = False) -> int:
+    """Bytes to store the dictionary: sorted+delta-bitpacked (gap
+    widths) or rank-ordered+FOR-bitpacked (full range width).  No rank
+    permutation in either layout."""
     rng = max(st.vmax - st.vmin, 1)
+    if rank_ordered:
+        return (ndv * bit_width(rng) + 7) // 8
     avg_gap = max(rng // max(ndv, 1), 1)
-    wd = bit_width(4 * avg_gap)          # sorted-unique deltas
-    wp = bit_width(max(ndv - 1, 1))      # rank permutation
-    return (ndv * (wd + wp) + 7) // 8
+    return (ndv * bit_width(4 * avg_gap) + 7) // 8
 
 
 def _extrapolate_ndv(st: ChunkStats) -> int:

@@ -75,3 +75,68 @@ def ascii_table(data, limit: int = 20, sections: Optional[str] = None) -> str:
             out.append(line([_cell(r.get(n)) for n in names]))
         out.append(rule())
     return "\n".join(out)
+
+
+def _html_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def html_table(data, limit: int = 20, sections: Optional[str] = None,
+               table_attrs: str = "") -> str:
+    """Render a small table/Dataset as an HTML <table> — the S6/S7
+    sink twin of ``ascii_table``.
+
+    Graft of ``encodeHtmlTable`` (blaze-colonnade/src/Text/Blaze/
+    Colonnade.hs:305-326): headers in <thead><th>, body rows in
+    <tbody><td>.  ``sections=col`` renders grouped with a full-width
+    divider row per group using ``colspan`` over the leaf columns —
+    the Cornice annotation -> colspan semantics of
+    ``encodeCappedTable`` (blaze-colonnade:362-399) and ``sectioned``
+    (lucid-colonnade/src/Lucid/Colonnade.hs:269-292); colspan counts
+    come from the flat column list exactly as ``annotate`` counts
+    leaves (colonnade/src/Colonnade/Encode.hs:301-315).
+    """
+    if not isinstance(data, (pa.Table, dict)) and hasattr(data, "take"):  # ray Dataset
+        rows = data.take(limit)
+        names = list(rows[0].keys()) if rows else []
+    else:
+        t = data if isinstance(data, pa.Table) else pa.table(data)
+        t = t.slice(0, limit)
+        names = t.column_names
+        rows = t.to_pylist()
+
+    if sections and sections in names:
+        names = [n for n in names if n != sections]
+
+    attrs = f" {table_attrs}" if table_attrs else ""
+    out = [f"<table{attrs}>", "  <thead>", "    <tr>"]
+    for n in names:
+        out.append(f"      <th>{_html_escape(str(n))}</th>")
+    out += ["    </tr>", "  </thead>", "  <tbody>"]
+
+    def tr(r) -> list:
+        cells = [
+            f"      <td>{_html_escape(_cell(r.get(n)))}</td>" for n in names
+        ]
+        return ["    <tr>"] + cells + ["    </tr>"]
+
+    if sections and rows and sections in rows[0]:
+        current = object()
+        for r in rows:
+            if r[sections] != current:
+                current = r[sections]
+                title = _html_escape(f"{sections}: {current}")
+                # one spanning cell over all leaf columns (colspan =
+                # leaf count, the annotate/Cornice cap semantics)
+                out.append(
+                    f'    <tr><td colspan="{len(names)}">{title}</td></tr>'
+                )
+            out.extend(tr(r))
+    else:
+        for r in rows:
+            out.extend(tr(r))
+    out += ["  </tbody>", "</table>"]
+    return "\n".join(out)

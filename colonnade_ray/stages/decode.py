@@ -19,11 +19,17 @@ from typing import Optional
 import pyarrow as pa
 
 from ..codecs import decode_column
-from ..errors import ChecksumError
+from ..errors import CellError, ChecksumError, ChunkDecodeError
 
 
 def decode_chunk_row(row: dict, verify_checksum: bool = True) -> pa.Table:
-    """One encoded row (python dict) -> Arrow table of n_rows rows."""
+    """One encoded row (python dict) -> Arrow table of n_rows rows.
+
+    Codec-level failures (torn frames: payload truncated mid-varint /
+    mid-bitpack, short string data) are ACCUMULATED across columns and
+    re-raised as one ChunkDecodeError with (fragment, chunk, column)
+    coordinates — the not-fail-fast error semantics of ``uncheckedRun``
+    (siphon/src/Siphon.hs:718-749)."""
     names = json.loads(row["plan_json"])
     payloads = [row[f"col{i}_payload"] for i in range(len(names))]
     if verify_checksum:
@@ -35,11 +41,23 @@ def decode_chunk_row(row: dict, verify_checksum: bool = True) -> pa.Table:
             raise ChecksumError(row.get("fragment", ""), row.get("chunk_id", ""),
                                 row["checksum"], actual)
     arrays, fields = [], []
+    cell_errors = []
     for i, name in enumerate(names):
         meta = json.loads(row[f"col{i}_meta"])
-        arr = decode_column(payloads[i], meta)
+        try:
+            arr = decode_column(payloads[i], meta)
+        except (ValueError, IndexError, KeyError, pa.lib.ArrowInvalid) as e:
+            cell_errors.append(
+                CellError(column=name, row=-1,
+                          content=f"<{len(payloads[i])} payload bytes>",
+                          reason=str(e))
+            )
+            continue
         arrays.append(arr)
         fields.append(pa.field(name, arr.type))
+    if cell_errors:
+        raise ChunkDecodeError(row.get("fragment", ""), row.get("chunk_id", ""),
+                               cell_errors)
     return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
 
 

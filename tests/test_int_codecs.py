@@ -158,3 +158,84 @@ def test_stats_shapes():
     assert st.sorted_run and st.dmin >= 0
     st = int_stats(np.zeros(0, np.int32))
     assert st.n == 0
+
+
+@pytest.mark.parametrize("codec_name", sorted(INT_CODECS))
+def test_torn_frame_never_silent(codec_name):
+    """D4 graft: a payload truncated at ANY byte boundary (torn frame)
+    must raise, never silently decode short/garbage — the columnar
+    analog of the reference's one-byte-per-chunk quote corner cases
+    (siphon/test/Test.hs:93-122)."""
+    arr = EDGE_ARRAYS["zipf"]
+    codec = INT_CODECS[codec_name]
+    enc = codec.encode(arr)
+    payload = enc.pack()
+    for cut in (0, 1, len(payload) // 2, len(payload) - 1):
+        if cut >= len(payload):
+            continue
+        torn = payload[:cut]
+        try:
+            back = codec.decode(Encoded.unpack(codec_name, dict(enc.meta), torn))
+        except (ValueError, IndexError, KeyError):
+            continue  # loud failure: correct
+        assert np.array_equal(back, arr), (
+            f"{codec_name} cut={cut}: decoded WRONG data silently"
+        )
+
+
+def test_torn_frame_column_level():
+    """Truncated column payloads (string + list columns) raise."""
+    import pyarrow as pa
+
+    from colonnade_ray.codecs import decode_column, encode_column
+
+    cols = {
+        "strings": pa.array([f"doc-{i:06d}" for i in range(500)]),
+        "tokens": pa.array([[i % 50, i % 7, i % 3] for i in range(400)],
+                           pa.list_(pa.int32())),
+    }
+    for name, arr in cols.items():
+        payload, meta = encode_column(arr)
+        for cut in (1, len(payload) // 3, len(payload) - 2):
+            try:
+                back = decode_column(payload[:cut], meta)
+            except (ValueError, IndexError, KeyError, pa.lib.ArrowInvalid):
+                continue
+            assert back.equals(arr), f"{name} cut={cut}: silent wrong decode"
+
+
+def test_torn_frame_chunk_coordinates():
+    """decode_chunk_row wraps torn frames into ChunkDecodeError with
+    (fragment, chunk, column) coordinates, accumulated not fail-fast."""
+    import json
+
+    import pyarrow as pa
+
+    from colonnade_ray.errors import ChunkDecodeError
+    from colonnade_ray.stages.decode import decode_chunk_row
+    from colonnade_ray.stages.encode import encode_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(300)]),
+            "tokens": pa.array([[i % 9] * 5 for i in range(300)], pa.list_(pa.int32())),
+            "n_tok": pa.array([5] * 300, pa.int32()),
+            "source": pa.array(["s"] * 300),
+        }
+    )
+    enc = encode_batch(t)  # dict of single-element lists (one chunk row)
+    row = {c: v[0] for c, v in enc.items()}
+    names = json.loads(row["plan_json"])
+    # tear EVERY column's payload -> all columns must appear in the error
+    for i in range(len(names)):
+        p = row[f"col{i}_payload"]
+        row[f"col{i}_payload"] = p[: max(len(p) // 2 - 1, 0)]
+    with pytest.raises(ChunkDecodeError) as e:
+        decode_chunk_row(row, verify_checksum=False)
+    errd = e.value
+    assert errd.fragment == row.get("fragment")
+    # n_tok is constant -> RLE payload is 0 bytes, nothing to tear;
+    # every column with a non-empty payload must be reported
+    torn_cols = {c.column for c in errd.cell_errors}
+    assert {"doc_id", "tokens", "source"} <= torn_cols
+    assert "truncated" in str(errd) or "corrupt" in str(errd)

@@ -562,3 +562,33 @@ def test_jaccard_pairs_exact_matches_reference(ray_session):
         for r in jaccard_pairs_exact(ds, threshold=0.6).take_all()
     }
     assert got == expect and expect  # non-trivial truth set
+
+
+def test_html_table_golden():
+    """S6 graft: thead/tbody/th/td layout + escaping (encodeHtmlTable,
+    blaze-colonnade/src/Text/Blaze/Colonnade.hs:305-326)."""
+    from colonnade_ray.render import html_table
+
+    t = pa.table({"name": ["a<b", 'q"uote'], "n": [1, 22]})
+    out = html_table(t)
+    lines = [ln.strip() for ln in out.splitlines()]
+    assert lines[0] == "<table>" and lines[-1] == "</table>"
+    assert "<thead>" in lines and "<tbody>" in lines
+    assert "<th>name</th>" in lines and "<th>n</th>" in lines
+    assert "<td>a&lt;b</td>" in lines
+    assert "<td>q&quot;uote</td>" in lines
+    assert out.index("<thead>") < out.index("<tbody>")
+
+
+def test_html_table_sectioned_colspan():
+    """S7 graft: grouped render emits a full-width colspan divider per
+    section (encodeCappedTable colspan semantics)."""
+    from colonnade_ray.render import html_table
+
+    t = pa.table({"g": ["x", "x", "y"], "v": [1, 2, 3], "w": [4, 5, 6]})
+    out = html_table(t, sections="g")
+    assert '<td colspan="2">g: x</td>' in out
+    assert '<td colspan="2">g: y</td>' in out
+    assert "<th>g</th>" not in out  # section column lifted out
+    # dividers appear before their member rows
+    assert out.index('g: x') < out.index("<td>1</td>") < out.index('g: y')
