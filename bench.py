@@ -202,37 +202,53 @@ def run_bench() -> dict:
     return result
 
 
+def _scaling_run(n: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_BENCH_SCALE_MULT="8",
+               GRAFT_BENCH_ENCODE_ONLY="1", GRAFT_BENCH_REPEAT="1")
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
 def run_scaling() -> dict:
-    """Same job at N and 4N CPUs, fresh processes, 8x-size input (so
-    compute dominates fixed per-job costs)."""
+    """Same job at N and 4N CPUs, fresh processes per measurement,
+    8x-size input (so compute dominates fixed per-job costs).
+
+    REPEATED: GRAFT_SCALING_REPEATS (default 5) interleaved lo/hi
+    pairs; the reported efficiency is the MEDIAN of per-pair
+    efficiencies (the round-1 verdict asked for median-of-repeats, not
+    best-of, against the >=0.8 bar)."""
     lo, hi = 4, 16  # N -> 4N; both levels within this VM's ~13-16
     # effective cores for memory-heavy kernels, so the pair measures the
     # PIPELINE's scaling, not single-box hypervisor saturation (the
     # 8->32 vCPU pair oversubscribes and anti-scales; see BASELINE.md)
-    runs = {}
-    for n in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_BENCH_SCALE_MULT="8",
-                   GRAFT_BENCH_ENCODE_ONLY="1", GRAFT_BENCH_REPEAT="2")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        runs[n] = json.loads(out.strip().splitlines()[-1])
-    tps = {n: runs[n]["tokens_per_sec"] for n in runs}
-    eff = (tps[hi] / tps[lo]) / (hi / lo)
+    reps = int(os.environ.get("GRAFT_SCALING_REPEATS", "5"))
+    effs, lo_tps, hi_tps = [], [], []
+    for _ in range(reps):
+        # interleave lo/hi within each pair so slow drift (page cache,
+        # thermal) hits both levels equally
+        r_lo = _scaling_run(lo)
+        r_hi = _scaling_run(hi)
+        lo_tps.append(r_lo["tokens_per_sec"])
+        hi_tps.append(r_hi["tokens_per_sec"])
+        effs.append((r_hi["tokens_per_sec"] / r_lo["tokens_per_sec"]) / (hi / lo))
+    effs_sorted = sorted(effs)
+    median_eff = effs_sorted[len(effs_sorted) // 2] if reps % 2 else (
+        effs_sorted[reps // 2 - 1] + effs_sorted[reps // 2]) / 2
     return {
-        "metric": f"scaling efficiency (tokens/sec, {lo} -> {hi} CPUs, fresh processes, 8x input)",
-        "value": round(eff, 3),
+        "metric": f"scaling efficiency (tokens/sec, {lo} -> {hi} CPUs, fresh processes, 8x input, median of {reps})",
+        "value": round(median_eff, 3),
         "unit": "efficiency",
-        "scaling_efficiency": round(eff, 3),
-        f"sec_{lo}": runs[lo]["value"],
-        f"sec_{hi}": runs[hi]["value"],
-        f"tokens_per_sec_{lo}": tps[lo],
-        f"tokens_per_sec_{hi}": tps[hi],
-        "note": "N=4 -> 4N=16 vCPUs, fresh ray.init processes, same cached input; both levels inside this VM's effective-core budget (~13-16 for memory-heavy kernels) so the ratio reflects pipeline scaling as a cluster N->4N-node proxy; 8->32 measured separately in BASELINE.md",
-        "sf": runs[lo]["sf"],
-        "tokens": runs[lo]["tokens"],
+        "scaling_efficiency": round(median_eff, 3),
+        "efficiency_per_repeat": [round(e, 3) for e in effs],
+        f"tokens_per_sec_{lo}": lo_tps,
+        f"tokens_per_sec_{hi}": hi_tps,
+        "note": "N=4 -> 4N=16 vCPUs, fresh ray.init processes per measurement, interleaved pairs, same cached input; both levels inside this VM's effective-core budget (~13-16 for memory-heavy kernels) so the ratio reflects pipeline scaling as a cluster N->4N-node proxy; 8->32 measured separately in BASELINE.md",
+        "sf": r_lo["sf"],
+        "tokens": r_lo["tokens"],
     }
 
 

@@ -147,40 +147,61 @@ def keyed_attach(pairs_ds, docs_ds, key_from: str, out_col: str,
 
 
 def sessionize(events_ds, key_col: str = "user_id", ts_col: str = "ts",
-               gap_minutes: int = 30):
+               gap_minutes: int = 30, num_buckets: int = 64):
     """Session windows: per key, a new session starts when the gap to
-    the previous event exceeds ``gap_minutes`` (ray guide streaming
-    pattern: groupby(key).map_groups over ts-sorted groups).
+    the previous event exceeds ``gap_minutes``.
+
+    Shuffles on a HASH BUCKET of the key (co-locating each key's rows)
+    and sessionizes a whole bucket in one vectorized pandas pass —
+    sort by (key, ts), boundary mask, cumsum — instead of one Python
+    map_groups call per key (Ray's per-group overhead dominates at
+    many small keys; same lesson as dedup.distinct_pairs).
 
     Returns (key, session_id, n_events, session_start) with
     session_id = running count per key starting at 1.
     """
+    import numpy as np
+
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        new_session = g[ts_col].diff() > gap
-        sid = new_session.cumsum() + 1
-        out = g.assign(session_id=sid).groupby("session_id", as_index=False).agg(
-            n_events=(ts_col, "size"), session_start=(ts_col, "min")
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[key_col], index=False)
+        return df.assign(
+            __b=(h.to_numpy() % np.uint64(num_buckets)).astype(np.int64)
         )
-        out[key_col] = g[key_col].iloc[0]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col], kind="mergesort")
+        new_key = g[key_col].ne(g[key_col].shift())
+        new_session = new_key | (g[ts_col].diff() > gap)
+        sid_global = new_session.cumsum()
+        first_of_key = sid_global.where(new_key).ffill()
+        sid = (sid_global - first_of_key + 1).astype(np.int64)
+        out = g.assign(session_id=sid).groupby(
+            [key_col, "session_id"], as_index=False, sort=False
+        ).agg(n_events=(ts_col, "size"), session_start=(ts_col, "min"))
         return out[[key_col, "session_id", "n_events", "session_start"]]
 
-    return events_ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return events_ds.map_batches(add_bucket, batch_format="pandas").groupby(
+        "__b"
+    ).map_groups(per_bucket, batch_format="pandas")
 
 
 def asof_join(left, right, on: str, ts_col: str = "ts",
-              right_suffix: str = "_right"):
+              right_suffix: str = "_right", num_buckets: int = 64):
     """As-of join: for each left row, the latest right row with the
     same key and ts <= left ts (inclusive) — the brief's custom-
     operator example, composed from Dataset primitives: tag-union both
-    sides, one groupby(key) shuffle, pd.merge_asof per ts-sorted group.
+    sides, one shuffle on a hash bucket of the key, one vectorized
+    pd.merge_asof(by=key) per bucket.
 
     Partitioning assumption (documented per SURVEY.md): correctness
-    requires all rows of one key in one group — guaranteed by the
-    groupby; within-group ordering is established locally by sort.
-    Returns all left columns plus right columns suffixed.
+    requires all rows of one key in one bucket — guaranteed by hashing
+    the key; within-bucket ordering is established locally by sort,
+    and merge_asof's ``by=`` gives per-key semantics inside the
+    bucket.  Bucketing (vs groupby(key) directly) avoids one Python
+    call per key.  Returns all left columns plus right columns
+    suffixed.
     """
     import pyarrow as pa
 
@@ -191,6 +212,8 @@ def asof_join(left, right, on: str, ts_col: str = "ts",
     ltypes = {f.name: f.type for f in lschema}
     rtypes = {f.name: f.type for f in rschema}
 
+    import numpy as np
+
     def tag(side: str, other_cols, other_types):
         def fn(b: pa.Table) -> pa.Table:
             t = b.append_column("__side", pa.array([side] * len(b)))
@@ -198,7 +221,10 @@ def asof_join(left, right, on: str, ts_col: str = "ts",
                 # so pandas keeps nullable Int64 instead of degrading
                 # int64+NaN to float64 (round-1 asof_clicks hash fix)
                 t = t.append_column(c, pa.nulls(len(b), type=other_types[c]))
-            return t
+            hb = pd.util.hash_pandas_object(
+                b[on].to_pandas(), index=False
+            ).to_numpy() % np.uint64(num_buckets)
+            return t.append_column("__b", pa.array(hb.astype(np.int64)))
 
         return fn
 
@@ -225,7 +251,9 @@ def asof_join(left, right, on: str, ts_col: str = "ts",
                 df[c] = pd.array(df[c], dtype=dt)
         return df
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized merge_asof(by=key) over the whole bucket —
+        # per-key semantics without one Python call per key
         lg = g[g["__side"] == "L"].sort_values(ts_col, kind="mergesort")
         rg = g[g["__side"] == "R"].sort_values(ts_col, kind="mergesort")
         lg = lg[[on, ts_col] + lcols]
@@ -249,4 +277,4 @@ def asof_join(left, right, on: str, ts_col: str = "ts",
         )
         return _fix_dtypes(merged[cols_out])
 
-    return tagged.groupby(on).map_groups(per_key, batch_format="pandas")
+    return tagged.groupby("__b").map_groups(per_bucket, batch_format="pandas")
