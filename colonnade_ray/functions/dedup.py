@@ -67,14 +67,19 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     hash -> groupby(fingerprint).aggregate(Min(id)) : the shuffle moves
     one fingerprint row per doc, never the text payloads.
     """
-    from ray.data.aggregate import Min
+    from .bucketing import bucketed_group_apply
 
     fp = ds.map_batches(
         lambda b: fingerprint_batch(b, text_col).select([id_col, "fingerprint"]),
         batch_format="pyarrow",
     )
-    out = fp.groupby("fingerprint").aggregate(Min(id_col, alias_name=id_col))
-    return out.select_columns([id_col])
+    # bucketed min-per-fingerprint: one vectorized pandas groupby per
+    # bucket instead of one Ray aggregate group per distinct text
+    out = bucketed_group_apply(
+        fp, "fingerprint",
+        lambda g: g.groupby("fingerprint", as_index=False, sort=False)[id_col].min(),
+    )
+    return out.map_batches(lambda df: df[[id_col]], batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -321,6 +326,17 @@ def _pairs_from_group(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
     return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
 
+def _pairs_from_bucket(g: pd.DataFrame, id_col: str,
+                       keys=("band", "band_hash")) -> pd.DataFrame:
+    """Candidate pairs for a whole BUCKET of band groups: one
+    vectorized self-merge on the band key, ordered + locally deduped."""
+    keys = list(keys)
+    m = g.merge(g, on=keys)
+    m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+    out = m.rename(columns={f"{id_col}_x": "id_a", f"{id_col}_y": "id_b"})
+    return out[["id_a", "id_b"]].drop_duplicates()
+
+
 _PAIR_BUCKETS = 64
 
 
@@ -371,6 +387,8 @@ def minhash_candidates(ds, text_col="text", id_col="doc_id", bands=16, rows_per_
     from ..util import default_concurrency
 
     conc = concurrency or (1, default_concurrency())
+    from .bucketing import bucketed_group_apply
+
     exploded = ds.map_batches(
         MinHashBands,
         fn_constructor_kwargs=dict(
@@ -380,8 +398,11 @@ def minhash_candidates(ds, text_col="text", id_col="doc_id", bands=16, rows_per_
         batch_format="pyarrow",
         concurrency=conc,
     )
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
-        lambda g: _pairs_from_group(g, id_col), batch_format="pandas"
+    # bucketed band-key shuffle + vectorized per-bucket self-merge:
+    # emits each co-bucketed pair once per band, deduped locally
+    pairs = bucketed_group_apply(
+        exploded, ["band", "band_hash"],
+        lambda g: _pairs_from_bucket(g, id_col),
     )
     # a pair can surface from several bands — dedup
     return distinct_pairs(pairs)
@@ -598,8 +619,7 @@ def _dup_groups_distributed(pairs_ds, max_iters: int = 50):
     stable.  Converges in <= component-diameter rounds; near-dup
     components are shallow (clusters of rewrites), so a handful of
     rounds suffices in practice.  Nothing ever lands on the driver."""
-    from ray.data.aggregate import Min
-
+    from .bucketing import bucketed_group_apply
     from .relational import field_type, keyed_attach
 
     def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
@@ -610,10 +630,16 @@ def _dup_groups_distributed(pairs_ds, max_iters: int = 50):
             }
         )
 
+    def min_label(col_in: str):
+        def fn(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("node", as_index=False, sort=False)[col_in].min()
+            return out.rename(columns={col_in: "label"})
+
+        return fn
+
     edges = pairs_ds.map_batches(both_dirs, batch_format="pandas").materialize()
     labels = (
-        edges.groupby("node")
-        .aggregate(Min("nbr", alias_name="label"))
+        bucketed_group_apply(edges, "node", min_label("nbr"))
         .map_batches(
             lambda df: df.assign(label=np.minimum(df["node"], df["label"])),
             batch_format="pandas",
@@ -638,12 +664,9 @@ def _dup_groups_distributed(pairs_ds, max_iters: int = 50):
             edges, labels, key_from="nbr", out_col="label",
             carry=[("node", node_type)], id_col="node", text_col="label",
         )
-        labels = (
-            labels.union(nbr_labels)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
+        labels = bucketed_group_apply(
+            labels.union(nbr_labels), "node", min_label("label")
+        ).materialize()
         cur = digest_of(labels)
         if cur == prev:
             break

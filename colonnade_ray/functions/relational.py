@@ -128,22 +128,27 @@ def keyed_attach(pairs_ds, docs_ds, key_from: str, out_col: str,
     int_cols = [c for c, t in carry if pa.types.is_integer(t)]
     if pa.types.is_integer(val_type):
         int_cols = int_cols + [out_col]
-    fill = "" if pa.types.is_string(val_type) or pa.types.is_large_string(val_type) else None
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        docs = g[g["__is_doc"]]
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pandas merge per BUCKET of keys (bucketing.py
+        # rationale: O(buckets) Python calls, not O(distinct keys))
+        docs = g[g["__is_doc"]][["__key", "__val"]].drop_duplicates("__key")
         p = g[~g["__is_doc"]]
         out_cols = carry_names + [out_col]
         if p.empty:
             return pd.DataFrame({c: [] for c in out_cols})
-        p = p[carry_names].copy()
-        p[out_col] = docs["__val"].iloc[0] if len(docs) else fill
+        merged = p[["__key"] + carry_names].merge(docs, on="__key", how="left")
+        merged = merged.rename(columns={"__val": out_col})[out_cols]
         for c in int_cols:
-            if c in p.columns:
-                p[c] = p[c].astype("int64")
-        return p[out_cols]
+            if c in merged.columns:
+                merged[c] = merged[c].astype("int64")
+        if pa.types.is_string(val_type) or pa.types.is_large_string(val_type):
+            merged[out_col] = merged[out_col].fillna("")
+        return merged
 
-    return tagged.groupby("__key").map_groups(per_key, batch_format="pandas")
+    from .bucketing import bucketed_group_apply
+
+    return bucketed_group_apply(tagged, "__key", per_bucket)
 
 
 def sessionize(events_ds, key_col: str = "user_id", ts_col: str = "ts",

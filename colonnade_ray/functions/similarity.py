@@ -300,17 +300,13 @@ def embedding_near_dup_candidates(ds, bands: int = 8, bits_per_band: int = 8,
         concurrency=(1, default_concurrency()),
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g[id_col].to_numpy())
-        if ids.size < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                                 "id_b": pd.Series([], dtype=np.int64)})
-        ia, ib = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+    from .bucketing import bucketed_group_apply
+    from .dedup import _pairs_from_bucket, distinct_pairs
 
-    from .dedup import distinct_pairs
-
-    cand = exploded.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    cand = bucketed_group_apply(
+        exploded, ["band", "band_hash"],
+        lambda g: _pairs_from_bucket(g, id_col),
+    )
     return distinct_pairs(cand)
 
 
