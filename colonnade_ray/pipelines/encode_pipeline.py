@@ -59,12 +59,14 @@ def encode_dataset(
             batch_size=batch_size,
         )
     if concurrency is None:
-        # autoscaling pool up to node CPUs minus headroom for the
-        # read/write stages — a fixed-size pool can starve co-running
-        # stages (sort tasks) on small CPU counts.
+        # FIXED-size pool at ~3/4 of effective CPUs: the remaining 1/4
+        # is the read/shuffle/write headroom.  An autoscaling (4, N)
+        # pool pays scale-up lag exactly when N is large — the
+        # high-CPU runs started at 4 actors while the low-CPU runs
+        # started full-size, biasing measured scaling efficiency.
         from ..util import default_concurrency
 
-        concurrency = (min(4, default_concurrency()), default_concurrency())
+        concurrency = default_concurrency()
     kwargs = {"concurrency": concurrency}
     return ds.map_batches(
         EncoderActor,

@@ -54,8 +54,27 @@ def source_token_totals(paths, token_col: str = "n_tok", source_col: str = "sour
 
     path_list = [paths] if isinstance(paths, str) else list(paths)
     if all(isinstance(p, str) and os.path.isfile(p) for p in path_list):
-        total_file_bytes = sum(os.path.getsize(p) for p in path_list)
-        if total_file_bytes < (1 << 30):
+        # size the PRUNED columns, not the files: one footer read gives
+        # exact per-column chunk bytes; extrapolate over shards.  The
+        # old whole-file guard sent a 5 GB corpus (whose two thin
+        # columns are ~2% of it) down the Ray path and paid ~3.4 s of
+        # driver-serial job floor inside the timed encode — a direct
+        # Amdahl hit on scaling efficiency.
+        import pyarrow.parquet as pq
+
+        try:
+            md = pq.ParquetFile(path_list[0]).metadata
+            per_file = 0
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if col.path_in_schema in (source_col, token_col):
+                        per_file += col.total_compressed_size
+            pruned_bytes = per_file * len(path_list)
+        except Exception:
+            pruned_bytes = sum(os.path.getsize(p) for p in path_list)
+        if pruned_bytes < (1 << 30):
             import pyarrow.dataset as pads
 
             t = pads.dataset(path_list).to_table(columns=[source_col, token_col])
