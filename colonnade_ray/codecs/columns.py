@@ -57,6 +57,8 @@ def type_to_desc(t: pa.DataType) -> dict:
         return {"k": "bool"}
     if pa.types.is_list(t):
         return {"k": "list", "item": type_to_desc(t.value_type)}
+    if pa.types.is_large_list(t):
+        return {"k": "large_list", "item": type_to_desc(t.value_type)}
     if pa.types.is_integer(t) or pa.types.is_floating(t):
         return {"k": str(t)}
     raise TypeError(f"unsupported arrow type {t}")
@@ -78,6 +80,8 @@ def desc_to_type(d: dict) -> pa.DataType:
         return pa.bool_()
     if k == "list":
         return pa.list_(desc_to_type(d["item"]))
+    if k == "large_list":
+        return pa.large_list(desc_to_type(d["item"]))
     return pa.type_for_alias(k)
 
 
@@ -158,7 +162,12 @@ def _primitive_values(arr: pa.Array) -> np.ndarray:
         # reinterpret the 32-bit day values instead (zero-copy)
         np_arr = arr.view(pa.int32()).to_numpy(zero_copy_only=True)
     else:
-        np_arr = arr.to_numpy(zero_copy_only=True)
+        try:
+            np_arr = arr.to_numpy(zero_copy_only=True)
+        except pa.lib.ArrowInvalid:
+            # some upstream representations (e.g. polars-sorted blocks)
+            # can't expose a zero-copy view; pay the one copy
+            np_arr = arr.to_numpy(zero_copy_only=False)
     if pa.types.is_timestamp(t):
         return np_arr.view(f"i{np_arr.dtype.itemsize}")
     return np_arr
@@ -425,14 +434,18 @@ def _decode_list(meta: dict, parts: list, atype: pa.DataType, n: int) -> pa.Arra
     lengths = decode_int_stream(Encoded(lentry["codec"], lentry["meta"], parts[idx : idx + k]))
     idx += k
     child = decode_column_chunk(meta["child"], parts[idx:], meta["child_n"])
-    offsets = np.concatenate(([0], np.cumsum(lengths))).astype(np.int32)
-    if vmask is None:
-        out = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), child, type=atype)
+    if pa.types.is_large_list(atype):
+        offs = pa.array(np.concatenate(([0], np.cumsum(lengths))), pa.int64())
+        cls = pa.LargeListArray
     else:
-        out = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()), child, type=atype,
-            mask=pa.array(~vmask),
+        offs = pa.array(
+            np.concatenate(([0], np.cumsum(lengths))).astype(np.int32), pa.int32()
         )
+        cls = pa.ListArray
+    if vmask is None:
+        out = cls.from_arrays(offs, child, type=atype)
+    else:
+        out = cls.from_arrays(offs, child, type=atype, mask=pa.array(~vmask))
     return out
 
 
