@@ -464,7 +464,7 @@ def encode_column_chunk(arr, fsst: Optional[FsstCodec] = None,
     t = arr.type
     if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
         meta, parts = _encode_string(arr, fsst)
-    elif pa.types.is_list(t):
+    elif pa.types.is_list(t) or pa.types.is_large_list(t):
         meta, parts = _encode_list(arr, forced)
     else:
         meta, parts = _encode_primitive(arr, forced)

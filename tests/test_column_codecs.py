@@ -163,3 +163,17 @@ def test_float_planes_nan_inf_exact():
     a = arr.to_numpy(zero_copy_only=False)
     b = back.to_numpy(zero_copy_only=False)
     assert np.array_equal(a.view(np.uint64), b.view(np.uint64))  # bit-identical
+
+
+def test_large_list_and_large_string_roundtrip():
+    """Blocks from other engines (e.g. polars-sorted) arrive as
+    large_list/large_string; the router must round-trip them with the
+    type preserved."""
+    ll = pa.array([[1, 2, 3], [], [7] * 50, None], pa.large_list(pa.int32()))
+    payload, meta = encode_column(ll)
+    back = decode_column(payload, meta)
+    assert back.type == ll.type and back.equals(ll)
+    ls = pa.array(["alpha", None, "", "omega" * 40], pa.large_string())
+    payload, meta = encode_column(ls)
+    back = decode_column(payload, meta)
+    assert back.type == ls.type and back.equals(ls)
