@@ -54,6 +54,17 @@ def _unique_counts(arr: np.ndarray):
         vmax = int(arr.max())
         rng = vmax - vmin
         if 0 <= rng <= _BINCOUNT_MAX_RANGE:
+            if 0 <= vmin and vmax <= _BINCOUNT_MAX_RANGE and arr.dtype != np.uint64:
+                # token hot path: non-negative small values need no
+                # shift and no int64 copy — bincount the array as-is
+                # (one 8B/value pass saved on every dict encode)
+                bc = np.bincount(arr, minlength=vmax + 1)
+                present = np.flatnonzero(bc)
+                uniq = present.astype(arr.dtype)
+                counts = bc[present]
+                lut = np.zeros(vmax + 1, dtype=np.int32)
+                lut[present] = np.arange(present.size, dtype=np.int32)
+                return uniq, lut[arr], counts
             if arr.dtype == np.uint64:  # vmin may be >= 2^63
                 shifted = (arr - np.uint64(vmin)).astype(np.int64)
             else:
