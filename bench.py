@@ -153,6 +153,7 @@ def run_bench() -> dict:
             corpus_dir, out_dir, batch_size=8192,
             partition_by=None if os.environ.get("GRAFT_BENCH_NO_SHUFFLE") == "1" else "source",
             resume=False,
+            transport=os.environ.get("GRAFT_BENCH_NO_TRANSPORT") != "1",
         )
         dt = round(time.time() - t0, 3)
         best = dt if best is None else min(best, dt)

@@ -34,6 +34,7 @@ import pyarrow.parquet as pq
 from ..stages.decode import DecodeBatch
 from ..stages.encode import EncoderActor, encode_batch
 from ..stages.skew import DEFAULT_TOKEN_BUDGET, PKEY, partition_by_source, salt_counts, source_token_totals
+from ..stages.transport import list_transport_spec, pack_list_columns
 from ..stages.verify import dataset_digest
 
 LINEAGE_COLS = [
@@ -50,11 +51,25 @@ def encode_dataset(
     concurrency=None,
     shared_fsst: bool = True,
     stateless: bool = False,
+    transport: Optional[dict] = None,
 ):
-    """Dataset of raw rows -> Dataset of encoded chunk rows (lazy)."""
+    """Dataset of raw rows -> Dataset of encoded chunk rows (lazy).
+
+    ``transport``: spec from ``stages.transport.list_transport_spec``
+    when the upstream stage packed list columns for the exchange; the
+    encoder widens them back before encoding (bit-transparent).
+    """
     if stateless:
+
+        def _stateless(b: pa.Table) -> dict:
+            if transport:
+                from ..stages.transport import unpack_list_columns
+
+                b = unpack_list_columns(b, transport)
+            return encode_batch(b, list(plan_names) if plan_names else None)
+
         return ds.map_batches(
-            lambda b: encode_batch(b, list(plan_names) if plan_names else None),
+            _stateless,
             batch_format="pyarrow",
             batch_size=batch_size,
         )
@@ -73,6 +88,7 @@ def encode_dataset(
         fn_constructor_kwargs={
             "plan_names": list(plan_names) if plan_names else None,
             "shared_fsst": shared_fsst,
+            "transport": transport,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -165,6 +181,7 @@ def encode_corpus(
     resume: bool = True,
     shared_fsst: bool = True,
     max_concurrent_groups: int = 1,
+    transport: bool = True,
 ) -> dict:
     """Encode a parquet corpus to out_dir with lineage + exact resume.
 
@@ -206,12 +223,29 @@ def encode_corpus(
         total_bytes = sum(os.path.getsize(f) for f in g if os.path.exists(f))
         nblocks = max(len(g), total_bytes // (64 << 20) + 1)
         ds = rd.read_parquet(g, include_paths=True, override_num_blocks=nblocks)
+        # Transport narrowing: pack integer list columns to their
+        # footer-proven minimal width BEFORE anything leaves the read
+        # task (the pack map fuses into ReadParquet), so every
+        # object-store / shuffle hop moves the narrow form; the encoder
+        # actor widens back.  Halves exchange bytes on 16-bit vocabs.
+        spec = (
+            list_transport_spec(g)
+            if transport and plan_names is None  # explicit plans may rename/retype
+            else {}
+        )
+        if spec:
+            ds = ds.map_batches(
+                lambda b: pack_list_columns(b, spec),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
         if partition_by == "source":
             totals = source_token_totals(g)
             ds = partition_by_source(ds, salt_counts(totals, token_budget))
             ds = ds.drop_columns([PKEY])
         enc = encode_dataset(
-            ds, plan_names, batch_size, concurrency, shared_fsst=shared_fsst
+            ds, plan_names, batch_size, concurrency, shared_fsst=shared_fsst,
+            transport=spec or None,
         )
         enc.write_parquet(gdir, compression="none")
         # commit marker: lineage written only after the data lands

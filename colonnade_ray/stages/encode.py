@@ -142,9 +142,15 @@ class EncoderActor:
     across every batch of that source this actor sees.
     """
 
-    def __init__(self, plan_names: Optional[list] = None, shared_fsst: bool = True):
+    def __init__(
+        self,
+        plan_names: Optional[list] = None,
+        shared_fsst: bool = True,
+        transport: Optional[dict] = None,
+    ):
         self._plan_names = plan_names
         self._shared_fsst = shared_fsst
+        self._transport = transport or {}
         self._bound: Optional[BoundPlan] = None
         self._bound_schema: Optional[pa.Schema] = None
         self._fsst_cache: dict = {}
@@ -179,6 +185,10 @@ class EncoderActor:
 
     def __call__(self, batch: pa.Table) -> dict:
         fragment = _fragment_of(batch)
+        if self._transport:
+            from .transport import unpack_list_columns
+
+            batch = unpack_list_columns(batch, self._transport)
         data = _strip_sys(batch)
         bound = self._bind(data.schema)
         return encode_chunk(data, bound, self._fsst_for(data, bound), fragment)
