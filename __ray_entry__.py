@@ -353,6 +353,39 @@ def q_ann_ivf_topk(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+def q_ann_ivf_exhaustive(sf_dir: str):
+    """IVF top-k with every cell probed: must equal brute force exactly
+    — the SQL-checkable correctness anchor for the IVF machinery (the
+    pruned n_probe<n_cells variant stays rows-only)."""
+    from colonnade_ray.functions.similarity import ivf_topk
+
+    emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = emb.filter(lambda r: r["vec_id"] < 3).take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    queries = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    out = ivf_topk(emb, queries, k=5, n_cells=8, n_probe=8)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
+def q_word_freq_topk(sf_dir: str):
+    """Top-50 word frequencies: per-batch partial counts -> one small
+    groupby exchange -> sort+limit (the shuffle-minimized wide
+    aggregate pattern)."""
+    from colonnade_ray.functions.text import word_freq
+
+    return word_freq(_tbl(sf_dir, "documents", ["text"]), k=50)
+
+
+def q_events_sliding(sf_dir: str):
+    """Hopping windows (1h length, 30m hop): each event counted in two
+    overlapping windows."""
+    from colonnade_ray.functions.relational import hopping_windows
+
+    ev = _tbl(sf_dir, "events", ["ts", "event_type"])
+    return hopping_windows(ev, ts_col="ts", key_cols=("event_type",),
+                           length_minutes=60, hop_minutes=30)
+
+
 def q_cosine_near_dups(sf_dir: str):
     """Exact embedding-cosine near-dup pairs (SQL-checkable)."""
     from colonnade_ray.functions.similarity import cosine_pairs_exact
@@ -479,10 +512,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs_exact": q_jaccard_pairs_exact,
         "pack_conservation": q_pack_conservation,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
-        # rows-only (non-SQL-expressible)
-        "encode_roundtrip": q_encode_roundtrip,
+        "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
+        "word_freq_topk": q_word_freq_topk,
+        "events_sliding": q_events_sliding,
         "near_dup_pairs": q_near_dup_pairs,
         "dup_groups": q_dup_groups,
+        # rows-only (non-SQL-expressible)
+        "encode_roundtrip": q_encode_roundtrip,
         "simhash_signatures": q_simhash,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_lsh_candidates": q_embedding_lsh_candidates,
@@ -492,6 +528,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 _STOP_SQL = "the|a|an|and|or|of|to|in|is|are|was|for|on|with|as|by|at|from|this|that"
+
+# Shared CTE chain: exact word-5-gram Jaccard near-dup pairs at 0.8
+# (docs with 1-4 words fold to one whole-doc gram, matching the
+# engine's shingling).  Reused by jaccard_pairs_exact, near_dup_pairs
+# (LSH candidates + exact verify must equal the exact pair set) and
+# dup_groups (recursive transitive closure over the same pairs).
+_JACCARD_CTES = (
+    "d AS (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS ws "
+    "FROM documents WHERE len(trim(text)) > 0), "
+    "g AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS gram "
+    "FROM d, UNNEST(range(1, len(ws) - 3)) AS t(i) WHERE len(ws) >= 5 "
+    "UNION ALL SELECT doc_id, array_to_string(ws, ' ') FROM d "
+    "WHERE len(ws) BETWEEN 1 AND 4), "
+    "gs AS (SELECT DISTINCT doc_id, gram FROM g), "
+    "sz AS (SELECT doc_id, COUNT(*) AS n FROM gs GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c "
+    "FROM gs a JOIN gs b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+    "GROUP BY a.doc_id, b.doc_id), "
+    "pairs AS (SELECT id_a, id_b FROM inter "
+    "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
+    "WHERE c >= 0.8 * (sa.n + sb.n - c))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -605,22 +663,49 @@ def oracle_sql() -> dict[str, str]:
             "+ COUNT(*) AS BIGINT) AS total_tokens FROM documents"
         ),
         "jaccard_pairs_exact": (
-            # distinct word-5-grams per doc (docs with 1-4 words fold to
-            # one whole-doc gram, matching the engine's shingling), then
-            # shared-shingle pair counts vs set sizes
-            "WITH d AS (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS ws "
-            "FROM documents WHERE len(trim(text)) > 0), "
-            "g AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS gram "
-            "FROM d, UNNEST(range(1, len(ws) - 3)) AS t(i) WHERE len(ws) >= 5 "
-            "UNION ALL SELECT doc_id, array_to_string(ws, ' ') FROM d "
-            "WHERE len(ws) BETWEEN 1 AND 4), "
-            "gs AS (SELECT DISTINCT doc_id, gram FROM g), "
-            "sz AS (SELECT doc_id, COUNT(*) AS n FROM gs GROUP BY doc_id), "
-            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c "
-            "FROM gs a JOIN gs b ON a.gram = b.gram AND a.doc_id < b.doc_id "
-            "GROUP BY a.doc_id, b.doc_id) "
-            "SELECT id_a, id_b FROM inter "
-            "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
-            "WHERE c >= 0.8 * (sa.n + sb.n - c) ORDER BY id_a, id_b"
+            f"WITH {_JACCARD_CTES} "
+            "SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b"
+        ),
+        # The LSH pipeline (MinHash bands -> candidates -> exact
+        # Jaccard verify) must reproduce the exact pair set — a recall
+        # oracle, not just a row count.
+        "near_dup_pairs": (
+            f"WITH {_JACCARD_CTES} "
+            "SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b"
+        ),
+        # Connected components over the same pairs: recursive
+        # transitive closure; group_id = min doc id of the component.
+        "dup_groups": (
+            f"WITH RECURSIVE {_JACCARD_CTES}, "
+            "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach AS (SELECT a, b FROM edges "
+            "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) "
+            "SELECT a AS doc_id, LEAST(a, MIN(b)) AS group_id "
+            "FROM reach GROUP BY a"
+        ),
+        "ann_ivf_exhaustive": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+            "WHERE vec_id < 3), "
+            "s AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(q.qe, e.embedding) AS score "
+            "FROM q CROSS JOIN embeddings e), "
+            "r AS (SELECT query_id, vec_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) "
+            "AS rank FROM s) "
+            "SELECT query_id, vec_id, rank FROM r WHERE rank <= 5"
+        ),
+        "word_freq_topk": (
+            "SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+            "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word "
+            "FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 50"
+        ),
+        "events_sliding": (
+            "SELECT event_type, win_ts, COUNT(*) AS n_events FROM ("
+            "SELECT event_type, time_bucket(INTERVAL '30 minutes', ts) AS win_ts "
+            "FROM events UNION ALL "
+            "SELECT event_type, time_bucket(INTERVAL '30 minutes', ts) "
+            "- INTERVAL '30 minutes' FROM events"
+            ") GROUP BY event_type, win_ts"
         ),
     }

@@ -283,3 +283,43 @@ def asof_join(left, right, on: str, ts_col: str = "ts",
         return _fix_dtypes(merged[cols_out])
 
     return tagged.groupby("__b").map_groups(per_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) windows
+
+
+def hopping_windows(ds, ts_col: str = "ts", key_cols: Sequence[str] = ("event_type",),
+                    length_minutes: int = 60, hop_minutes: int = 30):
+    """Hopping-window counts: each event lands in length/hop
+    overlapping windows (window starts aligned to hop boundaries).
+    Completes the streaming-window family next to the tumbling
+    (events_hourly) and session (sessionize) operators.
+
+    Vectorized window fan-out inside map_batches (one floor_temporal +
+    nwin column-slice emits, no per-row work) followed by ONE groupby
+    exchange over the pre-thinned (keys, win_ts) tuples."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    if length_minutes % hop_minutes:
+        raise ValueError("length_minutes must be a multiple of hop_minutes")
+    nwin = length_minutes // hop_minutes
+    keys = list(key_cols)
+
+    def expand(b: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(b[ts_col], multiple=hop_minutes, unit="minute")
+        outs = []
+        for i in range(nwin):
+            off = pa.scalar(i * hop_minutes * 60_000_000, pa.duration("us"))
+            outs.append(
+                pa.table({**{k: b[k] for k in keys}, "win_ts": pc.subtract(base, off)})
+            )
+        return pa.concat_tables(outs)
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(keys + ["win_ts"])
+        .aggregate(Count(alias_name="n_events"))
+    )

@@ -592,3 +592,34 @@ def test_html_table_sectioned_colspan():
     assert "<th>g</th>" not in out  # section column lifted out
     # dividers appear before their member rows
     assert out.index('g: x') < out.index("<td>1</td>") < out.index('g: y')
+
+
+def test_word_freq_topk(ray_session):
+    import ray.data as rd
+
+    from colonnade_ray.functions.text import word_freq
+
+    ds = rd.from_items(
+        [{"text": "apple banana apple"}, {"text": "Banana! cherry apple"}, {"text": None}]
+    )
+    out = word_freq(ds, k=2).take_all()
+    assert [(r["word"], r["n"]) for r in out] == [("apple", 3), ("banana", 2)]
+
+
+def test_hopping_windows(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from colonnade_ray.functions.relational import hopping_windows
+
+    # 1h windows hopping every 30m: an event at 10:15 belongs to the
+    # windows starting 10:00 and 09:30; 10:45 to 10:30 and 10:00.
+    base = dt.datetime(2024, 1, 1, 10, 15)
+    ds = rd.from_items([
+        {"event_type": "c", "ts": base},
+        {"event_type": "c", "ts": base + dt.timedelta(minutes=30)},
+    ])
+    out = hopping_windows(ds, key_cols=("event_type",)).take_all()
+    got = {(r["win_ts"].strftime("%H:%M"), r["n_events"]) for r in out}
+    assert got == {("09:30", 1), ("10:00", 2), ("10:30", 1)}
