@@ -7,4 +7,12 @@ from .similarity import (
     embedding_near_dup_candidates,
     ivf_topk,
 )
-from .text import HashTokenizer, LanguageId, QualityScorer, token_count_batch
+from .multimodal import (
+    decode_ppm,
+    decode_wav,
+    extract_media_features,
+    resize_images,
+    stdlib_decoder,
+)
+from .relational import hopping_windows
+from .text import HashTokenizer, LanguageId, QualityScorer, token_count_batch, word_freq

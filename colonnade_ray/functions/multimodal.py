@@ -3,10 +3,13 @@ columns with typed metadata (brief-mandated).
 
 The Ray-side plumbing is REAL and tested: schemas, batch sizing for
 large binary payloads, actor-pool stage signatures, and output
-layout.  The codec work itself (JPEG decode, resample, frame
-sampling) is STUBBED — the image/audio libraries are not in this
-container — behind ``decoder=`` hooks; the default deterministic fake
-decoder lets pipelines and tests exercise the full data path.  Swap
+layout.  Decode is REAL for the container-friendly formats — WAV
+audio (stdlib ``wave``) and P6 PPM images (pure numpy), including a
+real nearest-neighbor resize stage — via ``stdlib_decoder``.
+Compressed codecs (JPEG/PNG/MP3/MP4 frame sampling) are STUBBED —
+those libraries are not in this container — behind the same
+``decoder=`` hook; the deterministic fake decoder lets pipelines and
+tests exercise the full data path for any media type.  Swap
 ``decoder=pillow_decoder`` (or an equivalent) in production.
 
 Design notes for 100 TB (per the brief):
@@ -128,5 +131,176 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
             "width": pa.array(rng.integers(16, 1024, n).astype(np.int32)),
             "height": pa.array(rng.integers(16, 1024, n).astype(np.int32)),
             "duration_ms": pa.array(rng.integers(0, 60000, n).astype(np.int32)),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders for container-friendly formats (stdlib + numpy only)
+
+
+def decode_wav(payload: bytes, media_type: str = "audio/wav") -> np.ndarray:
+    """PCM WAV -> float32 mono samples in [-1, 1] (stdlib ``wave``)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch, sw = w.getnchannels(), w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 1:
+        arr = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sw == 2:
+        arr = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif sw == 4:
+        arr = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise NotImplementedError(f"WAV sample width {sw}")
+    if nch > 1:
+        arr = arr.reshape(-1, nch).mean(axis=1)
+    return arr
+
+
+def _ppm_header(b: bytes):
+    """Parse a P6 header (magic, comments, width height maxval)."""
+    if not b.startswith(b"P6"):
+        raise ValueError("not a binary P6 PPM")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            pos = b.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(b[start:pos]))
+    return vals[0], vals[1], vals[2], pos + 1  # w, h, maxval, raster offset
+
+
+def decode_ppm(payload: bytes, media_type: str = "image/x-portable-pixmap") -> np.ndarray:
+    """Binary P6 PPM -> (h, w, 3) uint8 pixel array (pure numpy)."""
+    w, h, maxval, off = _ppm_header(payload)
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM")
+    return np.frombuffer(payload, np.uint8, count=w * h * 3, offset=off).reshape(h, w, 3)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img, np.uint8).tobytes()
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via two index gathers (no loops)."""
+    h, w = img.shape[:2]
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    return img[ri][:, ci]
+
+
+def stdlib_decoder(payload: bytes, media_type: str) -> np.ndarray:
+    """Dispatch: REAL decode where the container allows, honest stub
+    elsewhere."""
+    if media_type in ("audio/wav", "audio/x-wav"):
+        return decode_wav(payload, media_type)
+    if media_type in ("image/x-portable-pixmap", "image/ppm"):
+        return decode_ppm(payload, media_type).ravel().astype(np.float32) / 255.0
+    return unavailable_decoder(payload, media_type)
+
+
+class ImageResize:
+    """Actor-pool stage: PPM payload -> resized PPM payload.
+
+    Real end-to-end for uncompressed images.  Per-row decode is the
+    work itself here (payloads are the data), so the row loop is not a
+    hot-path smell; batch_size stays small per the module notes."""
+
+    def __init__(self, out_w: int = 64, out_h: int = 64):
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_payloads, widths, heights = [], [], []
+        for p in batch["payload"].to_pylist():
+            if p is None:
+                out_payloads.append(None)
+                widths.append(0)
+                heights.append(0)
+                continue
+            img = resize_nearest(decode_ppm(p), self.out_h, self.out_w)
+            out_payloads.append(encode_ppm(img))
+            widths.append(self.out_w)
+            heights.append(self.out_h)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "payload": pa.array(out_payloads, pa.binary()),
+                "media_type": batch["media_type"],
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+            }
+        )
+
+
+def resize_images(ds, out_w: int = 64, out_h: int = 64, batch_size: int = 64,
+                  concurrency=None):
+    """Resize a PPM image Dataset (actor pool, small batches)."""
+    from ..util import default_concurrency
+
+    return ds.map_batches(
+        ImageResize,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or (1, default_concurrency()),
+    )
+
+
+def synth_wav_payload(seed: int, ms: int = 50, rate: int = 8000) -> bytes:
+    """A real little sine-burst WAV file (deterministic)."""
+    import io
+    import wave
+
+    t = np.arange(int(rate * ms / 1000)) / rate
+    freq = 200 + 50 * (seed % 20)
+    samples = (np.sin(2 * np.pi * freq * t) * 0.5 * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def synth_ppm_payload(seed: int, w: int = 32, h: int = 24) -> bytes:
+    """A real P6 PPM gradient image (deterministic)."""
+    x = np.arange(w, dtype=np.uint32)
+    y = np.arange(h, dtype=np.uint32)
+    img = np.zeros((h, w, 3), np.uint8)
+    img[..., 0] = ((y[:, None] * 255) // max(h - 1, 1)).astype(np.uint8)
+    img[..., 1] = ((x[None, :] * 255) // max(w - 1, 1)).astype(np.uint8)
+    img[..., 2] = (seed * 37) % 256
+    return encode_ppm(img)
+
+
+def synth_real_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Media corpus whose payloads are REAL decodable WAV/PPM files."""
+    payloads, mtypes = [], []
+    for i in range(n):
+        if i % 2 == 0:
+            payloads.append(synth_ppm_payload(seed + i))
+            mtypes.append("image/x-portable-pixmap")
+        else:
+            payloads.append(synth_wav_payload(seed + i))
+            mtypes.append("audio/wav")
+    return pa.table(
+        {
+            "media_id": pa.array([f"media-{i:06d}" for i in range(n)]),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(mtypes),
+            "width": pa.array([32 if i % 2 == 0 else 0 for i in range(n)], pa.int32()),
+            "height": pa.array([24 if i % 2 == 0 else 0 for i in range(n)], pa.int32()),
+            "duration_ms": pa.array([0 if i % 2 == 0 else 50 for i in range(n)], pa.int32()),
         }
     )

@@ -229,12 +229,24 @@ class CosinePairs:
 
 
 def cosine_pairs_exact(ds, threshold: float = 0.95,
-                       emb_col: str = "embedding", id_col: str = "vec_id"):
-    """Exact embedding-cosine near-dup pairs (broadcast matrix)."""
+                       emb_col: str = "embedding", id_col: str = "vec_id",
+                       max_exact_rows: int = 50_000):
+    """Exact embedding-cosine near-dup pairs (broadcast matrix).
+
+    Quadratic by construction, so inputs above ``max_exact_rows`` are
+    automatically routed to the scale path (``lsh_verified_near_dups``
+    with recall-shaped bands + exact cosine verification) instead of
+    OOMing the driver with a whole-corpus broadcast — callers keep one
+    entry point; the sf0.01 oracle still exercises the exact path."""
     import ray
 
     from ..util import default_concurrency
 
+    if ds.count() > max_exact_rows:
+        return lsh_verified_near_dups(
+            ds, threshold, bands=64, bits_per_band=2,
+            emb_col=emb_col, id_col=id_col,
+        )
     rows = ds.select_columns([id_col, emb_col]).take_all()
     rows.sort(key=lambda r: r[id_col])
     mat = _normalize(np.asarray([r[emb_col] for r in rows], dtype=np.float64))

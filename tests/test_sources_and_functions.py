@@ -623,3 +623,56 @@ def test_hopping_windows(ray_session):
     out = hopping_windows(ds, key_cols=("event_type",)).take_all()
     got = {(r["win_ts"].strftime("%H:%M"), r["n_events"]) for r in out}
     assert got == {("09:30", 1), ("10:00", 2), ("10:30", 1)}
+
+
+def test_wav_decode_real():
+    from colonnade_ray.functions.multimodal import decode_wav, synth_wav_payload
+
+    samples = decode_wav(synth_wav_payload(seed=3, ms=50, rate=8000))
+    assert samples.dtype == np.float32 and samples.size == 400
+    # a half-amplitude sine: peak near 0.5, mean near 0
+    assert 0.45 < np.abs(samples).max() <= 0.51
+    assert abs(samples.mean()) < 0.01
+
+
+def test_ppm_decode_resize_roundtrip():
+    from colonnade_ray.functions.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+        synth_ppm_payload,
+    )
+
+    img = decode_ppm(synth_ppm_payload(seed=1, w=32, h=24))
+    assert img.shape == (24, 32, 3)
+    assert img[0, 0, 1] == 0 and img[0, 31, 1] == 255  # green = x gradient
+    assert decode_ppm(encode_ppm(img)).shape == (24, 32, 3)
+    small = resize_nearest(img, 6, 8)
+    assert small.shape == (6, 8, 3)
+    # comment-bearing header still parses
+    with_comment = b"P6\n# a comment\n2 1\n255\n" + bytes(6)
+    assert decode_ppm(with_comment).shape == (1, 2, 3)
+
+
+def test_media_pipeline_real_decoders(ray_session):
+    import ray.data as rd
+
+    from colonnade_ray.functions.multimodal import (
+        extract_media_features,
+        resize_images,
+        stdlib_decoder,
+        synth_real_media_table,
+    )
+
+    t = synth_real_media_table(12)
+    ds = rd.from_arrow(t)
+    feats = extract_media_features(ds, decoder=stdlib_decoder, batch_size=4).take_all()
+    assert len(feats) == 12
+    assert all(len(r["features"]) == 64 for r in feats)
+    # real image features: first pixel channels of the gradient, scaled
+    imgs = ds.filter(lambda r: r["media_type"].startswith("image"))
+    resized = resize_images(imgs, out_w=8, out_h=6).take_all()
+    assert len(resized) == 6
+    from colonnade_ray.functions.multimodal import decode_ppm
+
+    assert all(decode_ppm(r["payload"]).shape == (6, 8, 3) for r in resized)
