@@ -386,6 +386,56 @@ def q_events_sliding(sf_dir: str):
                            length_minutes=60, hop_minutes=30)
 
 
+def q_doc_sample(sf_dir: str):
+    """Deterministic 1-in-20 systematic sample (mod_sample): pure row
+    filter, reproducible across retries/cluster sizes — the
+    SQL-checkable twin of functions/sampling.hash_sample."""
+    from colonnade_ray.functions.sampling import mod_sample
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "n_chars"])
+    return mod_sample(ds, key_col="doc_id", mod=20, keep=0)
+
+
+def q_quality_filter(sf_dir: str):
+    """Composed pipeline: quality scoring -> integer-threshold filter
+    -> id projection (the scoring->filtering step of a training-data
+    prep flow)."""
+    from colonnade_ray.functions.text import QualityScorer
+    from colonnade_ray.util import default_concurrency
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    scored = ds.map_batches(
+        QualityScorer, batch_format="pyarrow", concurrency=default_concurrency()
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(b["q_chars"], pa.scalar(200)),
+                    pc.greater_equal(b["q_stopwords"], pa.scalar(5))),
+            pc.less_equal(pc.multiply(b["q_digit"], pa.scalar(5)), b["q_chars"]),
+        )
+        return b.filter(mask).select(["doc_id", "q_chars", "q_stopwords"])
+
+    return scored.map_batches(keep, batch_format="pyarrow")
+
+
+def q_truncate_conservation(sf_dir: str):
+    """Truncation invariant: sum of n_tok after truncating every doc to
+    128 tokens == SUM(LEAST(token_count, 128)) — SQL-checkable over the
+    raw documents table."""
+    from ray.data.aggregate import Sum
+
+    from colonnade_ray.corpus import tokenized_documents
+    from colonnade_ray.functions.sequences import truncate_tokens_batch
+
+    tok = tokenized_documents(sf_dir)
+    trunc = tok.map_batches(
+        lambda b: truncate_tokens_batch(b, 128), batch_format="pyarrow"
+    )
+    total = trunc.aggregate(Sum("n_tok", alias_name="total_tokens"))
+    return pa.table({"total_tokens": pa.array([int(total["total_tokens"])], pa.int64())})
+
+
 def q_cosine_near_dups(sf_dir: str):
     """Exact embedding-cosine near-dup pairs (SQL-checkable)."""
     from colonnade_ray.functions.similarity import cosine_pairs_exact
@@ -515,6 +565,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "word_freq_topk": q_word_freq_topk,
         "events_sliding": q_events_sliding,
+        "doc_sample": q_doc_sample,
+        "quality_filter": q_quality_filter,
+        "truncate_conservation": q_truncate_conservation,
         "near_dup_pairs": q_near_dup_pairs,
         "dup_groups": q_dup_groups,
         # rows-only (non-SQL-expressible)
@@ -699,6 +752,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM ("
             "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word "
             "FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 50"
+        ),
+        "doc_sample": (
+            "SELECT doc_id, n_chars FROM documents WHERE doc_id % 20 = 0"
+        ),
+        "quality_filter": (
+            "WITH q AS (SELECT doc_id, "
+            "CAST(length(text) AS BIGINT) AS q_chars, "
+            "CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS q_digit, "
+            f"CAST(len(regexp_extract_all(text, '\\b({_STOP_SQL})\\b')) AS BIGINT) "
+            "AS q_stopwords FROM documents) "
+            "SELECT doc_id, q_chars, q_stopwords FROM q "
+            "WHERE q_chars >= 200 AND q_stopwords >= 5 AND q_digit * 5 <= q_chars"
+        ),
+        "truncate_conservation": (
+            "SELECT CAST(SUM(LEAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 128)) "
+            "AS BIGINT) AS total_tokens FROM documents"
         ),
         "events_sliding": (
             "SELECT event_type, win_ts, COUNT(*) AS n_events FROM ("

@@ -676,3 +676,22 @@ def test_media_pipeline_real_decoders(ray_session):
     from colonnade_ray.functions.multimodal import decode_ppm
 
     assert all(decode_ppm(r["payload"]).shape == (6, 8, 3) for r in resized)
+
+
+def test_hash_sample_deterministic_and_split_disjoint(ray_session):
+    import ray.data as rd
+
+    from colonnade_ray.functions.sampling import hash_sample, mod_sample, split_by_hash
+
+    ds = rd.range(1000).map_batches(
+        lambda b: pa.table({"doc_id": b["id"]}), batch_format="pyarrow"
+    )
+    s1 = sorted(r["doc_id"] for r in hash_sample(ds, mod=10).take_all())
+    s2 = sorted(r["doc_id"] for r in hash_sample(ds, mod=10).take_all())
+    assert s1 == s2 and 50 < len(s1) < 200  # deterministic, ~10%
+    m = sorted(r["doc_id"] for r in mod_sample(ds, mod=10, keep=3).take_all())
+    assert m == list(range(3, 1000, 10))
+    train, val = split_by_hash(ds, val_fraction_mod=(10, 0))
+    tr = {r["doc_id"] for r in train.take_all()}
+    va = {r["doc_id"] for r in val.take_all()}
+    assert tr.isdisjoint(va) and len(tr) + len(va) == 1000
