@@ -33,7 +33,15 @@ import pyarrow.parquet as pq
 
 from ..stages.decode import DecodeBatch
 from ..stages.encode import EncoderActor, encode_batch
-from ..stages.skew import DEFAULT_TOKEN_BUDGET, PKEY, partition_by_source, salt_counts, source_token_totals
+from ..stages.skew import (
+    DEFAULT_TOKEN_BUDGET,
+    PKEY,
+    ensure_hash_shuffle_context,
+    partition_by_source,
+    salt_counts,
+    shuffle_method,
+    source_token_totals,
+)
 from ..stages.transport import list_transport_spec, pack_list_columns
 from ..stages.verify import dataset_digest
 
@@ -222,6 +230,8 @@ def encode_corpus(
         # tiny blocks (measured 2x on the whole pipeline).
         total_bytes = sum(os.path.getsize(f) for f in g if os.path.exists(f))
         nblocks = max(len(g), total_bytes // (64 << 20) + 1)
+        if partition_by == "source" and shuffle_method() == "hash":
+            ensure_hash_shuffle_context()  # must precede read_parquet
         ds = rd.read_parquet(g, include_paths=True, override_num_blocks=nblocks)
         # Transport narrowing: pack integer list columns to their
         # footer-proven minimal width BEFORE anything leaves the read
