@@ -386,6 +386,45 @@ def q_events_sliding(sf_dir: str):
                            length_minutes=60, hop_minutes=30)
 
 
+def q_price_bands(sf_dir: str):
+    """Broadcast interval (range) join: lineitem prices binned into
+    [lo, hi) bands via one searchsorted probe per batch, then a grouped
+    integer aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    from colonnade_ray.functions.relational import interval_join
+
+    bands = pa.table(
+        {
+            "lo": [0.0, 10_000.0, 40_000.0],
+            "hi": [10_000.0, 40_000.0, 1e9],
+            "label": ["low", "mid", "high"],
+        }
+    )
+    li = _lineitem(sf_dir, ["l_orderkey", "l_extendedprice"])
+    joined = interval_join(li, bands, value_col="l_extendedprice", out_col="band")
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(b["l_extendedprice"], pa.scalar(100.0)),
+                                    pa.scalar(0.5))), pa.int64())
+        return pa.table({"band": b["band"], "price_cents": c})
+
+    return joined.map_batches(cents, batch_format="pyarrow").groupby("band").aggregate(
+        Count(alias_name="n_items"), Sum("price_cents", alias_name="sum_cents")
+    )
+
+
+def q_grouped_topk(sf_dir: str):
+    """Each customer's 3 priciest orders: two-level top-k (per-batch
+    partial shrink -> one bucket shuffle), deterministic tie-break."""
+    from colonnade_ray.functions.relational import grouped_topk
+
+    orders = _tbl(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    out = grouped_topk(orders, ["o_custkey"], "o_totalprice", k=3,
+                       descending=True, tie_cols=["o_orderkey"])
+    return out.select_columns(["o_custkey", "o_orderkey"])
+
+
 def q_doc_sample(sf_dir: str):
     """Deterministic 1-in-20 systematic sample (mod_sample): pure row
     filter, reproducible across retries/cluster sizes — the
@@ -565,6 +604,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "word_freq_topk": q_word_freq_topk,
         "events_sliding": q_events_sliding,
+        "price_bands": q_price_bands,
+        "grouped_topk": q_grouped_topk,
         "doc_sample": q_doc_sample,
         "quality_filter": q_quality_filter,
         "truncate_conservation": q_truncate_conservation,
@@ -752,6 +793,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM ("
             "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word "
             "FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 50"
+        ),
+        "price_bands": (
+            "WITH bands(lo, hi, label) AS (VALUES "
+            "(0.0, 10000.0, 'low'), (10000.0, 40000.0, 'mid'), "
+            "(40000.0, 1000000000.0, 'high')) "
+            "SELECT b.label AS band, COUNT(*) AS n_items, "
+            "CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS sum_cents "
+            "FROM lineitem l JOIN bands b "
+            "ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi "
+            "GROUP BY b.label"
+        ),
+        "grouped_topk": (
+            "SELECT o_custkey, o_orderkey FROM ("
+            "SELECT o_custkey, o_orderkey, row_number() OVER ("
+            "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+            "FROM orders) WHERE rn <= 3"
         ),
         "doc_sample": (
             "SELECT doc_id, n_chars FROM documents WHERE doc_id % 20 = 0"

@@ -323,3 +323,85 @@ def hopping_windows(ds, ts_col: str = "ts", key_cols: Sequence[str] = ("event_ty
         .groupby(keys + ["win_ts"])
         .aggregate(Count(alias_name="n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k
+
+
+def grouped_topk(ds, group_cols: Sequence[str], order_col: str, k: int = 3,
+                 descending: bool = True, tie_cols: Sequence[str] = (),
+                 num_buckets: int = 64):
+    """Top-k rows per group (e.g. each customer's k priciest orders).
+
+    Two-level: a per-batch partial top-k first shrinks every batch to
+    <= k rows per key it contains (vectorized sort + groupby.head), so
+    the ONE bucket shuffle moves at most k rows per (key, batch) — at
+    100 TB the exchange is bounded by k * distinct_keys, not corpus
+    rows.  Bucketed final pass keeps Python invocations at
+    O(num_buckets) regardless of key cardinality (see bucketing.py).
+
+    Deterministic: ties broken by ``tie_cols`` ascending."""
+    groups = list(group_cols)
+    ties = list(tie_cols)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        df = df.sort_values([order_col] + ties,
+                            ascending=[not descending] + [True] * len(ties))
+        return df.groupby(groups, sort=False).head(k)
+
+    from .bucketing import bucketed_group_apply
+
+    partial = ds.map_batches(topk, batch_format="pandas")
+    return bucketed_group_apply(partial, groups, topk, num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Broadcast interval (range) join
+
+
+def interval_join(ds, intervals: "pa.Table", value_col: str,
+                  lo_col: str = "lo", hi_col: str = "hi",
+                  label_col: str = "label", out_col: str = "label",
+                  concurrency=None):
+    """Non-equi join of rows to [lo, hi) intervals — the broadcast
+    range-join (calendar tables, size/price bands, IP ranges).
+
+    The interval table must be small, sorted by ``lo`` and
+    non-overlapping; it travels once (ray.put) and each batch is ONE
+    vectorized searchsorted probe — no shuffle, rows outside every
+    interval get a null label (left join semantics)."""
+    import numpy as np
+
+    import ray
+
+    from ..util import default_concurrency
+
+    t = intervals if isinstance(intervals, pa.Table) else pa.table(intervals)
+    los = t[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    his = t[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    if not (np.all(np.diff(los) > 0) and np.all(los < his)
+            and np.all(his[:-1] <= los[1:])):
+        raise ValueError("intervals must be sorted by lo and non-overlapping")
+    labels = t[label_col].to_pylist()
+    ref = ray.put((los, his, labels))
+
+    class Probe:
+        def __init__(self):
+            self.los, self.his, self.labels = ray.get(ref)
+            self.labels_arr = np.asarray(self.labels, dtype=object)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            idx = np.searchsorted(self.los, v, side="right") - 1
+            inside = (idx >= 0) & (v < self.his[np.clip(idx, 0, None)])
+            out = np.full(v.size, None, dtype=object)
+            out[inside] = self.labels_arr[idx[inside]]
+            return batch.append_column(out_col, pa.array(out, pa.string()))
+
+    return ds.map_batches(
+        Probe, batch_format="pyarrow",
+        concurrency=concurrency or (1, default_concurrency()),
+    )

@@ -695,3 +695,30 @@ def test_hash_sample_deterministic_and_split_disjoint(ray_session):
     tr = {r["doc_id"] for r in train.take_all()}
     va = {r["doc_id"] for r in val.take_all()}
     assert tr.isdisjoint(va) and len(tr) + len(va) == 1000
+
+
+def test_interval_join(ray_session):
+    import ray.data as rd
+
+    from colonnade_ray.functions.relational import interval_join
+
+    bands = pa.table({"lo": [0.0, 10.0], "hi": [10.0, 20.0], "label": ["a", "b"]})
+    ds = rd.from_items([{"v": -1.0}, {"v": 0.0}, {"v": 9.99}, {"v": 10.0},
+                        {"v": 19.99}, {"v": 20.0}])
+    out = interval_join(ds, bands, value_col="v").take_all()
+    assert [r["label"] for r in out] == [None, "a", "a", "b", "b", None]
+    with pytest.raises(ValueError):
+        interval_join(ds, pa.table({"lo": [0.0, 5.0], "hi": [6.0, 9.0],
+                                    "label": ["x", "y"]}), value_col="v")
+
+
+def test_grouped_topk(ray_session):
+    import ray.data as rd
+
+    from colonnade_ray.functions.relational import grouped_topk
+
+    rows = [{"g": i % 3, "v": float(i), "id": i} for i in range(30)]
+    ds = rd.from_items(rows)
+    out = grouped_topk(ds, ["g"], "v", k=2, descending=True, tie_cols=["id"])
+    got = sorted((r["g"], r["id"]) for r in out.take_all())
+    assert got == [(0, 24), (0, 27), (1, 25), (1, 28), (2, 26), (2, 29)]

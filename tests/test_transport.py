@@ -100,3 +100,50 @@ def test_encode_corpus_transport_bit_identical(ray_session, tmp_path):
         rd.read_parquet(inp), decode_corpus(out), ["doc_id", "tokens", "n_tok", "source"]
     )
     assert res["match"]
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis): pack/unpack is the identity for any
+# valid (values, widths, nulls, slices) combination
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.integers(min_value=0, max_value=65535), max_size=40),
+        ),
+        max_size=60,
+    ),
+    width=st.sampled_from([1, 2, 4]),
+    a=st.integers(min_value=0, max_value=20),
+    ln=st.integers(min_value=0, max_value=60),
+)
+def test_transport_roundtrip_property(data, width, a, ln):
+    hi = (1 << (8 * width)) - 1
+    rows = [None if r is None else [min(v, hi) for v in r] for r in data]
+    la = pa.array(rows, type=pa.list_(pa.int32()))
+    t = pa.table({"tokens": la})
+    spec = {
+        "tokens": {
+            "width": width,
+            "src": {1: "uint8", 2: "uint16", 4: "uint32"}[width],
+            "orig": "int32",
+        }
+    }
+    p = pack_list_columns(t, spec)
+    sl = p.slice(min(a, len(p)), ln)
+    exp = t.slice(min(a, len(t)), ln)
+    u = unpack_list_columns(sl, spec)
+    assert u["tokens"].combine_chunks().equals(exp["tokens"].combine_chunks())
