@@ -298,6 +298,35 @@ def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, bytes]:
     return lengths, data
 
 
+_PATTERN_MAX_LEN = 64
+
+
+def _detect_prefix_int_pattern(lengths: np.ndarray, data: bytes):
+    """Detect `constant-prefix + fixed-width decimal suffix` strings
+    (sequential ids: "doc-0000000042").  Returns (prefix bytes, width,
+    int64 values) or None.  Fully vectorized: one reshape + column
+    equality scan + one digit dot product."""
+    n = lengths.size
+    if n < 2:  # a single row is all "constant prefix" — nothing to code
+        return None
+    L = int(lengths[0])
+    if L == 0 or L > _PATTERN_MAX_LEN or not np.all(lengths == L):
+        return None
+    mat = np.frombuffer(data, dtype=np.uint8).reshape(n, L)
+    const_col = (mat == mat[0]).all(axis=0)
+    # prefix = longest constant run from position 0
+    p = int(np.argmin(const_col)) if not const_col.all() else L
+    digits = mat[:, p:] - 48
+    W = L - p
+    if W == 0 or W > 18:
+        return None
+    if digits.min() < 0 or digits.max() > 9:
+        return None
+    powers = (10 ** np.arange(W - 1, -1, -1)).astype(np.int64)
+    vals = digits.astype(np.int64) @ powers
+    return bytes(mat[0, :p]), W, vals
+
+
 def _encode_string(arr: pa.Array, fsst: Optional[FsstCodec] = None) -> tuple[dict, list]:
     validity, vparts = _validity_stream(arr)
     filled = _fill_nulls(arr)
@@ -307,6 +336,21 @@ def _encode_string(arr: pa.Array, fsst: Optional[FsstCodec] = None) -> tuple[dic
     ndv_sample = len(pc.unique(smp))
     parts: list = list(vparts)
     meta: dict = {"kind": "string", "streams": {"validity": validity}}
+    if arr.null_count == 0 and n > 0:
+        # prefixed-integer ids (sequential keys): prefix + delta-coded
+        # int stream beats both dict and FSST by orders of magnitude
+        lengths, data = _string_buffers(filled)
+        pat = _detect_prefix_int_pattern(lengths, data)
+        if pat is not None:
+            import base64
+
+            prefix, width, vals = pat
+            ientry, iparts = _emit(encode_int_stream(vals))
+            meta["strategy"] = "pattern"
+            meta["prefix"] = base64.b64encode(prefix).decode("ascii")
+            meta["width"] = width
+            meta["streams"]["ints"] = ientry
+            return meta, parts + iparts
     if n > 0 and ndv_sample <= 0.5 * len(smp):
         dictized = filled.dictionary_encode()
         codes = dictized.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -383,7 +427,31 @@ def _decode_string(meta: dict, parts: list, atype: pa.DataType, n: int) -> pa.Ar
         k = len(validity["meta"]["part_lens"])
         vmask = _decode_validity(validity, parts[idx : idx + k], n)
         idx += k
-    if meta["strategy"] == "dict":
+    if meta["strategy"] == "pattern":
+        import base64
+
+        ientry = meta["streams"]["ints"]
+        k = len(ientry["meta"]["part_lens"])
+        vals = decode_int_stream(
+            Encoded(ientry["codec"], ientry["meta"], parts[idx : idx + k])
+        ).astype(np.int64)
+        prefix = base64.b64decode(meta["prefix"])
+        W = int(meta["width"])
+        L = len(prefix) + W
+        mat = np.empty((n, L), dtype=np.uint8)
+        if prefix:
+            mat[:, : len(prefix)] = np.frombuffer(prefix, dtype=np.uint8)
+        v = vals.copy()
+        for w in range(W):  # W <= 18 vectorized passes
+            mat[:, L - 1 - w] = (v % 10 + 48).astype(np.uint8)
+            v //= 10
+        off_t = np.int64 if pa.types.is_large_string(atype) else np.int32
+        offsets = (np.arange(n + 1, dtype=np.int64) * L).astype(off_t)
+        out = pa.Array.from_buffers(
+            atype, n,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(mat.tobytes())],
+        )
+    elif meta["strategy"] == "dict":
         centry = meta["streams"]["codes"]
         k = len(centry["meta"]["part_lens"])
         codes = decode_int_stream(Encoded(centry["codec"], centry["meta"], parts[idx : idx + k]))

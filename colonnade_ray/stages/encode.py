@@ -117,9 +117,12 @@ def _codec_of(meta: dict) -> dict:
         res["values"] = meta["streams"]["values"]["codec"]
     elif kind == "string":
         res["strategy"] = meta["strategy"]
-        inner = meta.get("raw") or meta.get("dict")
-        res["lengths"] = inner["lengths"]["codec"]
-        res["data"] = inner["data"]["codec"]
+        if meta["strategy"] == "pattern":
+            res["ints"] = meta["streams"]["ints"]["codec"]
+        else:
+            inner = meta.get("raw") or meta.get("dict")
+            res["lengths"] = inner["lengths"]["codec"]
+            res["data"] = inner["data"]["codec"]
     elif kind == "list":
         res["lengths"] = meta["streams"]["lengths"]["codec"]
         child = meta["child"]

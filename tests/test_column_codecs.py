@@ -177,3 +177,61 @@ def test_large_list_and_large_string_roundtrip():
     payload, meta = encode_column(ls)
     back = decode_column(payload, meta)
     assert back.type == ls.type and back.equals(ls)
+
+
+def test_string_pattern_strategy_sequential_ids():
+    """Prefixed-integer id columns encode as prefix + delta-coded int
+    stream (strategy 'pattern'), orders of magnitude under FSST."""
+    from colonnade_ray.codecs import decode_column, encode_column
+
+    ids = pa.array([f"doc-{i:010d}" for i in range(10_000)])
+    p, m = encode_column(ids)
+    assert m["strategy"] == "pattern"
+    assert len(p) < 5_000  # ~0.25 B/row vs ~14 B/row raw
+    assert decode_column(p, m).equals(ids)
+
+
+def test_string_pattern_strategy_edges():
+    from colonnade_ray.codecs import decode_column, encode_column
+
+    cases = [
+        pa.array([f"{i:08d}" for i in range(5000, 6000)]),      # no prefix
+        pa.array([f"doc-{i:010d}" for i in [5, 3, 9, 1, 1]]),   # dup + unsorted
+    ]
+    for arr in cases:
+        p, m = encode_column(arr)
+        assert m["strategy"] == "pattern", m["strategy"]
+        assert decode_column(p, m).equals(arr)
+    # NOT pattern: varlen, nulls, non-digit suffix, constant column
+    for arr in [
+        pa.array([f"doc-{i}" for i in range(100)]),
+        pa.array(["doc-001", None, "doc-003"]),
+        pa.array(["ab-x1", "ab-y2"]),
+        pa.array(["same", "same", "same"]),
+        pa.array(["x-001"]),  # single row: degenerate, stays raw
+    ]:
+        p, m = encode_column(arr)
+        assert m.get("strategy") != "pattern"
+        assert decode_column(p, m).equals(arr)
+
+
+def test_pattern_ids_through_encode_stage():
+    """The lineage codec summary must handle every string strategy
+    (a pattern-id column once crashed _codec_of)."""
+    import json
+
+    from colonnade_ray.stages.decode import decode_batch
+    from colonnade_ray.stages.encode import encode_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"doc-{i:010d}" for i in range(100)]),
+            "tokens": pa.array([[1, 2, 3]] * 100, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([3] * 100, pa.int32()),
+            "source": pa.array(["s"] * 100),
+        }
+    )
+    enc = pa.table({k: pa.array(v) for k, v in encode_batch(t).items()})
+    summary = json.loads(enc["codecs_json"][0].as_py())
+    assert any(c.get("strategy") == "pattern" for c in summary)
+    assert decode_batch(enc).equals(t)
