@@ -722,3 +722,39 @@ def test_grouped_topk(ray_session):
     out = grouped_topk(ds, ["g"], "v", k=2, descending=True, tie_cols=["id"])
     got = sorted((r["g"], r["id"]) for r in out.take_all())
     assert got == [(0, 24), (0, 27), (1, 25), (1, 28), (2, 26), (2, 29)]
+
+
+def test_typed_jsonl_source(tmp_path, ray_session):
+    """Typed layer over NDJSON: same binding/validation contract as CSV."""
+    from colonnade_ray.sources.jsonl import read_typed_jsonl
+    from colonnade_ray.sources.typed_csv import CsvColumn
+
+    p = tmp_path / "rows.jsonl"
+    p.write_text(
+        '{"name": "a", "n": 5, "score": 1.5}\n'
+        '{"name": "b", "n": 7, "score": null}\n'
+        '{"name": "c", "n": 9}\n'
+    )
+    cols = [
+        CsvColumn("name", pa.string()),
+        CsvColumn("n", pa.int32()),
+        CsvColumn("score", pa.float64(), nullable=True),
+    ]
+    t = pa.Table.from_pylist(read_typed_jsonl(str(p), cols).take_all())
+    assert t["n"].to_pylist() == [5, 7, 9]
+    assert t["score"].to_pylist() == [1.5, None, None]
+
+    # missing declared column -> bind diagnostics
+    from colonnade_ray.errors import SchemaBindError
+
+    bad_cols = cols + [CsvColumn("missing_col", pa.string())]
+    with pytest.raises(Exception) as e:
+        read_typed_jsonl(str(p), bad_cols).take_all()
+    assert "missing_col" in str(e.value)
+
+    # null in non-nullable -> cell coordinates
+    p2 = tmp_path / "bad.jsonl"
+    p2.write_text('{"name": "a", "n": null, "score": 1.0}\n')
+    with pytest.raises(Exception) as e2:
+        read_typed_jsonl(str(p2), cols).take_all()
+    assert "non-nullable" in str(e2.value) or "n" in str(e2.value)
