@@ -60,6 +60,7 @@ def encode_dataset(
     shared_fsst: bool = True,
     stateless: bool = False,
     transport: Optional[dict] = None,
+    fragments: Optional[Sequence[str]] = None,
 ):
     """Dataset of raw rows -> Dataset of encoded chunk rows (lazy).
 
@@ -97,6 +98,7 @@ def encode_dataset(
             "plan_names": list(plan_names) if plan_names else None,
             "shared_fsst": shared_fsst,
             "transport": transport,
+            "fragments": list(fragments) if fragments else None,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -146,6 +148,30 @@ def _stub_fsspec_http() -> None:
 
     stub.HTTPFileSystem = HTTPFileSystem
     sys.modules["fsspec.implementations.http"] = stub
+
+
+def _prep_batch(b: pa.Table, spec: dict, frag_idx: dict) -> pa.Table:
+    """Fused pre-exchange prep: transport-pack list columns and swap
+    the per-row path string for an int32 fragment ordinal."""
+    import numpy as np
+
+    from ..stages.encode import FRAG_COL, PATH_COL
+
+    if spec:
+        b = pack_list_columns(b, spec)
+    if PATH_COL in b.column_names:
+        col = b[PATH_COL]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d = col.dictionary_encode()
+        ords = np.array(
+            [frag_idx.get(v, -1) for v in d.dictionary.to_pylist()], dtype=np.int32
+        )
+        idxs = d.indices.to_numpy(zero_copy_only=False)
+        frag = pa.array(ords[idxs], pa.int32())
+        i = b.column_names.index(PATH_COL)
+        b = b.set_column(i, pa.field(FRAG_COL, pa.int32()), frag)
+    return b
 
 
 # ---------------------------------------------------------------------------
@@ -243,19 +269,24 @@ def encode_corpus(
             if transport and plan_names is None  # explicit plans may rename/retype
             else {}
         )
-        if spec:
-            ds = ds.map_batches(
-                lambda b: pack_list_columns(b, spec),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
+        # One fused prep map (runs inside the read task): transport
+        # narrowing + path string -> int32 fragment ordinal, so the
+        # exchange never carries a ~50 B/row path column just to label
+        # lineage.
+        frag_names = [os.path.basename(f) for f in g]
+        frag_idx = {f: i for i, f in enumerate(g)}
+        ds = ds.map_batches(
+            lambda b: _prep_batch(b, spec, frag_idx),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
         if partition_by == "source":
             totals = source_token_totals(g)
             ds = partition_by_source(ds, salt_counts(totals, token_budget))
             ds = ds.drop_columns([PKEY])
         enc = encode_dataset(
             ds, plan_names, batch_size, concurrency, shared_fsst=shared_fsst,
-            transport=spec or None,
+            transport=spec or None, fragments=frag_names,
         )
         enc.write_parquet(gdir, compression="none")
         # commit marker: lineage written only after the data lands

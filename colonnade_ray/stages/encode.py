@@ -37,6 +37,8 @@ from ..plan import BoundPlan, CodecPlan, bind_plan
 
 PATH_COL = "path"          # emitted by read_parquet(include_paths=True)
 SYS_PREFIX = "__cr_"
+FRAG_COL = SYS_PREFIX + "frag"  # int32 fragment ordinal (exchange-cheap
+                                # replacement for the per-row path string)
 
 
 def _checksum(parts: list) -> str:
@@ -46,7 +48,11 @@ def _checksum(parts: list) -> str:
     return h.hexdigest()
 
 
-def _fragment_of(batch: pa.Table) -> str:
+def _fragment_of(batch: pa.Table, fragments: Optional[list] = None) -> str:
+    if fragments is not None and FRAG_COL in batch.column_names and len(batch) > 0:
+        i = batch[FRAG_COL][0].as_py()
+        if i is not None and 0 <= i < len(fragments):
+            return fragments[i]
     if PATH_COL in batch.column_names and len(batch) > 0:
         p = batch[PATH_COL][0].as_py()
         return p.rsplit("/", 1)[-1]
@@ -150,10 +156,12 @@ class EncoderActor:
         plan_names: Optional[list] = None,
         shared_fsst: bool = True,
         transport: Optional[dict] = None,
+        fragments: Optional[list] = None,
     ):
         self._plan_names = plan_names
         self._shared_fsst = shared_fsst
         self._transport = transport or {}
+        self._fragments = fragments
         self._bound: Optional[BoundPlan] = None
         self._bound_schema: Optional[pa.Schema] = None
         self._fsst_cache: dict = {}
@@ -187,7 +195,7 @@ class EncoderActor:
         return codecs
 
     def __call__(self, batch: pa.Table) -> dict:
-        fragment = _fragment_of(batch)
+        fragment = _fragment_of(batch, self._fragments)
         if self._transport:
             from .transport import unpack_list_columns
 
