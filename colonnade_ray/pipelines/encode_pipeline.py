@@ -48,6 +48,7 @@ from ..stages.verify import dataset_digest
 LINEAGE_COLS = [
     "fragment", "chunk_id", "n_rows", "n_tokens",
     "bytes_in", "bytes_out", "checksum", "codecs_json",
+    "plan_json", "stats_json",  # column plan + zone maps in the manifest
 ]
 DEFAULT_BATCH_SIZE = 8192
 
@@ -107,14 +108,20 @@ def encode_dataset(
     )
 
 
-def decode_dataset(enc_ds, verify_checksum: bool = True, concurrency=None):
-    """Dataset of encoded chunk rows -> Dataset of original rows (lazy)."""
+def decode_dataset(enc_ds, verify_checksum: bool = True, concurrency=None,
+                   columns: Optional[Sequence[str]] = None,
+                   predicate: Optional[tuple] = None):
+    """Dataset of encoded chunk rows -> Dataset of original rows (lazy).
+
+    ``columns``: projected decode (only those payload streams decoded,
+    per-column checksum verify).  ``predicate=(col, op, value)``:
+    zone-map chunk pruning + exact post-filter."""
     if concurrency is None:
         from ..util import default_concurrency
 
         concurrency = default_concurrency()  # cap concurrent heavy tasks
     kwargs = {"concurrency": concurrency}
-    fn = DecodeBatch(verify_checksum)  # stateless -> plain tasks, not actors
+    fn = DecodeBatch(verify_checksum, columns, predicate)  # stateless -> plain tasks
     return enc_ds.map_batches(
         lambda b: fn(b),
         batch_format="pyarrow",
@@ -335,8 +342,17 @@ def completed_groups(out_dir: str) -> list:
     )
 
 
-def decode_corpus(out_dir: str, verify_checksum: bool = True, concurrency=None):
-    """Read back only committed groups (lineage present) and decode."""
+def decode_corpus(out_dir: str, verify_checksum: bool = True, concurrency=None,
+                  columns: Optional[Sequence[str]] = None,
+                  predicate: Optional[tuple] = None):
+    """Read back only committed groups (lineage present) and decode.
+
+    ``columns=[...]`` makes the decode PROJECTED all the way down to
+    storage: the plan is read from the lineage manifest and only the
+    selected ``colN_payload``/``colN_meta`` parquet columns are read —
+    untouched payload streams never leave disk.  ``predicate`` prunes
+    whole chunks by their lineage zone maps before exact filtering.
+    """
     import ray.data as rd
 
     data_root = os.path.join(out_dir, "data")
@@ -348,8 +364,32 @@ def decode_corpus(out_dir: str, verify_checksum: bool = True, concurrency=None):
         )
     if not files:
         raise FileNotFoundError(f"no committed encode groups under {out_dir}")
-    enc = rd.read_parquet(files)
-    return decode_dataset(enc, verify_checksum=verify_checksum, concurrency=concurrency)
+    read_cols = None
+    if columns is not None:
+        # resolve requested names -> col indices from the manifest plan
+        lin_root = os.path.join(out_dir, "_lineage")
+        lin_files = sorted(
+            os.path.join(lin_root, f) for f in os.listdir(lin_root)
+            if f.endswith(".parquet")
+        )
+        plan = json.loads(
+            pq.read_table(lin_files[0], columns=["plan_json"])["plan_json"][0].as_py()
+        )
+        missing = set(columns) - set(plan)
+        if missing:
+            raise KeyError(f"columns not in encoded plan: {sorted(missing)}")
+        read_cols = [
+            "fragment", "chunk_id", "n_rows", "checksum", "plan_json", "stats_json",
+        ] + [
+            c
+            for i, name in enumerate(plan)
+            if name in set(columns)
+            for c in (f"col{i}_payload", f"col{i}_meta")
+        ]
+    enc = rd.read_parquet(files, columns=read_cols)
+    return decode_dataset(enc, verify_checksum=verify_checksum,
+                          concurrency=concurrency, columns=columns,
+                          predicate=predicate)
 
 
 def roundtrip_verify(original_ds, decoded_ds, columns: Sequence[str]) -> dict:

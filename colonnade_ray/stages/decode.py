@@ -8,22 +8,79 @@ errors with coordinates instead of failing fast.
 Stateless: a chunk row is self-describing (meta JSON carries codec
 parameters, FSST merges included), so decode tasks are pure and
 retry-safe.
+
+Query-shaped decode (round 2):
+- ``columns=``: PROJECTED decode — only the requested payload streams
+  are decoded (and, via ``decode_corpus(columns=...)``, only they are
+  even read from storage); integrity drops to per-column checksums
+  (``meta["ck"]``) since the chunk checksum covers all payloads.
+- ``predicate=(col, op, value)``: zone-map pushdown — chunks whose
+  stored [min, max] provably exclude the predicate are skipped without
+  decoding a byte; surviving chunks are exact-filtered after decode,
+  so the result is precise, not approximate.
 """
 
 from __future__ import annotations
 
 import hashlib
 import json
-from typing import Optional
+from typing import Optional, Sequence, Tuple
 
 import pyarrow as pa
 
 from ..codecs import decode_column
 from ..errors import CellError, ChecksumError, ChunkDecodeError
 
+_OPS = {"==", "!=", ">", ">=", "<", "<="}
 
-def decode_chunk_row(row: dict, verify_checksum: bool = True) -> pa.Table:
+
+def _predicate_value(v):
+    """Normalize a predicate constant to the zone-map's integer repr
+    for temporal values (micros / days), passthrough otherwise."""
+    import datetime as dt
+
+    if isinstance(v, dt.datetime):
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, dt.date):
+        return (v - dt.date(1970, 1, 1)).days
+    if isinstance(v, bool):
+        return int(v)
+    return v
+
+
+def chunk_may_match(stats_json: Optional[str], predicate: Tuple[str, str, object]) -> bool:
+    """False only when the chunk's [min, max] PROVES no row matches."""
+    if not stats_json:
+        return True
+    col, op, val = predicate
+    stats = json.loads(stats_json)
+    if col not in stats:
+        return True
+    lo, hi = stats[col]
+    if not isinstance(lo, (int, float)) or not isinstance(hi, (int, float)):
+        return True
+    v = _predicate_value(val)
+    if op == "==":
+        return lo <= v <= hi
+    if op == "!=":
+        return not (lo == v == hi)
+    if op == ">":
+        return hi > v
+    if op == ">=":
+        return hi >= v
+    if op == "<":
+        return lo < v
+    if op == "<=":
+        return lo <= v
+    return True
+
+
+def decode_chunk_row(row: dict, verify_checksum: bool = True,
+                     columns: Optional[Sequence[str]] = None) -> pa.Table:
     """One encoded row (python dict) -> Arrow table of n_rows rows.
+
+    ``columns``: decode only these (projection).  Full decodes verify
+    the chunk checksum; projections verify per-column checksums.
 
     Codec-level failures (torn frames: payload truncated mid-varint /
     mid-bitpack, short string data) are ACCUMULATED across columns and
@@ -31,11 +88,12 @@ def decode_chunk_row(row: dict, verify_checksum: bool = True) -> pa.Table:
     coordinates — the not-fail-fast error semantics of ``uncheckedRun``
     (siphon/src/Siphon.hs:718-749)."""
     names = json.loads(row["plan_json"])
-    payloads = [row[f"col{i}_payload"] for i in range(len(names))]
-    if verify_checksum:
+    want = None if columns is None else set(columns)
+    full = want is None or all(f"col{i}_payload" in row for i in range(len(names)))
+    if verify_checksum and want is None and full:
         h = hashlib.blake2b(digest_size=16)
-        for p in payloads:
-            h.update(p)
+        for i in range(len(names)):
+            h.update(row[f"col{i}_payload"])
         actual = h.hexdigest()
         if actual != row["checksum"]:
             raise ChecksumError(row.get("fragment", ""), row.get("chunk_id", ""),
@@ -43,13 +101,21 @@ def decode_chunk_row(row: dict, verify_checksum: bool = True) -> pa.Table:
     arrays, fields = [], []
     cell_errors = []
     for i, name in enumerate(names):
+        if want is not None and name not in want:
+            continue
+        payload = row[f"col{i}_payload"]
         meta = json.loads(row[f"col{i}_meta"])
+        if verify_checksum and want is not None and "ck" in meta:
+            actual = hashlib.blake2b(payload, digest_size=8).hexdigest()
+            if actual != meta["ck"]:
+                raise ChecksumError(row.get("fragment", ""), row.get("chunk_id", ""),
+                                    meta["ck"], actual)
         try:
-            arr = decode_column(payloads[i], meta)
+            arr = decode_column(payload, meta)
         except (ValueError, IndexError, KeyError, pa.lib.ArrowInvalid) as e:
             cell_errors.append(
                 CellError(column=name, row=-1,
-                          content=f"<{len(payloads[i])} payload bytes>",
+                          content=f"<{len(payload)} payload bytes>",
                           reason=str(e))
             )
             continue
@@ -58,25 +124,84 @@ def decode_chunk_row(row: dict, verify_checksum: bool = True) -> pa.Table:
     if cell_errors:
         raise ChunkDecodeError(row.get("fragment", ""), row.get("chunk_id", ""),
                                cell_errors)
+    if want is not None:
+        missing = want - {f.name for f in fields}
+        if missing:
+            raise ChunkDecodeError(
+                row.get("fragment", ""), row.get("chunk_id", ""),
+                [CellError(column=c, row=-1, content="",
+                           reason="column not in encoded plan") for c in sorted(missing)],
+            )
     return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+
+def _exact_filter(t: pa.Table, predicate: Tuple[str, str, object]) -> pa.Table:
+    import pyarrow.compute as pc
+
+    col, op, val = predicate
+    if col not in t.column_names:
+        return t
+    c = t[col]
+    v = pa.scalar(val).cast(c.type) if not isinstance(val, pa.Scalar) else val
+    fn = {"==": pc.equal, "!=": pc.not_equal, ">": pc.greater,
+          ">=": pc.greater_equal, "<": pc.less, "<=": pc.less_equal}[op]
+    return t.filter(fn(c, v))
 
 
 class DecodeBatch:
     """map_batches callable: a batch of encoded chunk rows -> the
-    concatenation of their decoded tables."""
+    concatenation of their decoded tables (optionally projected /
+    predicate-pruned)."""
 
-    def __init__(self, verify_checksum: bool = True):
+    def __init__(self, verify_checksum: bool = True,
+                 columns: Optional[Sequence[str]] = None,
+                 predicate: Optional[Tuple[str, str, object]] = None):
+        if predicate is not None and predicate[1] not in _OPS:
+            raise ValueError(f"unsupported predicate op {predicate[1]!r}")
         self.verify_checksum = verify_checksum
+        self.columns = list(columns) if columns is not None else None
+        self.predicate = predicate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tables = []
         cols = batch.column_names
         for r in range(len(batch)):
+            if self.predicate is not None and "stats_json" in cols:
+                sj = batch["stats_json"][r].as_py()
+                if not chunk_may_match(sj, self.predicate):
+                    continue  # zone map proves no row matches
             row = {c: batch[c][r].as_py() for c in cols}
-            tables.append(decode_chunk_row(row, self.verify_checksum))
+            t = decode_chunk_row(row, self.verify_checksum, self.columns)
+            if self.predicate is not None:
+                t = _exact_filter(t, self.predicate)
+            if t.num_rows:
+                tables.append(t)
         if not tables:
-            return pa.table({})
+            return self._empty_like(batch)
         return pa.concat_tables(tables)
+
+    def _empty_like(self, batch: pa.Table) -> pa.Table:
+        """Schema-correct empty output (derived from chunk meta, no
+        payload decode) so blocks stay schema-consistent when the zone
+        map prunes everything."""
+        if len(batch) == 0:
+            return pa.table({})
+        from ..codecs.columns import desc_to_type
+
+        names = json.loads(batch["plan_json"][0].as_py())
+        want = None if self.columns is None else set(self.columns)
+        fields = []
+        for i, name in enumerate(names):
+            if want is not None and name not in want:
+                continue
+            mcol = f"col{i}_meta"
+            if mcol not in batch.column_names:
+                continue
+            meta = json.loads(batch[mcol][0].as_py())
+            fields.append(pa.field(name, desc_to_type(meta["atype"])))
+        return pa.table(
+            {f.name: pa.array([], f.type) for f in fields}
+        ) if fields else pa.table({})
 
 
 def decode_batch(batch: pa.Table) -> pa.Table:

@@ -72,6 +72,32 @@ def _token_count(batch: pa.Table) -> int:
     return 0
 
 
+_STATS_TYPES = (
+    pa.types.is_integer, pa.types.is_floating, pa.types.is_temporal,
+    pa.types.is_boolean,
+)
+
+
+def _zone_stat(arr) -> Optional[list]:
+    """JSON-safe [min, max] for orderable columns (zone map entry).
+    Temporal values are stored as their underlying integer repr."""
+    import pyarrow.compute as pc
+
+    t = arr.type
+    if not any(chk(t) for chk in _STATS_TYPES):
+        return None
+    if len(arr) == 0 or arr.null_count == len(arr):
+        return None
+    mm = pc.min_max(arr)
+    lo, hi = mm["min"], mm["max"]
+    if pa.types.is_temporal(t):
+        lo, hi = lo.cast(pa.int64()), hi.cast(pa.int64())
+    lo, hi = lo.as_py(), hi.as_py()
+    if isinstance(lo, bool):
+        lo, hi = int(lo), int(hi)
+    return [lo, hi]
+
+
 def encode_chunk(
     batch: pa.Table,
     bound: BoundPlan,
@@ -84,6 +110,7 @@ def encode_chunk(
     out: dict = {}
     payload_parts: list = []
     codec_summary: list = []
+    stats: dict = {}
     bytes_in = 0
     for i, bc in enumerate(bound.columns):
         arr = batch.column(bc.index)
@@ -91,6 +118,12 @@ def encode_chunk(
         fsst = (fsst_codecs or {}).get(bc.field.name)
         payload, meta = encode_column(arr, fsst=fsst, forced=bc.plan.forced_codec)
         meta["name"] = bc.field.name
+        # per-column checksum: lets PROJECTED decodes (subset of
+        # columns) verify integrity without every payload
+        meta["ck"] = hashlib.blake2b(payload, digest_size=8).hexdigest()
+        zs = _zone_stat(arr)  # pc.min_max accepts chunked arrays
+        if zs is not None:
+            stats[bc.field.name] = zs
         mjson = json.dumps(meta, separators=(",", ":"))
         out[f"col{i}_payload"] = [payload]
         out[f"col{i}_meta"] = [mjson]
@@ -110,6 +143,9 @@ def encode_chunk(
         "checksum": [checksum],
         "plan_json": [json.dumps([b.field.name for b in bound.columns])],
         "codecs_json": [json.dumps(codec_summary)],
+        # zone maps: per-column [min, max] — chunk-level predicate
+        # pushdown at decode; also lands in the lineage manifest
+        "stats_json": [json.dumps(stats, separators=(",", ":"), default=str)],
     }
     out_meta.update(out)
     return out_meta

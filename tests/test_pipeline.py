@@ -212,3 +212,86 @@ def test_group_id_distinguishes_same_basenames():
         ["/x/2.parquet", "/x/1.parquet"]
     )
     assert _group_id(["/x/1.parquet"]) != _group_id(["/x/1.parquet", "/x/2.parquet"])
+
+
+def test_projected_decode_and_zone_map_pushdown(ray_session, tmp_path):
+    """Round-2 query-shaped decode: projection reads/decodes only the
+    requested streams (per-column checksums), and a predicate prunes
+    chunks via lineage zone maps before exact filtering."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from colonnade_ray.corpus import tokenized_documents
+    from colonnade_ray.pipelines import decode_corpus, encode_corpus
+
+    inp = str(tmp_path / "inp")
+    out = str(tmp_path / "out")
+    tokenized_documents("/root/testdata/sf0.001").write_parquet(inp)
+    encode_corpus(inp, out, batch_size=128, partition_by="source", resume=False)
+    orig = pq.read_table(inp)
+
+    proj = pa.Table.from_pylist(
+        decode_corpus(out, columns=["doc_id", "n_tok"]).take_all()
+    )
+    assert sorted(proj.column_names) == ["doc_id", "n_tok"]
+    assert sorted(proj["doc_id"].to_pylist()) == sorted(orig["doc_id"].to_pylist())
+
+    got = decode_corpus(out, predicate=("n_tok", "<", 50)).take_all()
+    exp = sum(1 for v in orig["n_tok"].to_pylist() if v < 50)
+    assert len(got) == exp
+    both = decode_corpus(out, columns=["doc_id", "n_tok"],
+                         predicate=("n_tok", ">=", 50)).take_all()
+    assert len(both) == len(orig) - exp
+
+    with pytest.raises(KeyError):
+        decode_corpus(out, columns=["nope"])
+
+
+def test_zone_map_chunk_skip_logic():
+    import json
+
+    from colonnade_ray.stages.decode import chunk_may_match
+
+    sj = json.dumps({"n_tok": [10, 99]})
+    assert chunk_may_match(sj, ("n_tok", ">=", 50))
+    assert not chunk_may_match(sj, ("n_tok", ">=", 100))
+    assert not chunk_may_match(sj, ("n_tok", ">", 99))
+    assert chunk_may_match(sj, ("n_tok", "<=", 10))
+    assert not chunk_may_match(sj, ("n_tok", "<", 10))
+    assert chunk_may_match(sj, ("n_tok", "==", 55))
+    assert not chunk_may_match(sj, ("n_tok", "==", 9))
+    assert chunk_may_match(sj, ("other_col", "==", 1))  # no stats -> keep
+    assert chunk_may_match(None, ("n_tok", "==", 1))
+    assert not chunk_may_match(json.dumps({"x": [7, 7]}), ("x", "!=", 7))
+
+
+def test_projected_decode_detects_column_corruption(ray_session, tmp_path):
+    """Per-column checksum: corrupting ONE payload stream must fail a
+    projected decode of that column but not the chunk checksum path
+    (which a projection cannot compute)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from colonnade_ray.corpus import tokenized_documents
+    from colonnade_ray.pipelines import decode_corpus, encode_corpus
+
+    inp = str(tmp_path / "inp")
+    out = str(tmp_path / "out")
+    tokenized_documents("/root/testdata/sf0.001").write_parquet(inp)
+    encode_corpus(inp, out, batch_size=512, partition_by=None, resume=False)
+    [f] = glob.glob(out + "/data/group-*/*.parquet")
+    t = pq.read_table(f)
+    names = __import__("json").loads(t["plan_json"][0].as_py())
+    i = names.index("n_tok")
+    col = f"col{i}_payload"
+    corrupted = t.set_column(
+        t.column_names.index(col), col,
+        pa.array([b"\x00" + t[col][r].as_py()[1:] for r in range(len(t))], pa.binary()),
+    )
+    pq.write_table(corrupted, f, compression="none")
+    from colonnade_ray.errors import ChecksumError
+
+    with pytest.raises(Exception) as e:
+        decode_corpus(out, columns=["n_tok"]).take_all()
+    assert "Checksum" in str(type(e.value).__name__) or "checksum" in str(e.value).lower()
