@@ -386,6 +386,25 @@ def q_events_sliding(sf_dir: str):
                            length_minutes=60, hop_minutes=30)
 
 
+def q_contamination(sf_dir: str):
+    """Decontamination stage: per-doc distinct 5-gram shingles vs a
+    held-out set's shingles (test set = every 50th doc), broadcast
+    membership probe, no shuffle."""
+    from colonnade_ray.functions.curation import contamination_check
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    test = docs.filter(lambda r: r["doc_id"] % 50 == 0)
+    return contamination_check(docs, test)
+
+
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition signal: total vs distinct word bigrams
+    per doc (integer outputs)."""
+    from colonnade_ray.functions.curation import repetition_stats
+
+    return repetition_stats(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_price_bands(sf_dir: str):
     """Broadcast interval (range) join: lineitem prices binned into
     [lo, hi) bands via one searchsorted probe per batch, then a grouped
@@ -604,6 +623,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "word_freq_topk": q_word_freq_topk,
         "events_sliding": q_events_sliding,
+        "contamination": q_contamination,
+        "repetition": q_repetition,
         "price_bands": q_price_bands,
         "grouped_topk": q_grouped_topk,
         "doc_sample": q_doc_sample,
@@ -628,14 +649,18 @@ _STOP_SQL = "the|a|an|and|or|of|to|in|is|are|was|for|on|with|as|by|at|from|this|
 # engine's shingling).  Reused by jaccard_pairs_exact, near_dup_pairs
 # (LSH candidates + exact verify must equal the exact pair set) and
 # dup_groups (recursive transitive closure over the same pairs).
-_JACCARD_CTES = (
+_SHINGLE_CTES = (
     "d AS (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS ws "
     "FROM documents WHERE len(trim(text)) > 0), "
     "g AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS gram "
     "FROM d, UNNEST(range(1, len(ws) - 3)) AS t(i) WHERE len(ws) >= 5 "
     "UNION ALL SELECT doc_id, array_to_string(ws, ' ') FROM d "
     "WHERE len(ws) BETWEEN 1 AND 4), "
-    "gs AS (SELECT DISTINCT doc_id, gram FROM g), "
+    "gs AS (SELECT DISTINCT doc_id, gram FROM g)"
+)
+
+_JACCARD_CTES = (
+    _SHINGLE_CTES + ", "
     "sz AS (SELECT doc_id, COUNT(*) AS n FROM gs GROUP BY doc_id), "
     "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c "
     "FROM gs a JOIN gs b ON a.gram = b.gram AND a.doc_id < b.doc_id "
@@ -793,6 +818,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM ("
             "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word "
             "FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 50"
+        ),
+        "contamination": (
+            f"WITH {_SHINGLE_CTES}, "
+            "test AS (SELECT DISTINCT gram FROM gs WHERE doc_id % 50 = 0) "
+            "SELECT gs.doc_id, COUNT(*) AS n_shingles, "
+            "CAST(SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_contaminated "
+            "FROM gs LEFT JOIN test t ON gs.gram = t.gram GROUP BY gs.doc_id"
+        ),
+        "repetition": (
+            "WITH d AS (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS ws "
+            "FROM documents WHERE len(trim(text)) > 0), "
+            "g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram "
+            "FROM d, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2) "
+            "SELECT doc_id, COUNT(*) AS n_grams, "
+            "CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct "
+            "FROM g2 GROUP BY doc_id"
         ),
         "price_bands": (
             "WITH bands(lo, hi, label) AS (VALUES "

@@ -1,0 +1,132 @@
+"""Corpus curation signals: test-set contamination and intra-document
+repetition — the decontamination / Gopher-rule stages of an LLM data
+pipeline, vectorized per batch on the shared flat-shingle machinery
+(functions/dedup._flat_shingles).
+
+Scale notes:
+- Contamination broadcasts the TEST set's distinct shingle hashes
+  (test/eval sets are small by construction — that is the point of a
+  held-out set); the train corpus streams through one membership probe
+  per batch (sorted-array searchsorted).  No shuffle.
+- Repetition is per-document arithmetic: zero data movement beyond the
+  text read.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .dedup import _flat_shingles
+
+
+def _per_doc_distinct(grams: np.ndarray, counts: np.ndarray):
+    """First-occurrence mask of (doc, gram) pairs.
+
+    Returns (doc_index_per_gram, distinct_mask) — both aligned with
+    ``grams``; vectorized lexsort + neighbor compare."""
+    doc_rep = np.repeat(np.arange(counts.size), counts)
+    if grams.size == 0:
+        return doc_rep, np.zeros(0, dtype=bool)
+    order = np.lexsort((grams, doc_rep))
+    sd, sg = doc_rep[order], grams[order]
+    first = np.empty(grams.size, dtype=bool)
+    first[0] = True
+    first[1:] = (sd[1:] != sd[:-1]) | (sg[1:] != sg[:-1])
+    mask = np.empty(grams.size, dtype=bool)
+    mask[order] = first
+    return doc_rep, mask
+
+
+def collect_test_shingles(test_ds, text_col: str = "text", shingle_k: int = 5) -> np.ndarray:
+    """Distinct shingle hashes of the held-out set (sorted uint64).
+
+    Per-batch distinct first (map side), then one driver-side unique of
+    the small partials — the held-out set is small by construction."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h, _ = _flat_shingles(df[text_col], k=shingle_k)
+        u = np.unique(h)
+        return pd.DataFrame({"h": u.view(np.int64)})
+
+    parts = test_ds.map_batches(partial, batch_format="pandas").take_all()
+    if not parts:
+        return np.zeros(0, np.uint64)
+    return np.unique(np.array([r["h"] for r in parts], np.int64).view(np.uint64))
+
+
+def contamination_check(ds, test_ds, text_col: str = "text", id_col: str = "doc_id",
+                        shingle_k: int = 5, concurrency=None):
+    """Per-doc overlap with a held-out set's k-gram shingles.
+
+    Output: (id_col, n_shingles, n_contaminated) — distinct shingles
+    per document and how many of them appear in the test set.  Docs
+    with no shingles (empty text) are omitted.  Integer outputs only
+    (oracle-hash safe)."""
+    import ray
+
+    from ..util import default_concurrency
+
+    ref = ray.put(np.sort(collect_test_shingles(test_ds, text_col, shingle_k)))
+
+    class Contaminate:
+        def __init__(self):
+            self.test = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch[text_col].to_pandas()
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            h, counts = _flat_shingles(texts, k=shingle_k)
+            doc_rep, distinct = _per_doc_distinct(h, counts)
+            n = len(batch)
+            n_shingles = np.bincount(doc_rep[distinct], minlength=n)
+            if self.test.size and h.size:
+                pos = np.searchsorted(self.test, h)
+                hit = (pos < self.test.size) & (self.test[np.clip(pos, 0, self.test.size - 1)] == h)
+                n_bad = np.bincount(doc_rep[distinct & hit], minlength=n)
+            else:
+                n_bad = np.zeros(n, np.int64)
+            keep = n_shingles > 0
+            return pa.table(
+                {
+                    id_col: pa.array(ids[keep]),
+                    "n_shingles": pa.array(n_shingles[keep].astype(np.int64)),
+                    "n_contaminated": pa.array(n_bad[keep].astype(np.int64)),
+                }
+            )
+
+    return ds.map_batches(
+        Contaminate, batch_format="pyarrow",
+        concurrency=concurrency or (1, default_concurrency()),
+    )
+
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id",
+                     gram_k: int = 2):
+    """Gopher-style repetition signal: per doc, total vs distinct word
+    k-grams (high duplicate fraction flags boilerplate/spam).
+
+    Output: (id_col, n_grams, n_distinct) for docs with >= k words;
+    integer outputs only."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        words = texts.fillna("").str.split()
+        wlens = words.str.len().to_numpy().astype(np.int64)
+        h, counts = _flat_shingles(texts, k=gram_k)
+        doc_rep, distinct = _per_doc_distinct(h, counts)
+        n = len(batch)
+        n_grams = np.bincount(doc_rep, minlength=n)
+        n_distinct = np.bincount(doc_rep[distinct], minlength=n)
+        keep = wlens >= gram_k  # short docs use the whole-doc gram fold; exclude
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep]),
+                "n_grams": pa.array(n_grams[keep].astype(np.int64)),
+                "n_distinct": pa.array(n_distinct[keep].astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

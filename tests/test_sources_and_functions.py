@@ -758,3 +758,37 @@ def test_typed_jsonl_source(tmp_path, ray_session):
     with pytest.raises(Exception) as e2:
         read_typed_jsonl(str(p2), cols).take_all()
     assert "non-nullable" in str(e2.value) or "n" in str(e2.value)
+
+
+def test_contamination_check(ray_session):
+    import ray.data as rd
+
+    from colonnade_ray.functions.curation import contamination_check
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+        {"doc_id": 2, "text": "one two three four five six seven eight"},
+        {"doc_id": 3, "text": ""},
+    ])
+    test = rd.from_items([{"doc_id": 9, "text": "alpha beta gamma delta epsilon zeta"}])
+    out = {r["doc_id"]: r for r in contamination_check(docs, test).take_all()}
+    assert 3 not in out  # empty doc omitted
+    # doc 1: 4 distinct 5-grams; test has 2 of them
+    assert out[1]["n_shingles"] == 4 and out[1]["n_contaminated"] == 2
+    assert out[2]["n_contaminated"] == 0
+
+
+def test_repetition_stats(ray_session):
+    import ray.data as rd
+
+    from colonnade_ray.functions.curation import repetition_stats
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "spam spam spam spam spam"},   # 4 bigrams, 1 distinct
+        {"doc_id": 2, "text": "all words here are unique"},  # 4 bigrams, 4 distinct
+        {"doc_id": 3, "text": "single"},                     # < 2 words: omitted
+    ])
+    out = {r["doc_id"]: r for r in repetition_stats(docs).take_all()}
+    assert out[1]["n_grams"] == 4 and out[1]["n_distinct"] == 1
+    assert out[2]["n_grams"] == 4 and out[2]["n_distinct"] == 4
+    assert 3 not in out
