@@ -1,4 +1,5 @@
 from .encode_pipeline import (
+    completed_groups,
     corpus_summary,
     decode_corpus,
     decode_dataset,

@@ -295,3 +295,32 @@ def test_projected_decode_detects_column_corruption(ray_session, tmp_path):
     with pytest.raises(Exception) as e:
         decode_corpus(out, columns=["n_tok"]).take_all()
     assert "Checksum" in str(type(e.value).__name__) or "checksum" in str(e.value).lower()
+
+
+def test_incremental_append_new_fragments(ray_session, tmp_path):
+    """Growing-corpus workflow: re-running encode_corpus with
+    group_size after new fragments land only encodes the NEW groups;
+    decode sees the union."""
+    import pyarrow.parquet as pq
+
+    from colonnade_ray.corpus import synth_rows
+    from colonnade_ray.pipelines import (
+        completed_groups,
+        decode_corpus,
+        encode_corpus,
+    )
+
+    inp = tmp_path / "inp"
+    inp.mkdir()
+    out = str(tmp_path / "out")
+    for i in range(2):
+        pq.write_table(synth_rows(200, seed=i, start_id=i * 200), str(inp / f"f{i}.parquet"))
+    s1 = encode_corpus(str(inp), out, batch_size=128, group_size=1, resume=True)
+    assert s1["groups"] == 2 and s1["resumed_groups"] == 0
+    # two new fragments arrive
+    for i in range(2, 4):
+        pq.write_table(synth_rows(200, seed=i, start_id=i * 200), str(inp / f"f{i}.parquet"))
+    s2 = encode_corpus(str(inp), out, batch_size=128, group_size=1, resume=True)
+    assert s2["groups"] == 4 and s2["resumed_groups"] == 2  # old groups skipped
+    assert len(completed_groups(out)) == 4
+    assert decode_corpus(out).count() == 800
