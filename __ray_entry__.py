@@ -342,6 +342,15 @@ def q_simhash(sf_dir: str):
     return simhash_signatures(_tbl(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_simhash_near_dups(sf_dir: str):
+    """SimHash hamming-ball pairs (pigeonhole banding + exact verify);
+    hash-based signature, so rows-only."""
+    from colonnade_ray.functions.dedup import simhash_candidates
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_candidates(ds, max_hamming=3).sort(["id_a", "id_b"])
+
+
 def q_ann_ivf_topk(sf_dir: str):
     from colonnade_ray.functions.similarity import ivf_topk
 
@@ -635,6 +644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible)
         "encode_roundtrip": q_encode_roundtrip,
         "simhash_signatures": q_simhash,
+        "simhash_near_dups": q_simhash_near_dups,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_lsh_candidates": q_embedding_lsh_candidates,
         "pack_sequences": q_pack_sequences,

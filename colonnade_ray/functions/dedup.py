@@ -789,3 +789,74 @@ def jaccard_pairs_exact(ds, threshold=0.8, text_col="text", id_col="doc_id",
         return df.loc[keep, ["id_a", "id_b"]]
 
     return with_ab.map_batches(thresh, batch_format="pandas")
+
+
+def simhash_candidates(ds, text_col="text", id_col="doc_id", max_hamming: int = 3,
+                       concurrency=None):
+    """SimHash near-dup pairs within a hamming ball — the scale path
+    for the 64-bit signatures.
+
+    Pigeonhole banding: split the 64-bit hash into ``max_hamming + 1``
+    contiguous bands; two hashes within hamming distance d agree
+    EXACTLY on at least one band, so one groupby on (band, band_bits)
+    recalls every pair — no quadratic scan.  Candidates are then
+    verified by exact hamming distance (vectorized popcount) inside
+    the same bucketed pass.
+
+    Output: (id_a, id_b, hamming) distinct pairs with
+    hamming <= max_hamming.
+    """
+    from .bucketing import bucketed_group_apply
+
+    nbands = max_hamming + 1
+    widths = [64 // nbands + (1 if i < 64 % nbands else 0) for i in range(nbands)]
+    offsets = np.concatenate(([0], np.cumsum(widths)))[:-1]
+
+    sigs = simhash_signatures(ds, text_col, id_col, concurrency=concurrency)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["simhash"].to_numpy().view(np.uint64)
+        ids = df[id_col].to_numpy()
+        outs = []
+        for b, (off, w) in enumerate(zip(offsets, widths)):
+            key = ((h >> np.uint64(off)) & np.uint64((1 << w) - 1)).view(np.int64)
+            outs.append(pd.DataFrame({
+                "band": np.full(h.size, b, np.int32), "key": key,
+                id_col: ids, "simhash": df["simhash"].to_numpy(),
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"id_a": [], "id_b": [], "hamming": []}
+        for (_, _), grp in g.groupby(["band", "key"], sort=False):
+            if len(grp) < 2:
+                continue
+            ids = grp[id_col].to_numpy()
+            hs = grp["simhash"].to_numpy().view(np.uint64)
+            iu, ju = np.triu_indices(len(grp), k=1)
+            x = hs[iu] ^ hs[ju]
+            d = np.zeros(x.size, np.int64)
+            for _ in range(64):  # vectorized popcount via bit strip
+                nzm = x != 0
+                if not nzm.any():
+                    break
+                d[nzm] += 1
+                x = x & (x - np.uint64(1))
+            keep = d <= max_hamming
+            a, b = ids[iu[keep]], ids[ju[keep]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            out["id_a"].extend(lo.tolist())
+            out["id_b"].extend(hi.tolist())
+            out["hamming"].extend(d[keep].tolist())
+        return pd.DataFrame(out)
+
+    exploded = sigs.map_batches(explode, batch_format="pandas")
+    cand = bucketed_group_apply(exploded, ["band", "key"], pairs_in_bucket)
+    # same pair can surface from several bands: one bucketed distinct
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["id_a", "id_b"])
+
+    return bucketed_group_apply(
+        cand.map_batches(dedup_bucket, batch_format="pandas"),
+        ["id_a", "id_b"], dedup_bucket,
+    )

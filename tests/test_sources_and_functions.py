@@ -792,3 +792,26 @@ def test_repetition_stats(ray_session):
     assert out[1]["n_grams"] == 4 and out[1]["n_distinct"] == 1
     assert out[2]["n_grams"] == 4 and out[2]["n_distinct"] == 4
     assert 3 not in out
+
+
+def test_simhash_candidates_hamming_ball(ray_session):
+    import ray.data as rd
+
+    from colonnade_ray.functions.dedup import simhash_candidates
+
+    rng = np.random.default_rng(1)
+    vocab = np.array([f"w{i}" for i in range(400)], dtype=object)
+    base = vocab[rng.integers(0, 400, 1500)]
+    near = base.copy(); near[:8] = vocab[rng.integers(0, 400, 8)]
+    docs = [
+        {"doc_id": 1, "text": " ".join(base)},
+        {"doc_id": 2, "text": " ".join(near)},       # near-dup of 1
+        {"doc_id": 3, "text": " ".join(base)},       # exact dup of 1
+        {"doc_id": 4, "text": " ".join(vocab[rng.integers(0, 400, 1500)])},
+    ]
+    out = simhash_candidates(rd.from_items(docs), max_hamming=3).take_all()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert pairs.get((1, 3)) == 0           # identical -> hamming 0
+    assert (1, 2) in pairs or (2, 3) in pairs  # near-dup recalled
+    assert all(h <= 3 for h in pairs.values())
+    assert not any(4 in p for p in pairs)   # unrelated doc excluded
