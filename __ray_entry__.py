@@ -395,6 +395,62 @@ def q_events_sliding(sf_dir: str):
                            length_minutes=60, hop_minutes=30)
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-style macro pipeline: broadcast-join the customer
+    segment filter into orders, hash-join lineitem, grouped revenue in
+    integer cents, top-10 — exercises operator COMPOSITION (filter ->
+    broadcast join -> hash join -> partial agg -> sort/limit)."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from colonnade_ray.functions.relational import broadcast_join, hash_join
+
+    cutoff = pa.scalar(np.datetime64("1995-03-15", "us"), pa.timestamp("us"))
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    cust = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING")).select(["c_custkey"]).rename_columns(["o_custkey"])
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda b: b.filter(pc.less(b["o_orderdate"], cutoff)), batch_format="pyarrow"
+    )
+    o_build = broadcast_join(orders, cust, on="o_custkey").map_batches(
+        lambda df: df[["o_orderkey", "o_orderdate"]], batch_format="pandas"
+    )
+    def li_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["l_shipdate"], cutoff))
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(rev, pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64(),
+        )
+        return pa.table({"o_orderkey": b["l_orderkey"], "rev_cents": cents})
+
+    li = _lineitem(
+        sf_dir, ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).map_batches(li_prep, batch_format="pyarrow")
+    joined = hash_join(li, o_build, on=["o_orderkey"])
+    agg = joined.groupby(["o_orderkey", "o_orderdate"]).aggregate(
+        Sum("rev_cents", alias_name="revenue_cents")
+    )
+    return agg.sort(["revenue_cents", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q_user_event_seq(sf_dir: str):
+    """Per-key running sequence number (row_number window): bucketed
+    per-user cumcount over ts-ordered events."""
+    from colonnade_ray.functions.bucketing import bucketed_group_apply
+
+    ev = _tbl(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def seq(g):
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        g["seq"] = g.groupby("user_id", sort=False).cumcount() + 1
+        return g[["event_id", "user_id", "seq"]]
+
+    return bucketed_group_apply(ev, "user_id", seq)
+
+
 def q_contamination(sf_dir: str):
     """Decontamination stage: per-doc distinct 5-gram shingles vs a
     held-out set's shingles (test set = every 50th doc), broadcast
@@ -632,6 +688,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "word_freq_topk": q_word_freq_topk,
         "events_sliding": q_events_sliding,
+        "shipping_priority": q_shipping_priority,
+        "user_event_seq": q_user_event_seq,
         "contamination": q_contamination,
         "repetition": q_repetition,
         "price_bands": q_price_bands,
@@ -828,6 +886,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM ("
             "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word "
             "FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 50"
+        ),
+        "shipping_priority": (
+            "SELECT l.l_orderkey AS o_orderkey, o.o_orderdate, "
+            "CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100.0 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "WHERE c.c_mktsegment = 'BUILDING' "
+            "AND o.o_orderdate < TIMESTAMP '1995-03-15' "
+            "AND l.l_shipdate > TIMESTAMP '1995-03-15' "
+            "GROUP BY l.l_orderkey, o.o_orderdate "
+            "ORDER BY revenue_cents DESC, l.l_orderkey LIMIT 10"
+        ),
+        "user_event_seq": (
+            "SELECT event_id, user_id, CAST(row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq "
+            "FROM events"
         ),
         "contamination": (
             f"WITH {_SHINGLE_CTES}, "
