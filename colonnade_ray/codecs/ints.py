@@ -432,15 +432,22 @@ class DictBitlenCodec(Codec):
         sel_uniq = np.minimum(bl_uniq, np.uint8(self._ESCAPE))
         sel = sel_uniq[inv]
         parts = [pack_uints(sel, self._SEL_BITS)]
+        # ONE stable radix argsort groups ranks by class (original
+        # order preserved within a class — the decode contract) instead
+        # of 14 full mask+boolean-index passes over the rank stream
+        order = np.argsort(sel, kind="stable")
+        ranks_sorted = ranks[order]
+        bounds = np.concatenate(
+            ([0], np.cumsum(np.bincount(sel, minlength=self._ESCAPE + 1)))
+        )
         class_counts = []
         for b in range(2, self._ESCAPE):  # payload width b-1 (classes 0,1 have none)
-            m = sel == b
-            cnt = int(m.sum())
-            class_counts.append(cnt)
-            parts.append(pack_uints(ranks[m] - np.uint32(1 << (b - 1)), b - 1))
-        m = sel == self._ESCAPE
-        class_counts.append(int(m.sum()))
-        parts.append(pack_uints(ranks[m], W))
+            seg = ranks_sorted[bounds[b] : bounds[b + 1]]
+            class_counts.append(int(seg.size))
+            parts.append(pack_uints(seg - np.uint32(1 << (b - 1)), b - 1))
+        seg = ranks_sorted[bounds[self._ESCAPE] : bounds[self._ESCAPE + 1]]
+        class_counts.append(int(seg.size))
+        parts.append(pack_uints(seg, W))
         # dictionary stored directly in RANK order: by_rank[r] = value
         # with rank r.  Cheaper than sorted-delta + a rank permutation
         # (17 vs ~26 bits per unique on token vocabs) and decode needs
@@ -459,19 +466,30 @@ class DictBitlenCodec(Codec):
         n = m["n"]
         if n == 0:
             return np.zeros(0, dtype=dt)
-        sel = unpack_uints(enc.parts[0], n, self._SEL_BITS).astype(np.int64)
+        sel = unpack_uints(enc.parts[0], n, self._SEL_BITS).astype(np.uint8)
+        # mirror of encode: one stable argsort replaces the per-class
+        # mask scatters; order slices are each class's positions in
+        # first-occurrence order
+        order = np.argsort(sel, kind="stable")
+        bounds = np.concatenate(
+            ([0], np.cumsum(np.bincount(sel, minlength=self._ESCAPE + 1)))
+        )
         ranks = np.zeros(n, dtype=np.uint64)
-        ranks[sel == 1] = 1
+        ranks[order[bounds[1] : bounds[2]]] = 1
         idx = 1
         for i, b in enumerate(range(2, self._ESCAPE)):
             cnt = m["class_counts"][i]
             if cnt:
                 vals = unpack_uints(enc.parts[idx], cnt, b - 1)
-                ranks[sel == b] = vals + (np.uint64(1) << np.uint64(b - 1))
+                ranks[order[bounds[b] : bounds[b + 1]]] = vals + (
+                    np.uint64(1) << np.uint64(b - 1)
+                )
             idx += 1
         cnt = m["class_counts"][-1]
         if cnt:
-            ranks[sel == self._ESCAPE] = unpack_uints(enc.parts[idx], cnt, m["W"])
+            ranks[order[bounds[self._ESCAPE] : bounds[self._ESCAPE + 1]]] = unpack_uints(
+                enc.parts[idx], cnt, m["W"]
+            )
         idx += 1
         by_rank = INT_CODECS["for_bitpack"].decode(
             Encoded("for_bitpack", m["values"], [enc.parts[idx]])
