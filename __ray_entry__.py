@@ -509,6 +509,16 @@ def q_grouped_topk(sf_dir: str):
     return out.select_columns(["o_custkey", "o_orderkey"])
 
 
+def q_stratified_sample(sf_dir: str):
+    """Per-source stratified sample (5 docs per source, deterministic
+    order) — grouped_topk reused as group-wise sampling."""
+    from colonnade_ray.functions.relational import grouped_topk
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "source"])
+    out = grouped_topk(docs, ["source"], "doc_id", k=5, descending=False)
+    return out.select_columns(["source", "doc_id"])
+
+
 def q_doc_sample(sf_dir: str):
     """Deterministic 1-in-20 systematic sample (mod_sample): pure row
     filter, reproducible across retries/cluster sizes — the
@@ -694,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": q_repetition,
         "price_bands": q_price_bands,
         "grouped_topk": q_grouped_topk,
+        "stratified_sample": q_stratified_sample,
         "doc_sample": q_doc_sample,
         "quality_filter": q_quality_filter,
         "truncate_conservation": q_truncate_conservation,
@@ -937,6 +948,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_custkey, o_orderkey, row_number() OVER ("
             "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
             "FROM orders) WHERE rn <= 3"
+        ),
+        "stratified_sample": (
+            "SELECT source, doc_id FROM (SELECT source, doc_id, "
+            "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn "
+            "FROM documents) WHERE rn <= 5"
         ),
         "doc_sample": (
             "SELECT doc_id, n_chars FROM documents WHERE doc_id % 20 = 0"
