@@ -59,6 +59,12 @@ def type_to_desc(t: pa.DataType) -> dict:
         return {"k": "list", "item": type_to_desc(t.value_type)}
     if pa.types.is_large_list(t):
         return {"k": "large_list", "item": type_to_desc(t.value_type)}
+    if pa.types.is_time32(t) or pa.types.is_time64(t):
+        return {"k": "time32" if pa.types.is_time32(t) else "time64", "unit": t.unit}
+    if pa.types.is_duration(t):
+        return {"k": "duration", "unit": t.unit}
+    if pa.types.is_decimal(t):
+        return {"k": "decimal128", "precision": t.precision, "scale": t.scale}
     if pa.types.is_integer(t) or pa.types.is_floating(t):
         return {"k": str(t)}
     raise TypeError(f"unsupported arrow type {t}")
@@ -82,6 +88,14 @@ def desc_to_type(d: dict) -> pa.DataType:
         return pa.list_(desc_to_type(d["item"]))
     if k == "large_list":
         return pa.large_list(desc_to_type(d["item"]))
+    if k == "time32":
+        return pa.time32(d["unit"])
+    if k == "time64":
+        return pa.time64(d["unit"])
+    if k == "duration":
+        return pa.duration(d["unit"])
+    if k == "decimal128":
+        return pa.decimal128(d["precision"], d["scale"])
     return pa.type_for_alias(k)
 
 
@@ -207,6 +221,68 @@ def _encode_primitive(arr: pa.Array, forced: Optional[str] = None) -> tuple[dict
     return meta, vparts + parts
 
 
+def _encode_decimal(arr: pa.Array, forced: Optional[str] = None) -> tuple[dict, list]:
+    """decimal128: split the 16-byte unscaled ints into (lo, hi) int64
+    words; when every value sign-extends from its low word (precision
+    <= 18 in practice) only the lo stream is stored."""
+    validity, vparts = _validity_stream(arr)
+    n = len(arr)
+    if n == 0:
+        lo = np.zeros(0, np.int64)
+        hi = None
+    else:
+        buf = arr.buffers()[1]
+        words = np.frombuffer(buf, dtype=np.int64, count=2 * n,
+                              offset=arr.offset * 16).reshape(n, 2)
+        lo = words[:, 0].copy()
+        hi = words[:, 1].copy()
+        if arr.null_count:
+            nulls = ~arr.is_valid().to_numpy(zero_copy_only=False)
+            lo[nulls] = 0
+            hi[nulls] = 0
+        if np.array_equal(hi, lo >> 63):  # sign-extension only
+            hi = None
+    lentry, lparts = _emit(encode_int_stream(lo, forced=forced))
+    meta = {"kind": "decimal",
+            "streams": {"validity": validity, "lo": lentry, "hi": None}}
+    parts = list(vparts) + lparts
+    if hi is not None:
+        hentry, hparts = _emit(encode_int_stream(hi, forced=forced))
+        meta["streams"]["hi"] = hentry
+        parts += hparts
+    return meta, parts
+
+
+def _decode_decimal(meta: dict, parts: list, atype: pa.DataType, n: int) -> pa.Array:
+    idx = 0
+    validity = meta["streams"]["validity"]
+    vmask = None
+    if validity is not None:
+        k = len(validity["meta"]["part_lens"])
+        vmask = _decode_validity(validity, parts[idx : idx + k], n)
+        idx += k
+    lentry = meta["streams"]["lo"]
+    k = len(lentry["meta"]["part_lens"])
+    lo = decode_int_stream(Encoded(lentry["codec"], lentry["meta"], parts[idx : idx + k])).astype(np.int64)
+    idx += k
+    hentry = meta["streams"]["hi"]
+    if hentry is not None:
+        k = len(hentry["meta"]["part_lens"])
+        hi = decode_int_stream(Encoded(hentry["codec"], hentry["meta"], parts[idx : idx + k])).astype(np.int64)
+    else:
+        hi = lo >> 63
+    words = np.empty((n, 2), dtype=np.int64)
+    words[:, 0] = lo
+    words[:, 1] = hi
+    vbuf = None
+    if vmask is not None:
+        vbuf = pa.py_buffer(np.packbits(vmask, bitorder="little"))
+    return pa.Array.from_buffers(
+        atype, n, [vbuf, pa.py_buffer(np.ascontiguousarray(words))],
+        null_count=int((~vmask).sum()) if vmask is not None else 0,
+    )
+
+
 def _encode_float_stream(vals: np.ndarray) -> Encoded:
     """Float columns: byte-plane split (BtrBlocks-style, public
     literature) — view as uint bytes, encode each byte plane through
@@ -270,9 +346,14 @@ def _decode_primitive(meta: dict, parts: list, atype: pa.DataType, n: int) -> pa
         vals = decode_int_stream(enc).astype(bool)
     else:
         vals = decode_int_stream(enc)
-    if pa.types.is_timestamp(atype) or pa.types.is_date32(atype):
+    if (pa.types.is_timestamp(atype) or pa.types.is_date32(atype)
+            or pa.types.is_time32(atype) or pa.types.is_time64(atype)
+            or pa.types.is_duration(atype)):
+        width = atype.bit_width // 8
         out = pa.Array.from_buffers(
-            atype, n, [None, pa.py_buffer(np.ascontiguousarray(vals).tobytes())]
+            atype, n,
+            [None, pa.py_buffer(np.ascontiguousarray(
+                vals.astype(f"i{width}", copy=False)).tobytes())],
         )
     else:
         out = pa.array(vals, type=atype)
@@ -534,6 +615,13 @@ def encode_column_chunk(arr, fsst: Optional[FsstCodec] = None,
         meta, parts = _encode_string(arr, fsst)
     elif pa.types.is_list(t) or pa.types.is_large_list(t):
         meta, parts = _encode_list(arr, forced)
+    elif pa.types.is_time32(t) or pa.types.is_time64(t) or pa.types.is_duration(t):
+        # integer-storage logical types: encode the storage ints, keep
+        # the logical type in atype (rebuilt at decode)
+        iv = arr.view(pa.int32() if t.bit_width == 32 else pa.int64())
+        meta, parts = _encode_primitive(iv, forced)
+    elif pa.types.is_decimal(t):
+        meta, parts = _encode_decimal(arr, forced)
     else:
         meta, parts = _encode_primitive(arr, forced)
     meta["atype"] = type_to_desc(t)
@@ -548,6 +636,8 @@ def decode_column_chunk(meta: dict, parts: list, n: Optional[int] = None) -> pa.
         return _decode_string(meta, parts, atype, n)
     if meta["kind"] == "list":
         return _decode_list(meta, parts, atype, n)
+    if meta["kind"] == "decimal":
+        return _decode_decimal(meta, parts, atype, n)
     return _decode_primitive(meta, parts, atype, n)
 
 

@@ -53,6 +53,16 @@ COLUMNS = {
     ),
     "one_huge_row": pa.array([list(range(1_000_000))], pa.list_(pa.int32())),
     "list_int64": pa.array([[2**40, -5], [], [0]], pa.list_(pa.int64())),
+    "decimal_narrow_nulls": pa.array(
+        ["12.3456", None, "-7.0001", "0.0000"], pa.string()
+    ).cast(pa.decimal128(9, 4)),
+    "decimal_wide": pa.array([10**30, None, -(10**33)], pa.decimal128(38, 0)),
+    "decimal_all_null": pa.array([None, None], pa.decimal128(18, 3)),
+    "time32_nulls": pa.array(
+        [None if i % 5 == 0 else (i * 37) % 86_400 for i in range(200)], pa.time32("s")
+    ),
+    "time64_us": pa.array([3_723_000_500, None], pa.time64("us")),
+    "duration_ms": pa.array([1000, None, -5, 0], pa.duration("ms")),
 }
 
 
