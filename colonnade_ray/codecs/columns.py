@@ -65,6 +65,21 @@ def type_to_desc(t: pa.DataType) -> dict:
         return {"k": "duration", "unit": t.unit}
     if pa.types.is_decimal(t):
         return {"k": "decimal128", "precision": t.precision, "scale": t.scale}
+    if pa.types.is_date64(t):
+        return {"k": "date64"}
+    if pa.types.is_float16(t):
+        return {"k": "float16"}
+    if pa.types.is_dictionary(t):
+        return {"k": "dictionary", "index": type_to_desc(t.index_type),
+                "value": type_to_desc(t.value_type), "ordered": bool(t.ordered)}
+    if pa.types.is_fixed_size_binary(t):
+        return {"k": "fixed_size_binary", "byte_width": t.byte_width}
+    if pa.types.is_fixed_size_list(t):
+        return {"k": "fixed_size_list", "item": type_to_desc(t.value_type),
+                "list_size": t.list_size}
+    if pa.types.is_struct(t):
+        return {"k": "struct",
+                "fields": [[f.name, type_to_desc(f.type)] for f in t]}
     if pa.types.is_integer(t) or pa.types.is_floating(t):
         return {"k": str(t)}
     raise TypeError(f"unsupported arrow type {t}")
@@ -96,6 +111,19 @@ def desc_to_type(d: dict) -> pa.DataType:
         return pa.duration(d["unit"])
     if k == "decimal128":
         return pa.decimal128(d["precision"], d["scale"])
+    if k == "date64":
+        return pa.date64()
+    if k == "float16":
+        return pa.float16()
+    if k == "dictionary":
+        return pa.dictionary(desc_to_type(d["index"]), desc_to_type(d["value"]),
+                             ordered=d["ordered"])
+    if k == "fixed_size_binary":
+        return pa.binary(d["byte_width"])
+    if k == "fixed_size_list":
+        return pa.list_(desc_to_type(d["item"]), d["list_size"])
+    if k == "struct":
+        return pa.struct([pa.field(n, desc_to_type(ft)) for n, ft in d["fields"]])
     return pa.type_for_alias(k)
 
 
@@ -283,6 +311,169 @@ def _decode_decimal(meta: dict, parts: list, atype: pa.DataType, n: int) -> pa.A
     )
 
 
+def _validity_bitmap_buffer(vmask: Optional[np.ndarray]):
+    if vmask is None:
+        return None, 0
+    return pa.py_buffer(np.packbits(vmask, bitorder="little")), int((~vmask).sum())
+
+
+def _encode_dictionary(arr: pa.Array, fsst=None, forced=None) -> tuple[dict, list]:
+    """Dictionary-typed input (common from parquet readers): encode the
+    index stream and the dictionary values independently so the exact
+    dictionary (contents AND order) round-trips."""
+    ind = arr.indices
+    imeta, iparts = _encode_primitive(ind, forced)
+    dmeta, dparts = encode_column_chunk(arr.dictionary, fsst=fsst)
+    return (
+        {"kind": "dict_wrap", "indices": imeta, "dictionary": dmeta,
+         "dict_n": len(arr.dictionary)},
+        iparts + dparts,
+    )
+
+
+def _decode_dictionary(meta: dict, parts: list, atype: pa.DataType, n: int) -> pa.Array:
+    imeta = meta["indices"]
+    nip = _meta_nparts(imeta)
+    ind = _decode_primitive(imeta, parts[:nip], atype.index_type, n)
+    dvals = decode_column_chunk(meta["dictionary"], parts[nip:], meta["dict_n"])
+    return pa.DictionaryArray.from_arrays(ind, dvals, ordered=atype.ordered)
+
+
+def _meta_nparts(meta: dict) -> int:
+    """Number of payload parts a nested meta consumes (recursive)."""
+    kind = meta.get("kind")
+    total = 0
+    if kind == "primitive":
+        v = meta["streams"]["validity"]
+        total += len(v["meta"]["part_lens"]) if v else 0
+        total += len(meta["streams"]["values"]["meta"]["part_lens"])
+        return total
+    if kind == "decimal":
+        v = meta["streams"]["validity"]
+        total += len(v["meta"]["part_lens"]) if v else 0
+        total += len(meta["streams"]["lo"]["meta"]["part_lens"])
+        if meta["streams"]["hi"] is not None:
+            total += len(meta["streams"]["hi"]["meta"]["part_lens"])
+        return total
+    if kind == "string":
+        v = meta["streams"]["validity"]
+        total += len(v["meta"]["part_lens"]) if v else 0
+        if meta["strategy"] == "pattern":
+            return total + len(meta["streams"]["ints"]["meta"]["part_lens"])
+        if meta["strategy"] == "dict":
+            total += len(meta["streams"]["codes"]["meta"]["part_lens"])
+            inner = meta["dict"]
+        else:
+            inner = meta["raw"]
+        total += len(inner["lengths"]["meta"]["part_lens"])
+        total += len(inner["data"]["meta"]["part_lens"])
+        return total
+    if kind == "list":
+        v = meta["streams"]["validity"]
+        total += len(v["meta"]["part_lens"]) if v else 0
+        total += len(meta["streams"]["lengths"]["meta"]["part_lens"])
+        return total + _meta_nparts(meta["child"])
+    if kind == "fixed_binary":
+        v = meta["streams"]["validity"]
+        total += len(v["meta"]["part_lens"]) if v else 0
+        return total + len(meta["streams"]["data"]["meta"]["part_lens"])
+    if kind == "fixed_list":
+        v = meta["streams"]["validity"]
+        total += len(v["meta"]["part_lens"]) if v else 0
+        return total + _meta_nparts(meta["child"])
+    if kind == "struct":
+        v = meta["streams"]["validity"]
+        total += len(v["meta"]["part_lens"]) if v else 0
+        return total + sum(_meta_nparts(f) for f in meta["fields"])
+    if kind == "dict_wrap":
+        return _meta_nparts(meta["indices"]) + _meta_nparts(meta["dictionary"])
+    raise ValueError(f"unknown meta kind {kind}")
+
+
+def _encode_fixed_binary(arr: pa.Array) -> tuple[dict, list]:
+    validity, vparts = _validity_stream(arr)
+    w = arr.type.byte_width
+    n = len(arr)
+    buf = arr.buffers()[1]
+    data = (
+        bytes(memoryview(buf)[arr.offset * w : (arr.offset + n) * w]) if n else b""
+    )
+    denc = Encoded("plain_bytes", {"nbytes": len(data)}, [data])
+    dentry, dparts = _emit(denc)
+    return (
+        {"kind": "fixed_binary", "streams": {"validity": validity, "data": dentry}},
+        list(vparts) + dparts,
+    )
+
+
+def _decode_fixed_binary(meta: dict, parts: list, atype: pa.DataType, n: int) -> pa.Array:
+    idx = 0
+    validity = meta["streams"]["validity"]
+    vmask = None
+    if validity is not None:
+        k = len(validity["meta"]["part_lens"])
+        vmask = _decode_validity(validity, parts[idx : idx + k], n)
+        idx += k
+    data = parts[idx]
+    if len(data) < n * atype.byte_width:
+        raise ValueError("fixed_size_binary data stream truncated")
+    vbuf, nulls = _validity_bitmap_buffer(vmask)
+    return pa.Array.from_buffers(atype, n, [vbuf, pa.py_buffer(data)], null_count=nulls)
+
+
+def _encode_fixed_list(arr: pa.Array, forced=None) -> tuple[dict, list]:
+    validity, vparts = _validity_stream(arr)
+    size = arr.type.list_size
+    child = arr.values
+    # values spans [offset*size, (offset+len)*size) of the child
+    child = child.slice(arr.offset * size, len(arr) * size)
+    cmeta, cparts = encode_column_chunk(child, forced=forced)
+    return (
+        {"kind": "fixed_list", "streams": {"validity": validity}, "child": cmeta},
+        list(vparts) + cparts,
+    )
+
+
+def _decode_fixed_list(meta: dict, parts: list, atype: pa.DataType, n: int) -> pa.Array:
+    idx = 0
+    validity = meta["streams"]["validity"]
+    vmask = None
+    if validity is not None:
+        k = len(validity["meta"]["part_lens"])
+        vmask = _decode_validity(validity, parts[idx : idx + k], n)
+        idx += k
+    child = decode_column_chunk(meta["child"], parts[idx:], n * atype.list_size)
+    vbuf, nulls = _validity_bitmap_buffer(vmask)
+    return pa.Array.from_buffers(atype, n, [vbuf], null_count=nulls, children=[child])
+
+
+def _encode_struct(arr: pa.Array, fsst=None, forced=None) -> tuple[dict, list]:
+    validity, vparts = _validity_stream(arr)
+    fmetas, parts = [], list(vparts)
+    for i in range(arr.type.num_fields):
+        fmeta, fparts = encode_column_chunk(arr.field(i), fsst=fsst, forced=forced)
+        fmetas.append(fmeta)
+        parts += fparts
+    return {"kind": "struct", "streams": {"validity": validity}, "fields": fmetas}, parts
+
+
+def _decode_struct(meta: dict, parts: list, atype: pa.DataType, n: int) -> pa.Array:
+    idx = 0
+    validity = meta["streams"]["validity"]
+    vmask = None
+    if validity is not None:
+        k = len(validity["meta"]["part_lens"])
+        vmask = _decode_validity(validity, parts[idx : idx + k], n)
+        idx += k
+    children = []
+    for fmeta in meta["fields"]:
+        k = _meta_nparts(fmeta)
+        children.append(decode_column_chunk(fmeta, parts[idx : idx + k], n))
+        idx += k
+    vbuf, nulls = _validity_bitmap_buffer(vmask)
+    return pa.Array.from_buffers(atype, n, [vbuf], null_count=nulls, children=children)
+
+
 def _encode_float_stream(vals: np.ndarray) -> Encoded:
     """Float columns: byte-plane split (BtrBlocks-style, public
     literature) — view as uint bytes, encode each byte plane through
@@ -348,15 +539,17 @@ def _decode_primitive(meta: dict, parts: list, atype: pa.DataType, n: int) -> pa
         vals = decode_int_stream(enc)
     if (pa.types.is_timestamp(atype) or pa.types.is_date32(atype)
             or pa.types.is_time32(atype) or pa.types.is_time64(atype)
-            or pa.types.is_duration(atype)):
+            or pa.types.is_duration(atype) or pa.types.is_date64(atype)
+            or pa.types.is_float16(atype)):
         width = atype.bit_width // 8
-        out = pa.Array.from_buffers(
+        vbuf, nulls = _validity_bitmap_buffer(vmask)
+        return pa.Array.from_buffers(
             atype, n,
-            [None, pa.py_buffer(np.ascontiguousarray(
+            [vbuf, pa.py_buffer(np.ascontiguousarray(
                 vals.astype(f"i{width}", copy=False)).tobytes())],
+            null_count=nulls,
         )
-    else:
-        out = pa.array(vals, type=atype)
+    out = pa.array(vals, type=atype)
     if vmask is not None:
         out = pc.if_else(pa.array(vmask), out, pa.scalar(None, atype))
     return out
@@ -615,13 +808,22 @@ def encode_column_chunk(arr, fsst: Optional[FsstCodec] = None,
         meta, parts = _encode_string(arr, fsst)
     elif pa.types.is_list(t) or pa.types.is_large_list(t):
         meta, parts = _encode_list(arr, forced)
-    elif pa.types.is_time32(t) or pa.types.is_time64(t) or pa.types.is_duration(t):
+    elif (pa.types.is_time32(t) or pa.types.is_time64(t) or pa.types.is_duration(t)
+          or pa.types.is_date64(t) or pa.types.is_float16(t)):
         # integer-storage logical types: encode the storage ints, keep
         # the logical type in atype (rebuilt at decode)
-        iv = arr.view(pa.int32() if t.bit_width == 32 else pa.int64())
+        iv = arr.view({16: pa.int16(), 32: pa.int32(), 64: pa.int64()}[t.bit_width])
         meta, parts = _encode_primitive(iv, forced)
     elif pa.types.is_decimal(t):
         meta, parts = _encode_decimal(arr, forced)
+    elif pa.types.is_dictionary(t):
+        meta, parts = _encode_dictionary(arr, fsst, forced)
+    elif pa.types.is_fixed_size_binary(t):
+        meta, parts = _encode_fixed_binary(arr)
+    elif pa.types.is_fixed_size_list(t):
+        meta, parts = _encode_fixed_list(arr, forced)
+    elif pa.types.is_struct(t):
+        meta, parts = _encode_struct(arr, fsst, forced)
     else:
         meta, parts = _encode_primitive(arr, forced)
     meta["atype"] = type_to_desc(t)
@@ -638,6 +840,14 @@ def decode_column_chunk(meta: dict, parts: list, n: Optional[int] = None) -> pa.
         return _decode_list(meta, parts, atype, n)
     if meta["kind"] == "decimal":
         return _decode_decimal(meta, parts, atype, n)
+    if meta["kind"] == "dict_wrap":
+        return _decode_dictionary(meta, parts, atype, n)
+    if meta["kind"] == "fixed_binary":
+        return _decode_fixed_binary(meta, parts, atype, n)
+    if meta["kind"] == "fixed_list":
+        return _decode_fixed_list(meta, parts, atype, n)
+    if meta["kind"] == "struct":
+        return _decode_struct(meta, parts, atype, n)
     return _decode_primitive(meta, parts, atype, n)
 
 

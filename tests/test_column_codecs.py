@@ -245,3 +245,30 @@ def test_pattern_ids_through_encode_stage():
     summary = json.loads(enc["codecs_json"][0].as_py())
     assert any(c.get("strategy") == "pattern" for c in summary)
     assert decode_batch(enc).equals(t)
+
+
+def test_structural_types_roundtrip():
+    """Round-2 type-coverage sweep: dictionary, struct (nested),
+    fixed-size binary/list, date64, float16 — all bit-identical."""
+    from colonnade_ray.codecs import decode_column, encode_column
+
+    cases = [
+        pa.array([{"a": 1, "b": "x"}, None, {"a": None, "b": "z"}],
+                 pa.struct([("a", pa.int32()), ("b", pa.string())])),
+        pa.array([{"p": [1, 2], "q": {"r": 5}}],
+                 pa.struct([("p", pa.list_(pa.int32())),
+                            ("q", pa.struct([("r", pa.int64())]))])),
+        pa.array([b"abcd", None, b"efgh"], pa.binary(4)),
+        pa.array([[1.0, 2.0], None, [3.0, 4.0]], pa.list_(pa.float32(), 2)),
+        pa.array([86_400_000, None], pa.date64()),
+        pa.array(["x", "y", None, "x"]).dictionary_encode(),
+        pa.array([10, 20, 10]).dictionary_encode(),
+        pa.array(np.array([1.5, -0.25], np.float16)),
+        pa.array([np.float16(1.5), None]),
+        pa.array([], pa.struct([("a", pa.int32())])),
+    ]
+    for arr in cases:
+        p, m = encode_column(arr)
+        back = decode_column(p, m)
+        assert back.type == arr.type, (arr.type, back.type)
+        assert back.equals(arr), arr.type
