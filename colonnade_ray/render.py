@@ -140,3 +140,79 @@ def html_table(data, limit: int = 20, sections: Optional[str] = None,
             out.extend(tr(r))
     out += ["  </tbody>", "</table>"]
     return "\n".join(out)
+
+
+def _remove_whitespace_after_tag(html: str, chosen: str) -> str:
+    """Strip whitespace that appears while ``chosen`` is the innermost
+    open tag — a faithful port of ``removeWhitespaceAfterTag``'s
+    six-state machine (blaze-colonnade/src/Text/Blaze/Colonnade.hs:
+    441-496), including its tag-context stack and the mismatched- /
+    unopened-closing-tag errors (raised here as ValueError)."""
+    NORMAL, SOMETAG, OPENING, OPENING_ATTRS, CLOSING, AFTER = range(6)
+    ctx: list = []
+    state = NORMAL
+    tag = ""
+    res: list = []
+    for c in html:
+        keep = True
+        if state == NORMAL or state == AFTER:
+            if c == "<":
+                state = SOMETAG
+            elif c.isspace() and ctx and ctx[-1] == chosen:
+                keep = False  # drop whitespace inside the chosen tag
+            else:
+                state = NORMAL
+        elif state == SOMETAG:
+            if c == "/":
+                state, tag = CLOSING, ""
+            elif c in "<>":
+                raise ValueError(f"unexpected {c!r} inside tag")
+            else:
+                state, tag = OPENING, c
+        elif state == OPENING:
+            if c == ">":
+                ctx.append(tag)
+                state = AFTER
+            elif c.isspace():
+                ctx.append(tag)
+                state = OPENING_ATTRS
+            else:
+                tag += c
+        elif state == OPENING_ATTRS:
+            if c == ">":
+                state = AFTER
+        elif state == CLOSING:
+            if c == ">":
+                if not ctx:
+                    raise ValueError("closing tag without any opening tag")
+                if ctx[-1] != tag:
+                    raise ValueError(
+                        f"closing tag <{tag}> did not match opening tag <{ctx[-1]}>"
+                    )
+                ctx.pop()
+                state = AFTER
+            else:
+                tag += c
+        if keep:
+            res.append(c)
+    return "".join(res)
+
+
+_COMPACT_TAGS = ("td", "th", "strong", "span", "em")
+
+
+def compact_html(html: str) -> str:
+    """S12 graft of ``printCompactHtml`` (blaze-colonnade:504-512):
+    strip whitespace inside <td>/<th>/<strong>/<span>/<em>; returns the
+    string (the reference prints it) with trailing newlines dropped."""
+    for t in _COMPACT_TAGS:
+        html = _remove_whitespace_after_tag(html, t)
+    return html.rstrip("\n")
+
+
+def very_compact_html(html: str) -> str:
+    """S12 graft of ``printVeryCompactHtml`` (blaze-colonnade:516-524):
+    ``compact_html`` plus whitespace inside <tr> elements."""
+    for t in _COMPACT_TAGS + ("tr",):
+        html = _remove_whitespace_after_tag(html, t)
+    return html.rstrip("\n")

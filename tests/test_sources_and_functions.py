@@ -594,6 +594,32 @@ def test_html_table_sectioned_colspan():
     assert out.index('g: x') < out.index("<td>1</td>") < out.index('g: y')
 
 
+def test_compact_html_golden():
+    """S12 graft: printCompactHtml / printVeryCompactHtml whitespace
+    stripping inside td/th (+tr for very-compact), with the reference's
+    mismatched-tag errors (blaze-colonnade/src/Text/Blaze/Colonnade.hs:
+    441-524)."""
+    import pytest
+
+    from colonnade_ray.render import compact_html, html_table, very_compact_html
+
+    t = pa.table({"name": ["a<b"], "n": [7]})
+    out = compact_html(html_table(t))
+    # whitespace inside td/th is gone; structure between rows remains
+    assert "<td>a&lt;b</td>" in out and "<th>name</th>" in out
+    assert "<td>\n" not in out and "<th>\n" not in out
+    assert "\n" in out  # still multi-line (tr-level layout kept)
+
+    very = very_compact_html(html_table(t))
+    # tr innards fully collapsed onto one line
+    assert "<tr><td>a&lt;b</td><td>7</td></tr>" in very.replace("  ", "")
+
+    with pytest.raises(ValueError, match="did not match"):
+        compact_html("<td><b>x</td></b>")
+    with pytest.raises(ValueError, match="without any opening"):
+        compact_html("</td>")
+
+
 def test_word_freq_topk(ray_session):
     import ray.data as rd
 
