@@ -470,6 +470,16 @@ def q_repetition(sf_dir: str):
     return repetition_stats(_tbl(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_redact(sf_dir: str):
+    """Denylist scrubbing: redact two blocklisted terms, count hits
+    per doc (vectorized RE2 rewrite — the cell-content twin of
+    modifyWhen/replaceWhen)."""
+    from colonnade_ray.functions.curation import redact_terms
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    return redact_terms(docs, r"\b(customer|spark)\b", "<X>")
+
+
 def q_price_bands(sf_dir: str):
     """Broadcast interval (range) join: lineitem prices binned into
     [lo, hi) bands via one searchsorted probe per batch, then a grouped
@@ -567,6 +577,53 @@ def q_truncate_conservation(sf_dir: str):
     )
     total = trunc.aggregate(Sum("n_tok", alias_name="total_tokens"))
     return pa.table({"total_tokens": pa.array([int(total["total_tokens"])], pa.int64())})
+
+
+def q_curation_pipeline(sf_dir: str):
+    """Composed LLM-curation flow in ONE pipeline: quality scoring ->
+    integer-threshold filter -> exact dedup (min id per distinct text)
+    -> token counting -> corpus token budget (+1 EOS per kept doc).
+    Texts never leave the map stage — the only shuffle moves
+    (fingerprint, doc_id, token_count) rows; the SQL oracle reproduces
+    the whole chain."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from colonnade_ray.functions.bucketing import bucketed_group_apply
+    from colonnade_ray.functions.text import (
+        QualityScorer,
+        fingerprint_batch,
+        token_count_batch,
+    )
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    score = QualityScorer()
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = score(b)
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(b["q_chars"], pa.scalar(200)),
+                    pc.greater_equal(b["q_stopwords"], pa.scalar(5))),
+            pc.less_equal(pc.multiply(b["q_digit"], pa.scalar(5)), b["q_chars"]),
+        )
+        b = token_count_batch(fingerprint_batch(b.filter(mask)))
+        return b.select(["doc_id", "fingerprint", "token_count"])
+
+    fp = ds.map_batches(prep, batch_format="pyarrow")
+    kept = bucketed_group_apply(
+        fp, "fingerprint",
+        lambda g: g.groupby("fingerprint", as_index=False, sort=False)[
+            ["doc_id", "token_count"]
+        ].min(),
+    )
+    total = kept.map_batches(
+        lambda df: pd.DataFrame({"t": [int(df["token_count"].sum() + len(df))]}),
+        batch_format="pandas",
+    ).aggregate(Sum("t", alias_name="total_tokens"))
+    return pa.table(
+        {"total_tokens": pa.array([int(total["total_tokens"] or 0)], pa.int64())}
+    )
 
 
 def q_cosine_near_dups(sf_dir: str):
@@ -702,12 +759,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_seq": q_user_event_seq,
         "contamination": q_contamination,
         "repetition": q_repetition,
+        "redact": q_redact,
         "price_bands": q_price_bands,
         "grouped_topk": q_grouped_topk,
         "stratified_sample": q_stratified_sample,
         "doc_sample": q_doc_sample,
         "quality_filter": q_quality_filter,
         "truncate_conservation": q_truncate_conservation,
+        "curation_pipeline": q_curation_pipeline,
         "near_dup_pairs": q_near_dup_pairs,
         "dup_groups": q_dup_groups,
         # rows-only (non-SQL-expressible)
@@ -932,6 +991,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct "
             "FROM g2 GROUP BY doc_id"
         ),
+        "redact": (
+            "SELECT doc_id, "
+            "regexp_replace(COALESCE(text, ''), '\\b(customer|spark)\\b', '<X>', 'g') "
+            "AS clean, "
+            "CAST(len(regexp_extract_all(COALESCE(text, ''), "
+            "'\\b(customer|spark)\\b')) AS BIGINT) AS n_hits FROM documents"
+        ),
         "price_bands": (
             "WITH bands(lo, hi, label) AS (VALUES "
             "(0.0, 10000.0, 'low'), (10000.0, 40000.0, 'mid'), "
@@ -969,6 +1035,19 @@ def oracle_sql() -> dict[str, str]:
         "truncate_conservation": (
             "SELECT CAST(SUM(LEAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 128)) "
             "AS BIGINT) AS total_tokens FROM documents"
+        ),
+        "curation_pipeline": (
+            "WITH q AS (SELECT doc_id, text, "
+            "CAST(length(text) AS BIGINT) AS q_chars, "
+            "CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS q_digit, "
+            f"CAST(len(regexp_extract_all(text, '\\b({_STOP_SQL})\\b')) AS BIGINT) "
+            "AS q_stopwords FROM documents), "
+            "kept AS (SELECT doc_id, text FROM q "
+            "WHERE q_chars >= 200 AND q_stopwords >= 5 AND q_digit * 5 <= q_chars), "
+            "dd AS (SELECT MIN(doc_id) AS doc_id, ANY_VALUE(text) AS text "
+            "FROM kept GROUP BY text) "
+            "SELECT CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+')) + 1) "
+            "AS BIGINT) AS total_tokens FROM dd"
         ),
         "events_sliding": (
             "SELECT event_type, win_ts, COUNT(*) AS n_events FROM ("

@@ -207,7 +207,8 @@ def run_bench() -> dict:
 
 
 def _scaling_run(n: int, no_shuffle: bool = False) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_BENCH_SCALE_MULT="8",
+    mult = os.environ.get("GRAFT_SCALING_MULT", "8")
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_BENCH_SCALE_MULT=mult,
                GRAFT_BENCH_ENCODE_ONLY="1", GRAFT_BENCH_REPEAT="1")
     if no_shuffle:
         env["GRAFT_BENCH_NO_SHUFFLE"] = "1"

@@ -102,6 +102,36 @@ def contamination_check(ds, test_ds, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def redact_terms(ds, pattern: str, replacement: str = "<REDACTED>",
+                 text_col: str = "text", id_col: str = "doc_id"):
+    """Denylist / canary-string scrubbing: replace every match of an
+    RE2 ``pattern`` in ``text_col`` and count the hits per document —
+    the PII/canary-removal stage of a training-data pipeline (the
+    predicated-rewrite T8/T9 semantics applied inside cell content
+    rather than across cells, colonnade/src/Colonnade.hs:217-236).
+
+    Fully vectorized (pyarrow.compute regex kernels, RE2 — the same
+    engine DuckDB uses, so the oracle is exact); no shuffle, streams.
+    Output: (id_col, clean, n_hits)."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        # cast first: an all-null block arrives as type null, which the
+        # regex kernels reject even under coalesce
+        txt = pc.coalesce(pc.cast(batch[text_col], pa.string()), "")
+        hits = pc.count_substring_regex(txt, pattern)
+        clean = pc.replace_substring_regex(txt, pattern, replacement)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "clean": clean,
+                "n_hits": pc.cast(hits, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id",
                      gram_k: int = 2):
     """Gopher-style repetition signal: per doc, total vs distinct word

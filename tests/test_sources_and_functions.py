@@ -804,6 +804,23 @@ def test_contamination_check(ray_session):
     assert out[2]["n_contaminated"] == 0
 
 
+def test_redact_terms(ray_session):
+    import ray.data as rd
+
+    from colonnade_ray.functions.curation import redact_terms
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "call me maybe, call me never"},
+        {"doc_id": 2, "text": "nothing to scrub"},
+        {"doc_id": 3, "text": None},
+    ])
+    out = {r["doc_id"]: r for r in
+           redact_terms(docs, r"\bcall me\b", "<X>").take_all()}
+    assert out[1]["clean"] == "<X> maybe, <X> never" and out[1]["n_hits"] == 2
+    assert out[2]["clean"] == "nothing to scrub" and out[2]["n_hits"] == 0
+    assert out[3]["clean"] == "" and out[3]["n_hits"] == 0  # null -> empty
+
+
 def test_repetition_stats(ray_session):
     import ray.data as rd
 

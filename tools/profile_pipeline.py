@@ -1,14 +1,18 @@
-"""Print the per-operator Ray Data stats breakdown for the flagship
-encode pipeline — the `ds.stats()` feedback loop the tuning work used
-(see BASELINE.md perf-engineering notes).
+"""Per-operator Ray Data stats for the REAL flagship encode pipeline
+(same path as pipelines.encode_corpus: fused read+transport-pack+frag
+prep -> optional skew shuffle -> encoder actor pool -> parquet sink) —
+the `ds.stats()` feedback loop behind BASELINE.md's tuning notes.
 
-Usage: PYTHONPATH=/root/repo python tools/profile_pipeline.py [corpus_dir]
+Usage:
+  PYTHONPATH=/root/repo [RAY_GRAFT_CPUS=8] [PROFILE_NO_SHUFFLE=1] \
+      python tools/profile_pipeline.py [corpus_dir]
 """
 
 from __future__ import annotations
 
 import os
 import re
+import shutil
 import sys
 import time
 
@@ -35,24 +39,42 @@ def main():
     import ray.data as rd
 
     from colonnade_ray.pipelines import encode_dataset
+    from colonnade_ray.pipelines.encode_pipeline import _prep_batch
     from colonnade_ray.stages.skew import (
         PKEY,
         partition_by_source,
         salt_counts,
         source_token_totals,
     )
+    from colonnade_ray.stages.transport import list_transport_spec
 
     files = sorted(
         os.path.join(corpus, f) for f in os.listdir(corpus) if f.endswith(".parquet")
     )
-    totals = source_token_totals(files)
-    ds = rd.read_parquet(files, include_paths=True, override_num_blocks=len(files))
-    ds = partition_by_source(ds, salt_counts(totals)).drop_columns([PKEY])
-    enc = encode_dataset(ds, batch_size=8192).materialize()
     t0 = time.time()
-    n = enc.count()
+    totals = source_token_totals(files)
+    t_totals = time.time() - t0
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    nblocks = max(len(files), total_bytes // (64 << 20) + 1)
+    spec = list_transport_spec(files)
+    frag_names = [os.path.basename(f) for f in files]
+    frag_idx = {f: i for i, f in enumerate(files)}
+
+    ds = rd.read_parquet(files, include_paths=True, override_num_blocks=nblocks)
+    ds = ds.map_batches(
+        lambda b: _prep_batch(b, spec, frag_idx),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    if os.environ.get("PROFILE_NO_SHUFFLE") != "1":
+        ds = partition_by_source(ds, salt_counts(totals)).drop_columns([PKEY])
+    enc = encode_dataset(ds, batch_size=8192, transport=spec or None,
+                         fragments=frag_names)
+    out = "/tmp/colonnade_profile_out"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    enc.write_parquet(out, compression="none")
     wall = time.time() - t0
-    print(f"chunks: {n}\n")
+    print(f"stats pass: {t_totals:.2f}s   pipeline wall: {wall:.2f}s\n")
     stats = enc.stats()
     keep = re.compile(
         r"(Operator \d|Suboperator|Remote wall time|UDF time|tasks executed|"
