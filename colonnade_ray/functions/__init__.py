@@ -12,6 +12,8 @@ from .multimodal import (
     decode_wav,
     extract_media_features,
     resize_images,
+    sample_frames,
+    split_ppm_stream,
     stdlib_decoder,
 )
 from .relational import hopping_windows

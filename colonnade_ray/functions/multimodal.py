@@ -256,6 +256,127 @@ def resize_images(ds, out_w: int = 64, out_h: int = 64, batch_size: int = 64,
     )
 
 
+def split_ppm_stream(payload: bytes) -> list:
+    """Split a concatenated-P6 'video stream' payload into its frame
+    payloads by walking the headers (each frame is self-describing:
+    header gives the exact raster length, so no delimiter is needed)."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        w, h, _maxval, off = _ppm_header(payload[pos:])
+        end = pos + off + w * h * 3
+        if end > len(payload):
+            raise ValueError(
+                f"truncated PPM stream: frame {len(frames)} needs "
+                f"{end - pos} bytes at offset {pos}, only {len(payload) - pos} left"
+            )
+        frames.append(payload[pos:end])
+        pos = end
+    return frames
+
+
+class FrameSample:
+    """Actor-pool stage: video payload -> one row PER SAMPLED FRAME.
+
+    The video analog of ImageResize: real end-to-end for the
+    concatenated-PPM container (``video/x-ppm-stream``); compressed
+    video (MP4/H.264) would swap ``splitter=`` for a PyAV/ffmpeg
+    splitter with the same row-explosion layout.  Sampling policy:
+    ``every=k`` keeps frames 0, k, 2k, ...; ``n_frames=m`` keeps m
+    evenly-spaced frames (first frame always included).  Output rows
+    are plain images, so the stage composes directly with
+    ImageResize / MediaFeatureExtract downstream.
+
+    Scale notes: output can be LARGER than input (frame explosion) —
+    Ray's dynamic block splitting handles the fan-out, and batch_size
+    stays small because each input row is a whole video.
+    """
+
+    def __init__(self, every: Optional[int] = None, n_frames: Optional[int] = None,
+                 splitter: Optional[Callable] = None):
+        if (every is None) == (n_frames is None):
+            raise ValueError("pass exactly one of every= / n_frames=")
+        self.every = every
+        self.n_frames = n_frames
+        self.splitter = splitter or split_ppm_stream
+
+    def _pick(self, total: int) -> np.ndarray:
+        if self.every is not None:
+            return np.arange(0, total, self.every)
+        m = min(self.n_frames, total)
+        if m <= 0:
+            return np.zeros(0, np.int64)
+        return np.unique((np.arange(m) * total) // m)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, totals, payloads, ws, hs = [], [], [], [], [], []
+        for mid, p in zip(batch["media_id"].to_pylist(),
+                          batch["payload"].to_pylist()):
+            if not p:
+                continue
+            frames = self.splitter(p)
+            for i in self._pick(len(frames)):
+                fp = frames[int(i)]
+                w, h, _mx, _off = _ppm_header(fp)
+                ids.append(mid)
+                idxs.append(int(i))
+                totals.append(len(frames))
+                payloads.append(fp)
+                ws.append(w)
+                hs.append(h)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "frame_index": pa.array(idxs, pa.int32()),
+                "n_frames": pa.array(totals, pa.int32()),
+                "payload": pa.array(payloads, pa.binary()),
+                "media_type": pa.array(
+                    ["image/x-portable-pixmap"] * len(ids), pa.string()
+                ),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+            }
+        )
+
+
+def sample_frames(ds, every: Optional[int] = None, n_frames: Optional[int] = None,
+                  batch_size: int = 16, concurrency=None):
+    """Frame-sample a video Dataset (actor pool, very small batches —
+    each row is a whole video)."""
+    from ..util import default_concurrency
+
+    return ds.map_batches(
+        FrameSample,
+        fn_constructor_kwargs={"every": every, "n_frames": n_frames},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or (1, default_concurrency()),
+    )
+
+
+def synth_ppm_video_payload(seed: int, frames: int = 12, w: int = 16,
+                            h: int = 12) -> bytes:
+    """A real concatenated-P6 'video': per-frame gradient + frame
+    counter baked into the blue channel (deterministic)."""
+    return b"".join(
+        synth_ppm_payload(seed * 1000 + f, w=w, h=h) for f in range(frames)
+    )
+
+
+def synth_video_table(n: int, seed: int = 42, frames: int = 12) -> pa.Table:
+    """Video corpus in MEDIA_SCHEMA shape with decodable PPM streams."""
+    payloads = [synth_ppm_video_payload(seed + i, frames=frames) for i in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array([f"vid-{i:06d}" for i in range(n)]),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["video/x-ppm-stream"] * n),
+            "width": pa.array([16] * n, pa.int32()),
+            "height": pa.array([12] * n, pa.int32()),
+            "duration_ms": pa.array([frames * 40] * n, pa.int32()),
+        }
+    )
+
+
 def synth_wav_payload(seed: int, ms: int = 50, rate: int = 8000) -> bytes:
     """A real little sine-burst WAV file (deterministic)."""
     import io

@@ -704,6 +704,49 @@ def test_media_pipeline_real_decoders(ray_session):
     assert all(decode_ppm(r["payload"]).shape == (6, 8, 3) for r in resized)
 
 
+def test_video_frame_sampling(ray_session):
+    import ray.data as rd
+
+    from colonnade_ray.functions.multimodal import (
+        FrameSample,
+        decode_ppm,
+        resize_images,
+        sample_frames,
+        split_ppm_stream,
+        synth_ppm_video_payload,
+        synth_video_table,
+    )
+
+    # splitter: exact frame boundaries, truncation detected
+    vid = synth_ppm_video_payload(seed=7, frames=5, w=16, h=12)
+    frames = split_ppm_stream(vid)
+    assert len(frames) == 5
+    assert all(decode_ppm(f).shape == (12, 16, 3) for f in frames)
+    with pytest.raises(ValueError, match="truncated"):
+        split_ppm_stream(vid[:-10])
+
+    # sampling policies
+    fs = FrameSample(every=2)
+    assert list(fs._pick(5)) == [0, 2, 4]
+    fs = FrameSample(n_frames=3)
+    assert list(fs._pick(12)) == [0, 4, 8]
+    assert list(fs._pick(2)) == [0, 1]  # fewer frames than asked
+    with pytest.raises(ValueError, match="exactly one"):
+        FrameSample(every=2, n_frames=3)
+
+    # Ray stage: one row per sampled frame, composes with ImageResize
+    ds = rd.from_arrow(synth_video_table(6, frames=12))
+    out = sample_frames(ds, n_frames=4, batch_size=2)
+    rows = out.take_all()
+    assert len(rows) == 24
+    assert {r["frame_index"] for r in rows} == {0, 3, 6, 9}
+    assert all(r["n_frames"] == 12 for r in rows)
+    assert all(decode_ppm(r["payload"]).shape == (12, 16, 3) for r in rows)
+    resized = resize_images(out, out_w=4, out_h=3).take_all()
+    assert len(resized) == 24
+    assert all(decode_ppm(r["payload"]).shape == (3, 4, 3) for r in resized)
+
+
 def test_hash_sample_deterministic_and_split_disjoint(ray_session):
     import ray.data as rd
 
