@@ -336,6 +336,37 @@ def q_near_dup_pairs(sf_dir: str):
     return pairs.select_columns(["id_a", "id_b"]).sort(["id_a", "id_b"])
 
 
+def q_winnow_gram_counts(sf_dir: str):
+    """Winnowing fingerprint stage, SQL-checkable part: per-doc word
+    k-gram counts (k=5; docs with 0<words<k fold into ONE gram) plus
+    the density invariant 1 <= n_fp <= n_grams checked Ray-side —
+    the rolling-hash gram machinery every Jaccard/MinHash op builds
+    on, validated against an independent SQL word count."""
+    from colonnade_ray.functions.dedup import winnow_fingerprints
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    fps = winnow_fingerprints(ds, k=5, w=4)
+
+    def check(b: pa.Table) -> pa.Table:
+        nfp = b["n_fp"].to_numpy(zero_copy_only=False)
+        ng = b["n_grams"].to_numpy(zero_copy_only=False)
+        assert (nfp <= ng).all() and (nfp[ng > 0] >= 1).all()
+        return b.select(["doc_id", "n_grams"])
+
+    return fps.map_batches(check, batch_format="pyarrow")
+
+
+def q_winnow_overlap(sf_dir: str):
+    """Rows-only: partial-overlap pairs via shared winnowing
+    fingerprints (>=2 shared; plagiarism-style long-substring
+    detection — hash selection not SQL-expressible, property-tested
+    in test_winnow_*)."""
+    from colonnade_ray.functions.dedup import winnow_overlap_pairs
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    return winnow_overlap_pairs(ds, min_shared=2).sort(["id_a", "id_b"])
+
+
 def q_simhash(sf_dir: str):
     from colonnade_ray.functions.dedup import simhash_signatures
 
@@ -769,7 +800,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": q_curation_pipeline,
         "near_dup_pairs": q_near_dup_pairs,
         "dup_groups": q_dup_groups,
+        "winnow_gram_counts": q_winnow_gram_counts,
         # rows-only (non-SQL-expressible)
+        "winnow_overlap": q_winnow_overlap,
         "encode_roundtrip": q_encode_roundtrip,
         "simhash_signatures": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
@@ -940,6 +973,16 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) "
             "SELECT a AS doc_id, LEAST(a, MIN(b)) AS group_id "
             "FROM reach GROUP BY a"
+        ),
+        # Winnowing gram machinery vs an independent SQL word count
+        # (the hash/window selection itself is property-tested; this
+        # pins the shingle counting all Jaccard/MinHash ops build on).
+        "winnow_gram_counts": (
+            "SELECT doc_id, CAST(CASE WHEN w >= 5 THEN w - 4 "
+            "WHEN w > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_grams FROM ("
+            "SELECT doc_id, CASE WHEN len(trim(COALESCE(text, ''))) = 0 THEN 0 "
+            "ELSE len(str_split_regex(trim(COALESCE(text, '')), '\\s+')) END AS w "
+            "FROM documents)"
         ),
         "ann_ivf_exhaustive": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "

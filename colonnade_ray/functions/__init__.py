@@ -1,4 +1,11 @@
-from .dedup import dup_groups, exact_dedup, near_dup_pairs, simhash_signatures
+from .dedup import (
+    dup_groups,
+    exact_dedup,
+    near_dup_pairs,
+    simhash_signatures,
+    winnow_fingerprints,
+    winnow_overlap_pairs,
+)
 from .relational import asof_join, broadcast_join, hash_join, sessionize
 from .sequences import pack_sequences, remap_tokens, truncate_tokens_batch
 from .similarity import (

@@ -516,6 +516,139 @@ def near_dup_pairs(ds, texts_ref=None, text_col="text", id_col="doc_id",
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting)
+
+
+class WinnowFingerprint:
+    """Winnowing document fingerprints (Schleimer–Wilkerson–Aiken,
+    SIGMOD 2003 — the MOSS algorithm): word-k-gram rolling hashes, then
+    the RIGHTMOST minimum hash of every window of ``w`` consecutive
+    grams is selected; per-doc distinct selected hashes are the
+    fingerprint set.
+
+    Guarantee: any shared run of >= w + k - 1 words between two
+    documents yields at least one shared fingerprint, at storage
+    density ~2/(w+1) of the gram count — the rolling-hash fingerprint
+    the brief mandates (whole-doc SipHash in ``fingerprint_batch`` is
+    the exact-dup key; this is the partial-overlap key).
+
+    Fully vectorized: one sliding_window_view argmin over the flat
+    batch gram array (windows crossing doc boundaries masked via the
+    gram->doc map); docs with fewer than w grams contribute their
+    single overall min (reduceat).  No per-doc Python.
+    """
+
+    def __init__(self, text_col="text", id_col="doc_id", k: int = 5, w: int = 4):
+        self.text_col, self.id_col = text_col, id_col
+        self.k, self.w = k, w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grams, g = _flat_shingles(batch[self.text_col].to_pandas(), self.k)
+        n, w = g.size, self.w
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), g)
+        sel_pos = []
+        if grams.size >= w:
+            swv = np.lib.stride_tricks.sliding_window_view(grams, w)
+            # rightmost min (robust winnowing): argmin over reversed cols
+            right_am = w - 1 - np.argmin(swv[:, ::-1], axis=1)
+            valid = doc_of[: grams.size - w + 1] == doc_of[w - 1 :]
+            p = np.flatnonzero(valid)
+            sel_pos.append(p + right_am[p])
+        # docs with 0 < m < w: single overall min
+        short = (g > 0) & (g < w)
+        if short.any():
+            starts = np.concatenate(([0], np.cumsum(g)))[:-1][short]
+            # argmin within each short doc via reduceat on a keyed array
+            for s, m in zip(starts, g[short]):  # rare rows only
+                sel_pos.append(np.array([s + np.argmin(grams[s : s + m])]))
+        if sel_pos:
+            pos = np.unique(np.concatenate(sel_pos))
+            d, hsh = doc_of[pos], grams[pos]
+            # distinct hash per doc
+            order = np.lexsort((hsh, d))
+            d, hsh = d[order], hsh[order]
+            keep = np.ones(d.size, bool)
+            if d.size > 1:
+                keep[1:] = (d[1:] != d[:-1]) | (hsh[1:] != hsh[:-1])
+            d, hsh = d[keep], hsh[keep]
+        else:
+            d = np.zeros(0, np.int64)
+            hsh = np.zeros(0, np.uint64)
+        counts = np.bincount(d, minlength=n).astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        fps = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(hsh.view(np.int64))
+        )
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "fingerprints": fps,
+                "n_fp": pa.array(counts),
+                "n_grams": pa.array(g.astype(np.int64)),
+            }
+        )
+
+
+def winnow_fingerprints(ds, text_col="text", id_col="doc_id", k: int = 5,
+                        w: int = 4, concurrency=None):
+    """(doc_id, fingerprints:list<int64>, n_fp, n_grams) per doc."""
+    from ..util import default_concurrency
+
+    return ds.map_batches(
+        WinnowFingerprint,
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, k=k, w=w),
+        batch_format="pyarrow",
+        concurrency=concurrency or (1, default_concurrency()),
+    )
+
+
+def winnow_overlap_pairs(ds, min_shared: int = 2, text_col="text",
+                         id_col="doc_id", k: int = 5, w: int = 4):
+    """Partial-overlap candidate pairs: docs sharing >= min_shared
+    winnowing fingerprints (plagiarism / near-dup detection for
+    LONG-substring overlap, complementary to whole-doc Jaccard).
+
+    Shape: fingerprint explode -> bucketed self-merge -> bucketed pair
+    counts (the jaccard_pairs_exact exchange; only fingerprint rows
+    ever shuffle, ~2/(w+1) of gram volume)."""
+    from .bucketing import bucketed_group_apply
+
+    fps = winnow_fingerprints(ds, text_col, id_col, k=k, w=w)
+
+    def explode(b: pa.Table) -> pa.Table:
+        arr = b["fingerprints"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = b[id_col].take(pa.array(np.repeat(np.arange(len(b)), lens)))
+        return pa.table({"fp": arr.flatten(), id_col: ids})
+
+    exploded = fps.map_batches(explode, batch_format="pyarrow")
+    bucketed = exploded.map_batches(
+        lambda df: df.assign(
+            __b=(df["fp"].to_numpy().view(np.uint64) % np.uint64(_PAIR_BUCKETS)
+                 ).astype(np.int64)
+        ) if len(df) else df.assign(__b=pd.Series([], dtype=np.int64)),
+        batch_format="pandas",
+    )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="fp")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        return m.rename(columns={f"{id_col}_x": "id_a", f"{id_col}_y": "id_b"})[
+            ["id_a", "id_b"]
+        ]
+
+    pair_rows = bucketed.groupby("__b").map_groups(pairs_in_bucket,
+                                                   batch_format="pandas")
+    shared = pair_counts(pair_rows, out_col="n_shared")
+    return shared.map_batches(
+        lambda df: df[df["n_shared"] >= min_shared],
+        batch_format="pandas",
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 
 

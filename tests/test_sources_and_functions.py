@@ -704,6 +704,85 @@ def test_media_pipeline_real_decoders(ray_session):
     assert all(decode_ppm(r["payload"]).shape == (6, 8, 3) for r in resized)
 
 
+def _winnow_reference(text: str, k: int, w: int) -> set:
+    """Slow per-doc winnowing reference: rightmost-min per window over
+    the same gram hashes as _flat_shingles."""
+    from colonnade_ray.functions.dedup import _flat_shingles
+
+    grams, g = _flat_shingles(pd.Series([text]), k)
+    m = int(g[0])
+    if m == 0:
+        return set()
+    if m < w:
+        return {int(grams[np.argmin(grams)])}
+    sel = set()
+    for i in range(m - w + 1):
+        window = grams[i : i + w]
+        # rightmost minimum
+        j = w - 1 - int(np.argmin(window[::-1]))
+        sel.add(i + j)
+    return {int(grams[p]) for p in sel}
+
+
+def test_winnow_fingerprints_match_reference_and_cover():
+    from colonnade_ray.functions.dedup import WinnowFingerprint, _flat_shingles
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(0, 60)).tolist()) for _ in range(30)
+    ] + ["", "one two three", "a b c d e f g h"]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+    out = WinnowFingerprint(k=3, w=4)(batch)
+    assert out["n_grams"].to_pylist() == [
+        int(g) for _, g in [(None, x) for x in
+                            _flat_shingles(pd.Series(texts), 3)[1]]
+    ]
+    for i, text in enumerate(texts):
+        got = set(int(v) & ((1 << 64) - 1) for v in out["fingerprints"][i].as_py())
+        want = _winnow_reference(text, 3, 4)
+        assert got == want, f"doc {i}"
+    # density: selected ~2/(w+1) of grams, never more than grams
+    nfp = np.array(out["n_fp"].to_pylist())
+    ng = np.array(out["n_grams"].to_pylist())
+    assert (nfp <= ng).all()
+    assert (nfp[ng > 0] >= 1).all()
+
+
+def test_winnow_shared_substring_guarantee(ray_session):
+    """Docs sharing >= w+k-1 consecutive words share a fingerprint."""
+    import ray.data as rd
+
+    from colonnade_ray.functions import winnow_fingerprints, winnow_overlap_pairs
+
+    k, w = 3, 4
+    rng = np.random.default_rng(5)
+    vocab = [f"t{i}" for i in range(500)]
+    shared_run = " ".join(rng.choice(vocab, k + w - 1 + 3).tolist())
+
+    def noise(n):
+        return " ".join(rng.choice(vocab, n).tolist())
+
+    texts = {
+        0: noise(30) + " " + shared_run + " " + noise(30),
+        1: noise(25) + " " + shared_run + " " + noise(40),
+        2: noise(80),  # unrelated
+        3: noise(60),  # unrelated
+    }
+    t = pa.table({"doc_id": pa.array(sorted(texts), pa.int64()),
+                  "text": pa.array([texts[i] for i in sorted(texts)])})
+    ds = rd.from_arrow(t)
+    fps = {r["doc_id"]: set(r["fingerprints"])
+           for r in winnow_fingerprints(ds, k=k, w=w).take_all()}
+    assert fps[0] & fps[1], "shared run must yield a shared fingerprint"
+    pairs = winnow_overlap_pairs(ds, min_shared=1, k=k, w=w).take_all()
+    assert any(p["id_a"] == 0 and p["id_b"] == 1 for p in pairs)
+    # unrelated docs may collide on a stray gram but not heavily
+    heavy = [p for p in pairs if p["n_shared"] >= 2 and {p["id_a"], p["id_b"]} != {0, 1}]
+    assert not heavy
+
+
 def test_video_frame_sampling(ray_session):
     import ray.data as rd
 
