@@ -960,28 +960,32 @@ def simhash_candidates(ds, text_col="text", id_col="doc_id", max_hamming: int = 
         return pd.concat(outs, ignore_index=True)
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = {"id_a": [], "id_b": [], "hamming": []}
-        for (_, _), grp in g.groupby(["band", "key"], sort=False):
-            if len(grp) < 2:
-                continue
-            ids = grp[id_col].to_numpy()
-            hs = grp["simhash"].to_numpy().view(np.uint64)
-            iu, ju = np.triu_indices(len(grp), k=1)
-            x = hs[iu] ^ hs[ju]
-            d = np.zeros(x.size, np.int64)
-            for _ in range(64):  # vectorized popcount via bit strip
-                nzm = x != 0
-                if not nzm.any():
-                    break
-                d[nzm] += 1
-                x = x & (x - np.uint64(1))
-            keep = d <= max_hamming
-            a, b = ids[iu[keep]], ids[ju[keep]]
-            lo, hi = np.minimum(a, b), np.maximum(a, b)
-            out["id_a"].extend(lo.tolist())
-            out["id_b"].extend(hi.tolist())
-            out["hamming"].extend(d[keep].tolist())
-        return pd.DataFrame(out)
+        # ONE vectorized self-merge on the band key for the whole
+        # bucket (the _pairs_from_bucket pattern) instead of a Python
+        # loop over (band, key) groups, then a single vectorized
+        # popcount over every candidate pair at once.
+        m = g.merge(g, on=["band", "key"])
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        if m.empty:
+            return empty.astype({"hamming": np.int64})
+        x = m["simhash_x"].to_numpy().view(np.uint64) ^ m["simhash_y"].to_numpy().view(np.uint64)
+        d = np.zeros(x.size, np.int64)
+        x = x.copy()
+        for _ in range(64):  # vectorized popcount via bit strip
+            nzm = x != 0
+            if not nzm.any():
+                break
+            d[nzm] += 1
+            x = x & (x - np.uint64(1))
+        keep = d <= max_hamming
+        return pd.DataFrame(
+            {
+                "id_a": m[f"{id_col}_x"].to_numpy()[keep],
+                "id_b": m[f"{id_col}_y"].to_numpy()[keep],
+                "hamming": d[keep],
+            }
+        ).drop_duplicates(["id_a", "id_b"])
 
     exploded = sigs.map_batches(explode, batch_format="pandas")
     cand = bucketed_group_apply(exploded, ["band", "key"], pairs_in_bucket)
