@@ -63,8 +63,12 @@ def type_to_desc(t: pa.DataType) -> dict:
         return {"k": "time32" if pa.types.is_time32(t) else "time64", "unit": t.unit}
     if pa.types.is_duration(t):
         return {"k": "duration", "unit": t.unit}
-    if pa.types.is_decimal(t):
+    if pa.types.is_decimal128(t):
         return {"k": "decimal128", "precision": t.precision, "scale": t.scale}
+    if pa.types.is_decimal(t):
+        # decimal256 storage is 32-byte words; the 16-byte (lo, hi)
+        # split in _encode_decimal would silently read wrong values.
+        raise TypeError(f"unsupported arrow type {t} (only decimal128 is encodable)")
     if pa.types.is_date64(t):
         return {"k": "date64"}
     if pa.types.is_float16(t):
@@ -814,8 +818,13 @@ def encode_column_chunk(arr, fsst: Optional[FsstCodec] = None,
         # the logical type in atype (rebuilt at decode)
         iv = arr.view({16: pa.int16(), 32: pa.int32(), 64: pa.int64()}[t.bit_width])
         meta, parts = _encode_primitive(iv, forced)
-    elif pa.types.is_decimal(t):
+    elif pa.types.is_decimal128(t):
         meta, parts = _encode_decimal(arr, forced)
+    elif pa.types.is_decimal(t):
+        raise TypeError(
+            f"unsupported arrow type {t} (only decimal128 is encodable; "
+            "decimal256 needs a 4-word path)"
+        )
     elif pa.types.is_dictionary(t):
         meta, parts = _encode_dictionary(arr, fsst, forced)
     elif pa.types.is_fixed_size_binary(t):

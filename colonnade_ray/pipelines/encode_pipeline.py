@@ -356,37 +356,51 @@ def decode_corpus(out_dir: str, verify_checksum: bool = True, concurrency=None,
     import ray.data as rd
 
     data_root = os.path.join(out_dir, "data")
-    files = []
+    lin_root = os.path.join(out_dir, "_lineage")
+    group_files: dict = {}
     for gid in completed_groups(out_dir):
         gdir = os.path.join(data_root, f"group-{gid}")
-        files.extend(
+        group_files[gid] = [
             os.path.join(gdir, f) for f in sorted(os.listdir(gdir)) if f.endswith(".parquet")
-        )
+        ]
+    files = [f for fs in group_files.values() for f in fs]
     if not files:
         raise FileNotFoundError(f"no committed encode groups under {out_dir}")
-    read_cols = None
-    if columns is not None:
-        # resolve requested names -> col indices from the manifest plan
-        lin_root = os.path.join(out_dir, "_lineage")
-        lin_files = sorted(
-            os.path.join(lin_root, f) for f in os.listdir(lin_root)
-            if f.endswith(".parquet")
-        )
-        plan = json.loads(
-            pq.read_table(lin_files[0], columns=["plan_json"])["plan_json"][0].as_py()
-        )
-        missing = set(columns) - set(plan)
-        if missing:
-            raise KeyError(f"columns not in encoded plan: {sorted(missing)}")
-        read_cols = [
-            "fragment", "chunk_id", "n_rows", "checksum", "plan_json", "stats_json",
-        ] + [
-            c
-            for i, name in enumerate(plan)
-            if name in set(columns)
-            for c in (f"col{i}_payload", f"col{i}_meta")
+    if columns is None:
+        enc = rd.read_parquet(files)
+    else:
+        # Resolve requested names -> colN parquet indices PER GROUP:
+        # groups encoded from different inputs may order or select
+        # columns differently, so the first group's plan cannot speak
+        # for the rest.  Groups sharing a projection list are read
+        # together; differing plans get their own read, unioned.
+        def _proj(gid: str) -> tuple:
+            lin = os.path.join(lin_root, f"group-{gid}.parquet")
+            plan = json.loads(
+                pq.read_table(lin, columns=["plan_json"])["plan_json"][0].as_py()
+            )
+            missing = set(columns) - set(plan)
+            if missing:
+                raise KeyError(
+                    f"columns not in encoded plan of group {gid}: {sorted(missing)}"
+                )
+            return tuple(
+                ["fragment", "chunk_id", "n_rows", "checksum", "plan_json", "stats_json"]
+                + [
+                    c
+                    for i, name in enumerate(plan)
+                    if name in set(columns)
+                    for c in (f"col{i}_payload", f"col{i}_meta")
+                ]
+            )
+
+        by_proj: dict = {}
+        for gid, fs in group_files.items():
+            by_proj.setdefault(_proj(gid), []).extend(fs)
+        reads = [
+            rd.read_parquet(fs, columns=list(proj)) for proj, fs in by_proj.items()
         ]
-    enc = rd.read_parquet(files, columns=read_cols)
+        enc = reads[0] if len(reads) == 1 else reads[0].union(*reads[1:])
     return decode_dataset(enc, verify_checksum=verify_checksum,
                           concurrency=concurrency, columns=columns,
                           predicate=predicate)

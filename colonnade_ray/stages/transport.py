@@ -74,13 +74,19 @@ def list_transport_spec(paths: Sequence[str], columns: Optional[Sequence[str]] =
                 if top in bad or (columns is not None and top not in columns):
                     continue
                 st = c.statistics
-                # NB: leaf null_count conflates empty lists with true
-                # nulls, so it is NOT a gate here — pack/unpack carry a
-                # validity bitmap and are null-correct.
+                # NB: leaf null_count conflates null lists, EMPTY lists
+                # and null ELEMENTS (verified empirically: all three
+                # read back as null_count=1), so the only footer-provable
+                # safe state is null_count == 0.  Element nulls would
+                # corrupt the narrowing astype (NaN -> garbage), so any
+                # nonzero/absent null_count disqualifies the column —
+                # identity transport is always correct, just unnarrowed.
                 if (
                     c.physical_type not in _PHYS_TO_NP
                     or st is None
                     or not st.has_min_max
+                    or st.null_count is None
+                    or st.null_count > 0
                 ):
                     bad.add(top)
                     acc.pop(top, None)
@@ -138,6 +144,16 @@ def pack_list_columns(batch: pa.Table, spec: Dict[str, dict]) -> pa.Table:
         if not pa.types.is_list(arr.type):
             continue
         flat = arr.flatten()  # values of non-null rows, in row order
+        if flat.null_count:
+            # Null ELEMENTS (e.g. [1, 2, None]) cannot be narrowed:
+            # to_numpy would yield NaN floats and astype garbage.  Leave
+            # the column as-is.  Footer-driven specs never reach here
+            # (list_transport_spec requires leaf null_count == 0); for
+            # hand-built specs this trades narrowing for correctness —
+            # callers mixing clean and null-element batches under one
+            # spec get per-batch schema divergence and should not spec
+            # such columns.
+            continue
         v = flat.to_numpy(zero_copy_only=False)
         narrow = v.astype(_WIDTH_TO_NP[sp["width"]], copy=False)
         lengths = (

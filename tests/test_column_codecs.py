@@ -272,3 +272,16 @@ def test_structural_types_roundtrip():
         back = decode_column(p, m)
         assert back.type == arr.type, (arr.type, back.type)
         assert back.equals(arr), arr.type
+
+
+def test_decimal256_rejected_loudly():
+    """decimal256 must raise TypeError, not silently round-trip wrong
+    values through the 16-byte decimal128 buffer reader."""
+    from colonnade_ray.codecs import encode_column
+    from colonnade_ray.codecs.columns import type_to_desc
+
+    arr = pa.array([45678, None], pa.decimal256(20, 2))
+    with pytest.raises(TypeError, match="decimal"):
+        encode_column(arr)
+    with pytest.raises(TypeError, match="decimal"):
+        type_to_desc(pa.decimal256(50, 2))

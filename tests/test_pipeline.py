@@ -324,3 +324,40 @@ def test_incremental_append_new_fragments(ray_session, tmp_path):
     assert s2["groups"] == 4 and s2["resumed_groups"] == 2  # old groups skipped
     assert len(completed_groups(out)) == 4
     assert decode_corpus(out).count() == 800
+
+
+def test_projected_decode_heterogeneous_group_plans(ray_session, tmp_path):
+    """Round-2 ADVICE fix: groups encoded from inputs with different
+    column ORDERS must each resolve their own colN projection — the
+    first group's plan cannot speak for the rest."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from colonnade_ray.pipelines import decode_corpus, encode_corpus
+
+    def _tbl(ids, reorder):
+        toks = pa.array([[i, i + 1] for i in ids], pa.list_(pa.int32()))
+        cols = {
+            "doc_id": pa.array([f"d{i}" for i in ids]),
+            "tokens": toks,
+            "n_tok": pa.array(np.full(len(ids), 2, np.int32)),
+            "source": pa.array(["s"] * len(ids)),
+        }
+        names = list(cols)[::-1] if reorder else list(cols)
+        return pa.table({n: cols[n] for n in names})
+
+    in_a = str(tmp_path / "a"); in_b = str(tmp_path / "b")
+    for d in (in_a, in_b):
+        __import__("os").makedirs(d)
+    pq.write_table(_tbl(range(0, 40), reorder=False), in_a + "/part-0.parquet")
+    pq.write_table(_tbl(range(40, 90), reorder=True), in_b + "/part-0.parquet")
+    out = str(tmp_path / "out")
+    encode_corpus(in_a, out, batch_size=64, resume=True, transport=False)
+    encode_corpus(in_b, out, batch_size=64, resume=True, transport=False)
+
+    proj = pa.Table.from_pylist(
+        decode_corpus(out, columns=["doc_id", "n_tok"]).take_all()
+    )
+    assert sorted(proj.column_names) == ["doc_id", "n_tok"]
+    assert sorted(proj["doc_id"].to_pylist()) == sorted(f"d{i}" for i in range(90))
+    assert proj["n_tok"].to_pylist() == [2] * 90

@@ -17,13 +17,13 @@ from colonnade_ray.stages.transport import (
 )
 
 
-def _doc_table(n=500, vocab=50_000, seed=0, with_nulls=True):
+def _doc_table(n=500, vocab=50_000, seed=0, with_nulls=True, with_empty=True):
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         if with_nulls and i % 37 == 0:
             rows.append(None)
-        elif i % 50 == 0:
+        elif with_empty and i % 50 == 0:
             rows.append([])
         else:
             rows.append(rng.integers(0, vocab, rng.integers(1, 30)).tolist())
@@ -53,7 +53,7 @@ def test_pack_unpack_empty_batch():
 
 
 def test_spec_from_footer_stats(tmp_path):
-    t = _doc_table(with_nulls=False)
+    t = _doc_table(with_nulls=False, with_empty=False)
     f = str(tmp_path / "a.parquet")
     pq.write_table(t, f)
     spec = list_transport_spec([f])
@@ -74,6 +74,33 @@ def test_spec_from_footer_stats(tmp_path):
     fn = str(tmp_path / "d.parquet")
     pq.write_table(pa.table({"neg": lan}), fn)
     assert "neg" not in list_transport_spec([fn])
+
+
+def test_spec_disqualifies_any_leaf_nulls(tmp_path):
+    """Footer null_count conflates null lists / empty lists / null
+    ELEMENTS; only null_count == 0 proves narrowing is lossless, so any
+    nonzero count must disqualify (null elements would corrupt the
+    astype: NaN -> garbage)."""
+    for name, rows in {
+        "nullelem": [[1, None, 3], [4, 5]],
+        "nulllist": [[1, 2], None, [3]],
+        "emptylist": [[1, 2], [], [3]],
+    }.items():
+        la = pa.array(rows, type=pa.list_(pa.int32()))
+        f = str(tmp_path / f"{name}.parquet")
+        pq.write_table(pa.table({name: la}), f)
+        assert name not in list_transport_spec([f]), name
+
+
+def test_pack_identity_on_null_elements():
+    """Hand-built spec over a column with null ELEMENTS: pack must fall
+    back to identity (not silently turn [1,2,None] into [1,2,0])."""
+    la = pa.array([[1, 2, None], [7]], type=pa.list_(pa.int32()))
+    t = pa.table({"tokens": la})
+    p = pack_list_columns(t, SPEC16)
+    assert "tokens" in p.column_names
+    assert TRANSPORT_PREFIX + "tokens" not in p.column_names
+    assert p["tokens"].combine_chunks().equals(la)
 
 
 def test_spec_shrinks_transport_bytes(tmp_path):
