@@ -322,40 +322,62 @@ def embedding_near_dup_candidates(ds, bands: int = 8, bits_per_band: int = 8,
     return distinct_pairs(cand)
 
 
-class CosineVerifyPairs:
-    """Verify candidate (id_a, id_b) pairs against exact cosine: the
-    normalized embedding matrix is assembled once per actor from
-    object-store block refs (no driver materialization), then each
-    batch is two gathers + one row-wise dot product."""
+def _attach_emb_bucket(g):
+    """One hash bucket of (pair-side rows + doc rows): inner-merge the
+    doc embeddings onto the pair sides.  Vectorized pandas merge; ids
+    missing from the corpus simply drop (handled by the completeness
+    check in _verify_pair_bucket)."""
+    import pandas as pd
 
-    def __init__(self, block_refs, threshold: float,
-                 emb_col: str = "embedding", id_col: str = "vec_id"):
-        import ray
+    docs = g[g["__is_doc"]][["__key", "emb"]].drop_duplicates("__key")
+    p = g[~g["__is_doc"]]
+    if p.empty or docs.empty:
+        return pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64"),
+             "side": pd.Series([], dtype="int64"),
+             "emb": pd.Series([], dtype=object)}
+        )
+    m = p[["__key", "id_a", "id_b", "side"]].merge(docs, on="__key", how="inner")
+    out = m[["id_a", "id_b", "side", "emb"]].copy()
+    for c in ("id_a", "id_b", "side"):
+        out[c] = out[c].astype("int64")
+    return out
 
-        tables = ray.get(list(block_refs))
-        t = pa.concat_tables([tb for tb in tables if tb.num_rows])
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        mat = _normalize(_embedding_matrix(t, emb_col))
-        order = np.argsort(ids)
-        self.ids_sorted = ids[order]
-        self.mat = mat[order]
-        self.threshold = threshold
 
-    def _rows(self, ids: np.ndarray) -> np.ndarray:
-        pos = np.searchsorted(self.ids_sorted, ids)
-        return np.clip(pos, 0, self.ids_sorted.size - 1)
+def _verify_pair_bucket(g, threshold: float):
+    """One hash bucket of attached pair sides: reunite (id_a, id_b)
+    sides by sort, one stacked normalized row-wise dot product."""
+    import pandas as pd
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "id_a" not in batch.column_names:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
-        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ra, rb = self._rows(a), self._rows(b)
-        ok = (self.ids_sorted[ra] == a) & (self.ids_sorted[rb] == b)
-        cos = (self.mat[ra] * self.mat[rb]).sum(axis=1)
-        keep = ok & (cos >= self.threshold)
-        return pa.table({"id_a": pa.array(a[keep]), "id_b": pa.array(b[keep])})
+    empty = pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+    )
+    if g.empty:
+        return empty
+    g = g.sort_values(["id_a", "id_b", "side"], kind="mergesort")
+    ida = g["id_a"].to_numpy()
+    idb = g["id_b"].to_numpy()
+    # both sides present <=> adjacent rows agree on (id_a, id_b) with
+    # side 0 then 1; drop incomplete pairs (id missing from corpus)
+    if len(g) % 2 or not (
+        (ida[0::2] == ida[1::2]).all() and (idb[0::2] == idb[1::2]).all()
+    ):
+        cnt = g.groupby(["id_a", "id_b"])["side"].transform("size")
+        g = g[cnt == 2]
+        if g.empty:
+            return empty
+        ida, idb = g["id_a"].to_numpy(), g["id_b"].to_numpy()
+    m = np.asarray(g["emb"])  # TensorArray -> (n, d); object -> stack
+    if m.dtype == object:
+        m = np.stack(m)
+    m = _normalize(m.astype(np.float64))
+    cos = (m[0::2] * m[1::2]).sum(axis=1)
+    keep = cos >= threshold
+    return pd.DataFrame(
+        {"id_a": ida[0::2][keep].astype("int64"),
+         "id_b": idb[0::2][keep].astype("int64")}
+    )
 
 
 def lsh_verified_near_dups(ds, threshold: float, bands: int = 8,
@@ -363,19 +385,62 @@ def lsh_verified_near_dups(ds, threshold: float, bands: int = 8,
                            emb_col: str = "embedding", id_col: str = "vec_id"):
     """The scale-shaped near-dup pipeline with an exact guarantee on
     precision: sign-LSH candidates (one band-key shuffle) -> exact
-    cosine verification per batch.  Equals cosine_pairs_exact whenever
-    the LSH bands recall every true pair (checked by the driver oracle
-    at sf0.01)."""
-    import ray
+    cosine verification.  Equals cosine_pairs_exact whenever the LSH
+    bands recall every true pair (checked by the driver oracle at
+    sf0.01).
 
-    from ..util import default_concurrency
+    Verification is sharded, never whole-corpus (round-2 What's-wrong
+    #1 fix): each candidate pair explodes into two (key=id, side)
+    probe rows, the corpus embeddings are attached by ONE bucketed
+    hash-join shuffle (candidate rows + one pass of the corpus — the
+    keyed_attach pattern of dedup.near_dup_pairs), and a second
+    candidate-only shuffle reunites the two sides of each pair for a
+    stacked row-wise dot product.  No actor ever holds more than one
+    hash bucket of embeddings."""
+    import pandas as pd
+
+    from .bucketing import bucketed_group_apply
 
     cand = embedding_near_dup_candidates(ds, bands, bits_per_band, emb_col, id_col)
-    refs = ds.select_columns([id_col, emb_col]).to_arrow_refs()
-    return cand.map_batches(
-        CosineVerifyPairs,
-        fn_constructor_kwargs=dict(block_refs=refs, threshold=threshold,
-                                   emb_col=emb_col, id_col=id_col),
-        batch_format="pyarrow",
-        concurrency=(1, default_concurrency()),
+    dim = len(ds.take(1)[0][emb_col])
+
+    def explode_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        a = df["id_a"].to_numpy()
+        b = df["id_b"].to_numpy()
+        # zero placeholder of the corpus shape: union sides must agree
+        # on the tensor-extension dtype pandas infers for `emb`
+        # (an all-None object column refuses to concat with it)
+        return pd.DataFrame(
+            {
+                "__key": np.concatenate([a, b]),
+                "id_a": np.tile(a, 2),
+                "id_b": np.tile(b, 2),
+                "side": np.repeat(np.array([0, 1], dtype=np.int64), n),
+                "emb": pd.Series(list(np.zeros((2 * n, dim), np.float32)),
+                                 dtype=object),
+                "__is_doc": np.zeros(2 * n, dtype=bool),
+            }
+        )
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame(
+            {
+                "__key": df[id_col].to_numpy(),
+                "id_a": np.full(n, -1, dtype=np.int64),
+                "id_b": np.full(n, -1, dtype=np.int64),
+                "side": np.full(n, -1, dtype=np.int64),
+                "emb": df[emb_col].reset_index(drop=True),
+                "__is_doc": np.ones(n, dtype=bool),
+            }
+        )
+
+    tagged = cand.map_batches(explode_pairs, batch_format="pandas").union(
+        ds.select_columns([id_col, emb_col]).map_batches(tag_docs, batch_format="pandas")
+    )
+    attached = bucketed_group_apply(tagged, "__key", _attach_emb_bucket)
+    return bucketed_group_apply(
+        attached, ["id_a", "id_b"],
+        lambda g: _verify_pair_bucket(g, threshold),
     )

@@ -980,3 +980,43 @@ def test_simhash_candidates_hamming_ball(ray_session):
     assert (1, 2) in pairs or (2, 3) in pairs  # near-dup recalled
     assert all(h <= 3 for h in pairs.values())
     assert not any(4 in p for p in pairs)   # unrelated doc excluded
+
+
+def test_lsh_verified_near_dups_sharded_multiblock(ray_session):
+    """Round-2 What's-wrong #1 fix: the LSH verify stage must equal the
+    exact cosine pair set WITHOUT any stage materializing the whole
+    corpus (corpus split across many blocks; verification is a bucketed
+    hash-join, so per-task memory is one bucket, not the dataset)."""
+    import ray.data as rd
+
+    from colonnade_ray.functions import similarity as sim
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(30, 16))
+    rows, rid = [], 0
+    for v in base:
+        rows.append((rid, v)); rid += 1
+        # planted near-dups: tiny perturbations of the same vector
+        if rid % 3 == 0:
+            rows.append((rid, v + rng.normal(scale=0.01, size=16))); rid += 1
+    t = pa.table(
+        {"vec_id": pa.array([r[0] for r in rows], pa.int64()),
+         "embedding": pa.array([[float(x) for x in r[1]] for r in rows],
+                               pa.list_(pa.float32()))}
+    )
+    ds = rd.from_arrow(t).repartition(8)  # corpus > one block
+
+    exact = sorted(
+        (r["id_a"], r["id_b"])
+        for r in sim.cosine_pairs_exact(ds, threshold=0.95).take_all()
+    )
+    assert exact, "fixture must plant at least one true pair"
+    # recall-shaped banding (many narrow bands) => full recall here
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in sim.lsh_verified_near_dups(ds, threshold=0.95,
+                                            bands=64, bits_per_band=2).take_all()
+    )
+    assert got == exact
+    # the whole-corpus-per-actor verify class must stay gone
+    assert not hasattr(sim, "CosineVerifyPairs")
