@@ -446,7 +446,7 @@ def q_shipping_priority(sf_dir: str):
         lambda b: b.filter(pc.less(b["o_orderdate"], cutoff)), batch_format="pyarrow"
     )
     o_build = broadcast_join(orders, cust, on="o_custkey").map_batches(
-        lambda df: df[["o_orderkey", "o_orderdate"]], batch_format="pandas"
+        lambda b: b.select(["o_orderkey", "o_orderdate"]), batch_format="pyarrow"
     )
     def li_prep(b: pa.Table) -> pa.Table:
         b = b.filter(pc.greater(b["l_shipdate"], cutoff))
@@ -617,8 +617,6 @@ def q_curation_pipeline(sf_dir: str):
     Texts never leave the map stage — the only shuffle moves
     (fingerprint, doc_id, token_count) rows; the SQL oracle reproduces
     the whole chain."""
-    import pandas as pd
-
     from ray.data.aggregate import Sum
 
     from colonnade_ray.functions.bucketing import bucketed_group_apply
@@ -649,8 +647,10 @@ def q_curation_pipeline(sf_dir: str):
         ].min(),
     )
     total = kept.map_batches(
-        lambda df: pd.DataFrame({"t": [int(df["token_count"].sum() + len(df))]}),
-        batch_format="pandas",
+        lambda b: pa.table({"t": pa.array(
+            [int(pc.sum(b["token_count"]).as_py() or 0) + b.num_rows], pa.int64()
+        )}),
+        batch_format="pyarrow",
     ).aggregate(Sum("t", alias_name="total_tokens"))
     return pa.table(
         {"total_tokens": pa.array([int(total["total_tokens"] or 0)], pa.int64())}

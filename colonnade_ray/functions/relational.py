@@ -105,9 +105,14 @@ def keyed_attach(pairs_ds, docs_ds, key_from: str, out_col: str,
     carry = list(carry)
     carry_names = [c for c, _ in carry]
     val_type = field_type(docs_ds, text_col)
+    # native-typed join key (round-2 What's-wrong #3 fix): casting both
+    # sides to string made the ONE shuffle this operator exists to
+    # minimize move string keys at 2-3x int64 bytes; the docs id type
+    # is authoritative and the pairs side casts to it (no-op when equal)
+    key_type = field_type(docs_ds, id_col)
 
     def tag_pairs(b: pa.Table) -> pa.Table:
-        cols = {"__key": pc.cast(b[key_from], pa.string())}
+        cols = {"__key": pc.cast(b[key_from], key_type)}
         for c, t in carry:
             cols[c] = pc.cast(b[c], t) if c in b.column_names else pa.nulls(len(b), t)
         cols["__val"] = pa.nulls(len(b), val_type)
@@ -115,7 +120,7 @@ def keyed_attach(pairs_ds, docs_ds, key_from: str, out_col: str,
         return pa.table(cols)
 
     def tag_docs(b: pa.Table) -> pa.Table:
-        cols = {"__key": pc.cast(b[id_col], pa.string())}
+        cols = {"__key": pc.cast(b[id_col], key_type)}
         for c, t in carry:
             cols[c] = pa.nulls(len(b), t)
         cols["__val"] = b[text_col]

@@ -3,6 +3,7 @@ from .encode_pipeline import (
     corpus_summary,
     decode_corpus,
     decode_dataset,
+    decode_digest_corpus,
     encode_corpus,
     encode_dataset,
     roundtrip_verify,

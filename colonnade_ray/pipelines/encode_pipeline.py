@@ -110,12 +110,16 @@ def encode_dataset(
 
 def decode_dataset(enc_ds, verify_checksum: bool = True, concurrency=None,
                    columns: Optional[Sequence[str]] = None,
-                   predicate: Optional[tuple] = None):
+                   predicate: Optional[tuple] = None,
+                   chunks_per_task: int = 1):
     """Dataset of encoded chunk rows -> Dataset of original rows (lazy).
 
     ``columns``: projected decode (only those payload streams decoded,
     per-column checksum verify).  ``predicate=(col, op, value)``:
-    zone-map chunk pruning + exact post-filter."""
+    zone-map chunk pruning + exact post-filter.  ``chunks_per_task``:
+    chunks decoded per Ray task — at millions of chunks one task per
+    chunk is pure scheduler overhead; ``decode_corpus`` sizes this from
+    the lineage chunk count."""
     if concurrency is None:
         from ..util import default_concurrency
 
@@ -125,7 +129,7 @@ def decode_dataset(enc_ds, verify_checksum: bool = True, concurrency=None,
     return enc_ds.map_batches(
         lambda b: fn(b),
         batch_format="pyarrow",
-        batch_size=1,  # one chunk per task: decode parallelism = chunk count
+        batch_size=max(1, chunks_per_task),
         zero_copy_batch=True,
         **kwargs,
     )
@@ -353,6 +357,17 @@ def decode_corpus(out_dir: str, verify_checksum: bool = True, concurrency=None,
     untouched payload streams never leave disk.  ``predicate`` prunes
     whole chunks by their lineage zone maps before exact filtering.
     """
+    enc, cpt = _read_encoded(out_dir, columns, concurrency)
+    return decode_dataset(enc, verify_checksum=verify_checksum,
+                          concurrency=concurrency, columns=columns,
+                          predicate=predicate, chunks_per_task=cpt)
+
+
+def _read_encoded(out_dir: str, columns: Optional[Sequence[str]] = None,
+                  concurrency=None):
+    """Committed-group encoded chunk rows as a Dataset, plus the
+    lineage-derived chunks-per-task sizing.  Shared by decode_corpus
+    and the fused digest path."""
     import ray.data as rd
 
     data_root = os.path.join(out_dir, "data")
@@ -366,8 +381,24 @@ def decode_corpus(out_dir: str, verify_checksum: bool = True, concurrency=None,
     files = [f for fs in group_files.values() for f in fs]
     if not files:
         raise FileNotFoundError(f"no committed encode groups under {out_dir}")
+    # Size chunks-per-task from the lineage chunk count: keep every
+    # core busy (4 task waves per core) but never one task per chunk
+    # when chunks vastly outnumber cores (millions of tiny tasks at
+    # corpus scale = scheduler-bound decode).  Blocks are split to that
+    # granularity at the READ: Ray fuses read -> decode -> downstream
+    # into one task chain, so decode parallelism equals read-block
+    # count, not chunk count.
+    from ..util import default_concurrency
+
+    n_chunks = sum(
+        pq.ParquetFile(os.path.join(lin_root, f)).metadata.num_rows
+        for f in os.listdir(lin_root) if f.endswith(".parquet")
+    )  # footer-only: never materializes the lineage tables
+    eff = concurrency if concurrency is not None else default_concurrency()
+    cpt = min(8, max(1, n_chunks // (4 * max(eff, 1))))
+    nblocks = max(len(files), (n_chunks + cpt - 1) // cpt)
     if columns is None:
-        enc = rd.read_parquet(files)
+        enc = rd.read_parquet(files, override_num_blocks=nblocks)
     else:
         # Resolve requested names -> colN parquet indices PER GROUP:
         # groups encoded from different inputs may order or select
@@ -398,12 +429,41 @@ def decode_corpus(out_dir: str, verify_checksum: bool = True, concurrency=None,
         for gid, fs in group_files.items():
             by_proj.setdefault(_proj(gid), []).extend(fs)
         reads = [
-            rd.read_parquet(fs, columns=list(proj)) for proj, fs in by_proj.items()
+            rd.read_parquet(fs, columns=list(proj),
+                            override_num_blocks=max(1, nblocks * len(fs) // len(files)))
+            for proj, fs in by_proj.items()
         ]
         enc = reads[0] if len(reads) == 1 else reads[0].union(*reads[1:])
-    return decode_dataset(enc, verify_checksum=verify_checksum,
-                          concurrency=concurrency, columns=columns,
-                          predicate=predicate)
+    return enc, cpt
+
+
+def decode_digest_corpus(out_dir: str, columns: Sequence[str],
+                         verify_checksum: bool = True, concurrency=None) -> tuple:
+    """(sum, xor, count) digest of the decoded corpus with decode and
+    digest FUSED into one UDF: the decoded blocks never enter the
+    object store (343 MB/84M tokens at sf0.1 otherwise round-trips
+    through plasma between the decode and digest operators)."""
+    from ..stages.verify import batch_digest
+    from ..util import default_concurrency
+
+    enc, cpt = _read_encoded(out_dir, None, concurrency)
+    fn = DecodeBatch(verify_checksum)
+    cols = list(columns)
+    if concurrency is None:
+        concurrency = default_concurrency()
+    digests = enc.map_batches(
+        lambda b: batch_digest(fn(b), cols),
+        batch_format="pyarrow",
+        batch_size=max(1, cpt),
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    ).take_all()
+    s, x, n = 0, 0, 0
+    for d in digests:
+        s = (s + (d["h_sum"] & 0xFFFFFFFFFFFFFFFF)) % (1 << 64)
+        x ^= d["h_xor"] & 0xFFFFFFFFFFFFFFFF
+        n += d["n"]
+    return s, x, n
 
 
 def roundtrip_verify(original_ds, decoded_ds, columns: Sequence[str]) -> dict:

@@ -200,7 +200,12 @@ class EncoderActor:
         self._fragments = fragments
         self._bound: Optional[BoundPlan] = None
         self._bound_schema: Optional[pa.Schema] = None
+        # LRU-bounded (round-2 What's-wrong #4): one FsstCodec per
+        # (column, source) is fine at tens of sources but monotonic at
+        # a 100k-source corpus; dict preserves insertion order, so
+        # move-to-end + popitem(last=False)-style eviction is O(1).
         self._fsst_cache: dict = {}
+        self._fsst_cache_cap = 256
 
     def _bind(self, schema: pa.Schema) -> BoundPlan:
         if self._bound is None or self._bound_schema != schema:
@@ -225,7 +230,11 @@ class EncoderActor:
             t = bc.field.type
             if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
                 key = (bc.field.name, src)
-                if key not in self._fsst_cache:
+                if key in self._fsst_cache:
+                    self._fsst_cache[key] = self._fsst_cache.pop(key)  # mark recent
+                else:
+                    while len(self._fsst_cache) >= self._fsst_cache_cap:
+                        self._fsst_cache.pop(next(iter(self._fsst_cache)))
                     self._fsst_cache[key] = FsstCodec()  # trained lazily on first chunk
                 codecs[bc.field.name] = self._fsst_cache[key]
         return codecs
