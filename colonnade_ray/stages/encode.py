@@ -250,11 +250,12 @@ class EncoderActor:
         return encode_chunk(data, bound, self._fsst_for(data, bound), fragment)
 
 
-def encode_batch(batch: pa.Table, plan_names: Optional[list] = None) -> dict:
+def encode_batch(batch: pa.Table, plan_names: Optional[list] = None,
+                 fragments: Optional[list] = None) -> dict:
     """Stateless task form — strictly deterministic (tables trained per
     chunk), used where bit-identical re-execution matters more than
     amortized table builds."""
-    fragment = _fragment_of(batch)
+    fragment = _fragment_of(batch, fragments)
     data = _strip_sys(batch)
     plan = CodecPlan.by_name(*plan_names) if plan_names else CodecPlan.from_schema(data.schema)
     bound = bind_plan(plan, data.schema)
