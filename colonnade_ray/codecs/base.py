@@ -169,24 +169,39 @@ def _lane_bytes(width: int) -> int:
 def pack_uints(vals: np.ndarray, width: int) -> bytes:
     """Bit-pack unsigned ints at ``width`` bits each (little bit order).
 
-    Pure unpackbits/packbits byte-lane transform — no per-bit Python
-    loop, no 64-bit broadcast temporaries.  width 0 packs to b"".
+    Strided shift-or word packer: value i lands at stream bits
+    [i*width, (i+1)*width), materialized directly into little-endian
+    uint64 words.  The bit offsets cycle with period 64/gcd(width,64),
+    so one vectorized shift-or per residue class (<= 64 of them, each a
+    column view) packs the whole array — no unpackbits bit MATRIX (the
+    previous kernel's 8-32x data expansion dominated page-fault churn
+    under multi-worker contention; this one's temps are ~1.25x the
+    input).  width 0 packs to b"".
     """
     if width == 0 or vals.size == 0:
         return b""
-    nb = _lane_bytes(width)
-    v = vals.astype(f"<u{nb}", copy=False)
-    out = []
-    for i in range(0, v.size, _PACK_SLICE):
-        sl = np.ascontiguousarray(v[i : i + _PACK_SLICE])
-        # little-endian bytes => unpackbits(little) yields bit j of the
-        # value at column j; keep the low `width` columns.
-        bits = np.unpackbits(sl.view(np.uint8), bitorder="little").reshape(-1, 8 * nb)
-        out.append(
-            np.packbits(np.ascontiguousarray(bits[:, :width]), bitorder="little").tobytes()
-        )
-    # each full slice holds width*2^20 bits — always a multiple of 8.
-    return b"".join(out)
+    n = vals.size
+    if width in (8, 16, 32, 64):
+        return vals.astype(f"<u{width // 8}", copy=False).tobytes()
+    import math
+
+    period = 64 // math.gcd(width, 64)
+    wpp = width * period // 64          # whole words per period of values
+    rows = -(-n // period)
+    vp = np.zeros(rows * period, dtype=np.uint64)
+    vp[:n] = vals.astype(np.uint64, copy=False)
+    vp = vp.reshape(rows, period)
+    out = np.zeros(rows * wpp + 1, dtype="<u8")  # +1: spill room for the
+    om = out[: rows * wpp].reshape(rows, wpp)    # last residue's overflow
+    for r in range(period):
+        start = r * width
+        col, off = start >> 6, start & 63
+        om[:, col] |= vp[:, r] << np.uint64(off)
+        if off + width > 64:
+            # spill into the NEXT word; when col+1 == wpp that is the
+            # next row's word 0, which the flat stride handles uniformly
+            out[col + 1 :: wpp][:rows] |= vp[:, r] >> np.uint64(64 - off)
+    return out.tobytes()[: (n * width + 7) // 8]
 
 
 def unpack_uints(buf: bytes, n: int, width: int) -> np.ndarray:

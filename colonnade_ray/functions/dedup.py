@@ -86,12 +86,34 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 # Shingles + MinHash
 
 
-def _flat_words(texts: pd.Series) -> tuple:
+def _md5_word_hashes(flat: np.ndarray) -> np.ndarray:
+    """uint64 word hash = first 8 bytes (big-endian) of md5(word) —
+    bit-identical to DuckDB's ('0x' || substr(md5(w),1,16))::UBIGINT,
+    which makes hash-based pipelines (SimHash) SQL-cross-checkable.
+    One md5 per DISTINCT word (O(vocab) Python), vectorized gather back
+    to occurrences."""
+    import hashlib
+
+    uniq, inv = np.unique(flat.astype("U"), return_inverse=True)
+    uh = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+            for w in uniq
+        ),
+        dtype=np.uint64,
+        count=uniq.size,
+    )
+    return uh[inv]
+
+
+def _flat_words(texts: pd.Series, hash_fn: str = "pandas") -> tuple:
     """Whole-batch word explode: (flat word hashes uint64, words-per-doc).
 
     One pandas explode + one hash_array pass for the entire batch — no
     per-doc Python (the HashTokenizer flat-explode pattern,
-    functions/text.py)."""
+    functions/text.py).  ``hash_fn="md5"`` selects the SQL-reproducible
+    word hash (see _md5_word_hashes) at the cost of one md5 per
+    distinct word; the default stays the fast vectorized hash."""
     words = texts.fillna("").str.split()
     lens = words.str.len().to_numpy().astype(np.int64)
     total = int(lens.sum())
@@ -100,6 +122,8 @@ def _flat_words(texts: pd.Series) -> tuple:
     flat = words.explode().to_numpy(dtype=object)
     if flat.size != total:  # empty docs each contribute one NaN slot
         flat = flat[~pd.isna(flat)]
+    if hash_fn == "md5":
+        return _md5_word_hashes(flat), lens
     h = pd.util.hash_array(np.ascontiguousarray(flat), categorize=False)
     return h.astype(np.uint64), lens
 
@@ -656,12 +680,12 @@ class SimHash:
     """64-bit SimHash per doc over word hashes (near-dup fingerprint;
     hamming-ball lookup is the scale path)."""
 
-    def __init__(self, text_col="text", id_col="doc_id"):
-        self.text_col, self.id_col = text_col, id_col
+    def __init__(self, text_col="text", id_col="doc_id", hash_fn="pandas"):
+        self.text_col, self.id_col, self.hash_fn = text_col, id_col, hash_fn
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pandas()
-        h, lens = _flat_words(texts)
+        h, lens = _flat_words(texts, self.hash_fn)
         out = np.zeros(lens.size, dtype=np.uint64)
         nz = lens > 0
         if h.size:
@@ -687,12 +711,14 @@ class SimHash:
         )
 
 
-def simhash_signatures(ds, text_col="text", id_col="doc_id", concurrency=None):
+def simhash_signatures(ds, text_col="text", id_col="doc_id", concurrency=None,
+                       hash_fn="pandas"):
     from ..util import default_concurrency
 
     return ds.map_batches(
         SimHash,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col,
+                                   hash_fn=hash_fn),
         batch_format="pyarrow",
         concurrency=concurrency or (1, default_concurrency()),
     )
@@ -863,14 +889,24 @@ class ShingleSetSizes:
 
 
 def jaccard_pairs_exact(ds, threshold=0.8, text_col="text", id_col="doc_id",
-                        shingle_k=5):
+                        shingle_k=5, max_doc_freq=None):
     """EXACT word-k-gram Jaccard near-dup pairs — no LSH, no driver
     materialization: distinct (shingle, doc) explode -> groupby(shingle)
     pair emission -> one count-aggregate = |A & B| -> attach |A|, |B|
     via keyed_attach -> threshold filter.  The truth set LSH candidates
     are judged against; quadratic in the worst case (every shared
     shingle emits its pair once), intended for oracle checks and
-    bounded-similarity corpora."""
+    bounded-similarity corpora.
+
+    ``max_doc_freq``: stop-gram cap (round-2 What's-wrong #5, now code
+    not comment) — shingles appearing in more than this many docs are
+    dropped BEFORE pair emission, bounding a hot shingle's s(s-1)/2
+    blowup at (cap choose 2).  Exact within each bucket because the
+    bucket key is the shingle hash: every row of a shingle lands in one
+    bucket, so its doc frequency is fully visible there — no extra
+    shuffle.  The cap makes results conservative (pairs whose overlap
+    rests on boilerplate grams may drop); ``None`` (default) keeps the
+    exact semantics the oracle checks."""
     from ..util import default_concurrency
     from .relational import field_type, keyed_attach
 
@@ -893,6 +929,9 @@ def jaccard_pairs_exact(ds, threshold=0.8, text_col="text", id_col="doc_id",
     )
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if max_doc_freq is not None and len(g):
+            df_counts = g["shingle"].map(g["shingle"].value_counts())
+            g = g[df_counts <= max_doc_freq]
         m = g.merge(g, on="shingle")
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
         return m.rename(columns={f"{id_col}_x": "id_a", f"{id_col}_y": "id_b"})[
@@ -925,7 +964,7 @@ def jaccard_pairs_exact(ds, threshold=0.8, text_col="text", id_col="doc_id",
 
 
 def simhash_candidates(ds, text_col="text", id_col="doc_id", max_hamming: int = 3,
-                       concurrency=None):
+                       concurrency=None, hash_fn="pandas"):
     """SimHash near-dup pairs within a hamming ball — the scale path
     for the 64-bit signatures.
 
@@ -945,7 +984,8 @@ def simhash_candidates(ds, text_col="text", id_col="doc_id", max_hamming: int = 
     widths = [64 // nbands + (1 if i < 64 % nbands else 0) for i in range(nbands)]
     offsets = np.concatenate(([0], np.cumsum(widths)))[:-1]
 
-    sigs = simhash_signatures(ds, text_col, id_col, concurrency=concurrency)
+    sigs = simhash_signatures(ds, text_col, id_col, concurrency=concurrency,
+                              hash_fn=hash_fn)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         h = df["simhash"].to_numpy().view(np.uint64)

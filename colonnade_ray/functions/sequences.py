@@ -185,13 +185,16 @@ class PackSequences:
 
 
 def pack_sequences(ds, seq_len: int = 2048, eos_id: int = 0,
-                   keep_remainder: bool = False, concurrency=None):
+                   keep_remainder: bool = False, concurrency=None,
+                   batch_size=None):
     from ..util import default_concurrency
 
+    kwargs = {} if batch_size is None else {"batch_size": batch_size}
     return ds.map_batches(
         PackSequences,
         fn_constructor_kwargs=dict(seq_len=seq_len, eos_id=eos_id,
                                    keep_remainder=keep_remainder),
         batch_format="pyarrow",
         concurrency=concurrency or (1, default_concurrency()),
+        **kwargs,
     )
