@@ -81,22 +81,7 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 5,
         batch_format="pyarrow",
         concurrency=(1, default_concurrency()),
     ).take_all()
-    import pandas as pd
-
-    df = pd.DataFrame(partials)
-    out_rows = []
-    for qi, g in df.groupby("query_id"):
-        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
-        for r, (_, row) in enumerate(g.iterrows(), start=1):
-            out_rows.append((int(qi), int(row[id_col]), float(row["score"]), r))
-    return pa.table(
-        {
-            "query_id": pa.array([r[0] for r in out_rows], pa.int64()),
-            id_col: pa.array([r[1] for r in out_rows], pa.int64()),
-            "score": pa.array([r[2] for r in out_rows], pa.float64()),
-            "rank": pa.array([r[3] for r in out_rows], pa.int64()),
-        }
-    )
+    return _merge_topk(partials, k, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -160,9 +145,31 @@ class IvfTopK:
         )
 
 
+def _merge_topk(partials: list, k: int, id_col: str) -> pa.Table:
+    """Tiny driver-side merge of per-batch top-k partials (nq*k rows
+    per batch) into the final ranked table."""
+    import pandas as pd
+
+    out = []
+    df = pd.DataFrame(partials)
+    if df.empty:
+        df = pd.DataFrame(columns=["query_id", id_col, "score"])
+    for qi, g in df.groupby("query_id"):
+        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        for r, (_, row) in enumerate(g.iterrows(), start=1):
+            out.append((int(qi), int(row[id_col]), float(row["score"]), r))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in out], pa.int64()),
+            id_col: pa.array([r[1] for r in out], pa.int64()),
+            "score": pa.array([r[2] for r in out], pa.float64()),
+            "rank": pa.array([r[3] for r in out], pa.int64()),
+        }
+    )
+
+
 def ivf_topk(ds, queries: np.ndarray, k: int = 5, n_cells: int = 16, n_probe: int = 4,
              emb_col: str = "embedding", id_col: str = "vec_id") -> pa.Table:
-    import pandas as pd
     import ray
 
     from ..util import default_concurrency
@@ -177,20 +184,130 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 5, n_cells: int = 16, n_probe: in
         batch_format="pyarrow",
         concurrency=(1, default_concurrency()),
     ).take_all()
-    df = pd.DataFrame(partials)
-    out = []
-    for qi, g in df.groupby("query_id"):
-        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
-        for r, (_, row) in enumerate(g.iterrows(), start=1):
-            out.append((int(qi), int(row[id_col]), float(row["score"]), r))
+    return _merge_topk(partials, k, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Materialized IVF index (round-2 verdict #9: probe cells, don't
+# re-assign the corpus per query set)
+
+
+def build_ivf_index(ds, index_dir: str, n_cells: int = 16,
+                    emb_col: str = "embedding", id_col: str = "vec_id") -> np.ndarray:
+    """Build the inverted file ONCE: every row is assigned its nearest
+    centroid in one map_batches pass and the corpus is written as
+    Hive-partitioned parquet (``cell=K/`` directories) with a centroid
+    sidecar.  Query-time cost then scales with the rows of the PROBED
+    cells only — pruning happens at the read (whole directories never
+    open), not merely at the score, and the assignment pass is paid
+    once per corpus instead of once per batch per query set
+    (IvfTopK's first-cut behavior).  At 100 TB this is the difference
+    between an O(corpus) scan per query batch and an O(probed shard)
+    read; the partitioned layout is also resumable/shardable like the
+    encode pipeline's group dirs."""
+    import ray
+
+    from ..util import default_concurrency
+
+    cents = fit_centroids(ds, n_cells, emb_col)
+    cref = ray.put(cents)
+
+    class AssignCell:
+        def __init__(self, cents_ref):
+            self.cents = np.asarray(ray.get(cents_ref), dtype=np.float64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_embedding_matrix(batch, emb_col))
+            cell = np.argmax(m @ self.cents.T, axis=1).astype(np.int64)
+            return batch.append_column("cell", pa.array(cell, pa.int64()))
+
+    import os
+
+    ds.map_batches(
+        AssignCell,
+        fn_constructor_kwargs=dict(cents_ref=cref),
+        batch_format="pyarrow",
+        concurrency=(1, default_concurrency()),
+    ).write_parquet(os.path.join(index_dir, "data"), partition_cols=["cell"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    return cents
+
+
+def _probed_cell_topk(batch: pa.Table, *, q: np.ndarray, q_cells: np.ndarray,
+                      k: int, emb_col: str, id_col: str) -> pa.Table:
+    """Score a probed-cell batch against the queries whose probe set
+    contains that batch's cell — rows outside a query's probed cells
+    were never read, so the per-row mask is cheap.  Stateless task (not
+    an actor): the query matrix is nq*dim floats, small enough to ship
+    in the task spec, and skipping actor-pool spin-up keeps small-probe
+    latency flat."""
+    import pyarrow.compute as pc
+
+    m = _normalize(_embedding_matrix(batch, emb_col))
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    cell = pc.cast(batch["cell"], pa.int64()).to_numpy(zero_copy_only=False)
+    qq, vv, ss = [], [], []
+    for qi in range(q.shape[0]):
+        mask = np.isin(cell, q_cells[qi])
+        if not mask.any():
+            continue
+        sims = m[mask] @ q[qi]
+        sub_ids = ids[mask]
+        kk = min(k, sims.size)
+        order = np.lexsort((sub_ids, -sims))[:kk]
+        qq.extend([qi] * kk)
+        vv.extend(sub_ids[order].tolist())
+        ss.extend(sims[order].tolist())
     return pa.table(
         {
-            "query_id": pa.array([r[0] for r in out], pa.int64()),
-            id_col: pa.array([r[1] for r in out], pa.int64()),
-            "score": pa.array([r[2] for r in out], pa.float64()),
-            "rank": pa.array([r[3] for r in out], pa.int64()),
+            "query_id": pa.array(qq, pa.int64()),
+            id_col: pa.array(vv, pa.int64()),
+            "score": pa.array(ss, pa.float64()),
         }
     )
+
+
+def ivf_index_topk(index_dir: str, queries: np.ndarray, k: int = 5,
+                   n_probe: int = 4, emb_col: str = "embedding",
+                   id_col: str = "vec_id") -> pa.Table:
+    """Probe a materialized IVF index: only the union of the queries'
+    probed ``cell=K/`` directories is read.  Same ranking rules as
+    brute_force_topk (score desc, id asc); with ``n_probe >= n_cells``
+    the probe is exhaustive and equals brute force exactly."""
+    import os
+
+    import ray.data as rd
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    nb = min(n_probe, cents.shape[0])
+    q_cells = np.argsort(-(q @ cents.T), axis=1)[:, :nb]
+    probed = sorted(set(int(c) for c in q_cells.ravel()))
+    # expand probed cell dirs to their parquet files (read_parquet
+    # treats a LIST of paths as files); hive partition inference still
+    # runs on file paths, so the cell column comes back attached
+    files: list = []
+    for c in probed:
+        d = os.path.join(index_dir, "data", f"cell={c}")
+        if os.path.isdir(d):
+            files.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    if not files:
+        return _merge_topk([], k, id_col)
+    partials = (
+        rd.read_parquet(files)
+        .map_batches(
+            _probed_cell_topk,
+            fn_kwargs=dict(q=q, q_cells=q_cells, k=k,
+                           emb_col=emb_col, id_col=id_col),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    return _merge_topk(partials, k, id_col)
 
 
 # ---------------------------------------------------------------------------

@@ -307,6 +307,63 @@ def test_brute_force_topk_exact(ray_session):
     assert list(df[df["query_id"] == 0]["vec_id"]) == list(expect)
 
 
+def test_ivf_index_build_and_probe(ray_session, tmp_path):
+    """Materialized IVF (round-2 verdict #9): build writes one
+    Hive-partitioned cell=K/ dir per populated cell; an exhaustive
+    probe (n_probe >= n_cells) equals brute force exactly; a pruned
+    probe reads ONLY the probed cells' directories."""
+    import os
+
+    import ray.data as rd
+
+    from colonnade_ray.functions.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    emb = rng.normal(size=(200, 16)).astype(np.float64)
+    t = pa.table(
+        {"vec_id": pa.array(range(200), pa.int64()),
+         "embedding": pa.array([list(map(float, e)) for e in emb],
+                               pa.list_(pa.float32()))}
+    )
+    ds = rd.from_arrow(t)
+    idx = str(tmp_path / "ivf")
+    cents = build_ivf_index(ds, idx, n_cells=8)
+    cell_dirs = sorted(os.listdir(os.path.join(idx, "data")))
+    assert cell_dirs and all(d.startswith("cell=") for d in cell_dirs)
+    # index holds every row exactly once
+    assert rd.read_parquet(os.path.join(idx, "data")).count() == 200
+
+    q = emb[:3]
+    exhaustive = ivf_index_topk(idx, q, k=4, n_probe=len(cents)).to_pandas()
+    brute = brute_force_topk(ds, q, k=4).to_pandas()
+    # ids/ranks exact; scores to 1e-12 (different matmul summation
+    # order between the paths gives 1-ulp drift)
+    assert exhaustive[["query_id", "vec_id", "rank"]].to_dict("records") == (
+        brute[["query_id", "vec_id", "rank"]].to_dict("records")
+    )
+    assert np.allclose(exhaustive["score"], brute["score"], atol=1e-12)
+
+    # pruned probe: every returned id must live in a probed cell
+    pruned = ivf_index_topk(idx, q, k=4, n_probe=2).to_pandas()
+    from colonnade_ray.functions.similarity import _normalize
+
+    qn = _normalize(np.asarray(q))
+    cn = np.asarray(cents)
+    q_cells = np.argsort(-(qn @ cn.T), axis=1)[:, :2]
+    mat = _normalize(emb.copy())
+    row_cell = np.argmax(mat @ cn.T, axis=1)
+    for rec in pruned.to_dict("records"):
+        assert row_cell[rec["vec_id"]] in q_cells[rec["query_id"]]
+    # rank-1 self hit survives pruning (self's cell is always probed
+    # first: the nearest centroid to q IS q's own cell)
+    r1 = pruned[pruned["rank"] == 1]
+    assert list(r1["vec_id"]) == [0, 1, 2]
+
+
 # ---------------------------------------------------------------------------
 # Skew partitioning units
 
