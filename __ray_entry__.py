@@ -359,14 +359,23 @@ def q_winnow_gram_counts(sf_dir: str):
 
 
 def q_winnow_overlap(sf_dir: str):
-    """Rows-only: partial-overlap pairs via shared winnowing
-    fingerprints (>=2 shared; plagiarism-style long-substring
-    detection — hash selection not SQL-expressible, property-tested
-    in test_winnow_*)."""
+    """Partial-overlap pairs via shared winnowing fingerprints (>=2
+    shared; plagiarism-style long-substring detection).
+
+    SQL-oracle'd since round 3 via the md5 word-hash twin: the md5
+    gram fold (FNV-prime polynomial mod 2^64, HUGEINT in DuckDB), the
+    rightmost-min window selection (min over a (hash<<32 | ~pos) key),
+    the short-doc leftmost-min fallback, and the shared-fingerprint
+    pair counts are ALL recomputed independently in SQL — the full
+    Schleimer-Wilkerson-Aiken selection externally checked, not just
+    row counts.  The fast vectorized hash stays the production path
+    (same selection code, property-tested in test_winnow_*)."""
     from colonnade_ray.functions.dedup import winnow_overlap_pairs
 
     ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
-    return winnow_overlap_pairs(ds, min_shared=2).sort(["id_a", "id_b"])
+    return winnow_overlap_pairs(ds, min_shared=2, hash_fn="md5").sort(
+        ["id_a", "id_b"]
+    )
 
 
 def q_simhash(sf_dir: str):
@@ -923,8 +932,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "codec_selection_report": q_codec_selection_report,
         "simhash_signatures": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
-        # rows-only (non-SQL-expressible)
         "winnow_overlap": q_winnow_overlap,
+        # rows-only (intrinsically approximate: pruned IVF probe)
         "ann_ivf_topk": q_ann_ivf_topk,
     }
 
@@ -948,6 +957,36 @@ _SIMHASH_CTES = (
     "WHEN s >= CAST(1 AS HUGEINT) << 63 THEN s - (CAST(1 AS HUGEINT) << 64) "
     "ELSE s END AS BIGINT) AS simhash "
     "FROM documents d LEFT JOIN rawsig USING (doc_id))"
+)
+
+# Full SQL winnowing twin (k=5, w=4; validated pair-for-pair against
+# the engine's md5 variant): md5 word hashes folded into gram hashes
+# by the engine's FNV prime mod 2^64 (HUGEINT arithmetic), then the
+# Schleimer-Wilkerson-Aiken selection — rightmost minimum of every
+# 4-gram window via min over a (hash * 2^32 + (2^32-1-pos)) composite
+# key, leftmost single minimum for docs with fewer than 4 grams, and
+# docs with 0 < words < 5 folding to ONE whole-doc gram (matching
+# _flat_shingles' short-doc semantics, dedup.py).
+_WINNOW_CTES = (
+    "words AS (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS ws "
+    "FROM documents WHERE len(trim(COALESCE(text, ''))) > 0), "
+    "grams AS (SELECT doc_id, CAST(i AS HUGEINT) AS gpos, "
+    "CAST(greatest(len(ws) - 4, 1) AS HUGEINT) AS ng, "
+    "list_reduce(list_transform(ws[i:least(i + 4, len(ws))], "
+    "w -> CAST(('0x' || substr(md5(w), 1, 16))::UBIGINT AS HUGEINT)), "
+    "(a, b) -> (a * 1099511628211 + b) % 18446744073709551616) AS gh "
+    "FROM (SELECT doc_id, ws, "
+    "unnest(range(1, greatest(len(ws) - 4, 1) + 1)) AS i FROM words)), "
+    "wsel AS (SELECT doc_id, wkey // 4294967296 AS gh FROM ("
+    "SELECT doc_id, gpos, ng, "
+    "min(gh * 4294967296 + (4294967295 - gpos)) OVER "
+    "(PARTITION BY doc_id ORDER BY gpos "
+    "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey "
+    "FROM grams WHERE ng >= 4) WHERE gpos <= ng - 3), "
+    "ssel AS (SELECT doc_id, MIN(gh * 4294967296 + gpos) // 4294967296 AS gh "
+    "FROM grams WHERE ng < 4 GROUP BY doc_id), "
+    "wfp AS (SELECT DISTINCT doc_id, gh "
+    "FROM (SELECT * FROM wsel UNION ALL SELECT * FROM ssel))"
 )
 
 # Shared CTE chain: exact word-5-gram Jaccard near-dup pairs at 0.8
@@ -1146,6 +1185,15 @@ def oracle_sql() -> dict[str, str]:
             "('l_discount', 'primitive'), ('l_tax', 'primitive'), "
             "('l_returnflag', 'string'), ('l_linestatus', 'string'), "
             "('l_shipdate', 'primitive')) AS v(column_name, kind)"
+        ),
+        # the full winnowing selection recomputed in SQL (md5 twin):
+        # pairs sharing >= 2 selected fingerprints, with counts
+        "winnow_overlap": (
+            f"WITH {_WINNOW_CTES} "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_shared "
+            "FROM wfp a JOIN wfp b ON a.gh = b.gh AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY id_a, id_b"
         ),
         "jaccard_pairs_exact": (
             f"WITH {_JACCARD_CTES} "

@@ -128,15 +128,17 @@ def _flat_words(texts: pd.Series, hash_fn: str = "pandas") -> tuple:
     return h.astype(np.uint64), lens
 
 
-def _flat_shingles(texts: pd.Series, k: int = 5) -> tuple:
+def _flat_shingles(texts: pd.Series, k: int = 5, hash_fn: str = "pandas") -> tuple:
     """Whole-batch word-k-gram hashes: (flat gram hashes, grams-per-doc).
 
     Gram hash = polynomial fold (mod 2^64) of the k word hashes — a
     rolling polynomial over the flat word-hash array instead of
     re-joining/hashing gram strings per doc.  Docs with 0 < words < k
     get one gram folding all their words (the round-1 "join everything"
-    semantics, re-expressed on hashes)."""
-    h, lens = _flat_words(texts)
+    semantics, re-expressed on hashes).  With ``hash_fn="md5"`` the
+    whole gram hash becomes SQL-reproducible: md5 word hashes folded by
+    the same FNV prime mod 2^64 (DuckDB HUGEINT arithmetic)."""
+    h, lens = _flat_words(texts, hash_fn)
     s = np.concatenate(([0], np.cumsum(lens)))[:-1]
     g = np.where(lens >= k, lens - k + 1, (lens > 0).astype(np.int64))
     goff = np.concatenate(([0], np.cumsum(g)))[:-1]
@@ -562,12 +564,15 @@ class WinnowFingerprint:
     single overall min (reduceat).  No per-doc Python.
     """
 
-    def __init__(self, text_col="text", id_col="doc_id", k: int = 5, w: int = 4):
+    def __init__(self, text_col="text", id_col="doc_id", k: int = 5, w: int = 4,
+                 hash_fn: str = "pandas"):
         self.text_col, self.id_col = text_col, id_col
         self.k, self.w = k, w
+        self.hash_fn = hash_fn
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        grams, g = _flat_shingles(batch[self.text_col].to_pandas(), self.k)
+        grams, g = _flat_shingles(batch[self.text_col].to_pandas(), self.k,
+                                  self.hash_fn)
         n, w = g.size, self.w
         doc_of = np.repeat(np.arange(n, dtype=np.int64), g)
         sel_pos = []
@@ -614,20 +619,22 @@ class WinnowFingerprint:
 
 
 def winnow_fingerprints(ds, text_col="text", id_col="doc_id", k: int = 5,
-                        w: int = 4, concurrency=None):
+                        w: int = 4, concurrency=None, hash_fn: str = "pandas"):
     """(doc_id, fingerprints:list<int64>, n_fp, n_grams) per doc."""
     from ..util import default_concurrency
 
     return ds.map_batches(
         WinnowFingerprint,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, k=k, w=w),
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, k=k, w=w,
+                                   hash_fn=hash_fn),
         batch_format="pyarrow",
         concurrency=concurrency or (1, default_concurrency()),
     )
 
 
 def winnow_overlap_pairs(ds, min_shared: int = 2, text_col="text",
-                         id_col="doc_id", k: int = 5, w: int = 4):
+                         id_col="doc_id", k: int = 5, w: int = 4,
+                         hash_fn: str = "pandas"):
     """Partial-overlap candidate pairs: docs sharing >= min_shared
     winnowing fingerprints (plagiarism / near-dup detection for
     LONG-substring overlap, complementary to whole-doc Jaccard).
@@ -637,7 +644,7 @@ def winnow_overlap_pairs(ds, min_shared: int = 2, text_col="text",
     ever shuffle, ~2/(w+1) of gram volume)."""
     from .bucketing import bucketed_group_apply
 
-    fps = winnow_fingerprints(ds, text_col, id_col, k=k, w=w)
+    fps = winnow_fingerprints(ds, text_col, id_col, k=k, w=w, hash_fn=hash_fn)
 
     def explode(b: pa.Table) -> pa.Table:
         arr = b["fingerprints"]
