@@ -430,6 +430,32 @@ def q_ann_ivf_exhaustive(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+def q_ann_ivf_index(sf_dir: str):
+    """Materialized IVF index (round-3): build writes the corpus as
+    Hive-partitioned cell=K/ parquet + a centroid sidecar ONCE; the
+    probe reads only probed cell directories.  Oracle-anchored in its
+    exhaustive configuration (n_probe = n_cells: every cell probed =
+    exact top-k, the same SQL as ann_ivf_exhaustive); the pruned-probe
+    speed path is covered by test_ivf_index_build_and_probe and the
+    BASELINE.md pruning measurements (11% rows read, recall 1.0)."""
+    import shutil
+    import tempfile
+
+    from colonnade_ray.functions.similarity import build_ivf_index, ivf_index_topk
+
+    emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = emb.filter(lambda r: r["vec_id"] < 3).take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    queries = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    idx = tempfile.mkdtemp(prefix="ivf_index_", dir="/tmp")
+    try:
+        cents = build_ivf_index(emb, idx, n_cells=8)
+        out = ivf_index_topk(idx, queries, k=5, n_probe=len(cents))
+        return out.select(["query_id", "vec_id", "rank"])
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def q_word_freq_topk(sf_dir: str):
     """Top-50 word frequencies: per-batch partial counts -> one small
     groupby exchange -> sort+limit (the shuffle-minimized wide
@@ -909,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_conservation": q_pack_conservation,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
+        "ann_ivf_index": q_ann_ivf_index,
         "word_freq_topk": q_word_freq_topk,
         "events_sliding": q_events_sliding,
         "shipping_priority": q_shipping_priority,
@@ -1228,6 +1255,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents)"
         ),
         "ann_ivf_exhaustive": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+            "WHERE vec_id < 3), "
+            "s AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(q.qe, e.embedding) AS score "
+            "FROM q CROSS JOIN embeddings e), "
+            "r AS (SELECT query_id, vec_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) "
+            "AS rank FROM s) "
+            "SELECT query_id, vec_id, rank FROM r WHERE rank <= 5"
+        ),
+        # exhaustive probe of the materialized index == exact top-k
+        "ann_ivf_index": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
             "WHERE vec_id < 3), "
             "s AS (SELECT q.query_id, e.vec_id, "
