@@ -118,3 +118,62 @@ def test_cornice_sections():
     schema = _schema(["n_tok", "doc_id", "tokens"])
     bound = bind_plan(sec.discard(), schema)
     assert [b.index for b in bound.columns] == [1, 2, 0]
+
+
+def test_column_letters_reference_range_and_extension():
+    """columnNumToLetters graft (siphon/src/Siphon.hs:543-546): 0..24
+    match the reference letter-for-letter; beyond Y this engine extends
+    in bijective base-26 instead of the reference's punt string."""
+    from colonnade_ray.errors import column_letters
+
+    assert [column_letters(i) for i in range(5)] == ["A", "B", "C", "D", "E"]
+    assert column_letters(24) == "Y"
+    assert column_letters(25) == "Z"
+    assert column_letters(26) == "AA"
+    assert column_letters(27 * 26 - 1) == "ZZ"
+    assert column_letters(-1) == "?"
+
+
+def test_humanize_cell_errors_golden():
+    """prettyCellErrors graft (siphon/src/Siphon.hs:505-515): category
+    header, per-cell blocks with column letters, content length, and
+    the [empty cell] marker; the FIRST separator is dropped like the
+    reference's `drop 1`."""
+    from colonnade_ray.errors import CellError, ChunkDecodeError
+
+    err = ChunkDecodeError(
+        "frag-0", "c12",
+        [
+            CellError("price", 3, "12,50", reason="invalid int", col_index=2),
+            CellError("name", 7, "", col_index=0),
+        ],
+    )
+    out = err.humanize()
+    lines = out.splitlines()
+    assert lines[0] == "Decolonnade error in fragment frag-0, chunk c12."
+    assert lines[1] == "Error Category: Cell Decolonnade"
+    assert "  Column C (row 3)" in lines
+    assert "  Cell Content Length: 5" in lines
+    assert "  Cell Content: 12,50" in lines
+    assert "  Column A (row 7)" in lines
+    assert "  Cell Content: [empty cell]" in lines
+    # drop-1: exactly one separator (between the two cells), not two
+    assert sum(1 for ln in lines if ln.strip() == "-----------") == 1
+
+
+def test_humanize_header_issues_golden():
+    """Missing-Headers branch graft (siphon/src/Siphon.hs:497-541):
+    'The header X was missing.' and duplicate headers rendered with
+    column-letter coordinate lists."""
+    from colonnade_ray.errors import HeaderIssue, SchemaBindError
+
+    e = SchemaBindError(
+        [
+            HeaderIssue("n_tok", "missing"),
+            HeaderIssue("source", "duplicate", positions=(1, 3)),
+        ]
+    )
+    out = e.humanize()
+    assert "Error Category: Missing Headers" in out
+    assert "The header n_tok was missing." in out
+    assert "The header [source] appears in columns B, D" in out
