@@ -218,24 +218,33 @@ def unpack_uints(buf: bytes, n: int, width: int) -> np.ndarray:
         raise ValueError(
             f"bitpack stream truncated: have {len(buf)} bytes, need {need}"
         )
-    raw = np.frombuffer(buf, dtype=np.uint8)
-    nb = _lane_bytes(width)
-    out = np.empty(n, dtype=np.uint64)
-    done = 0
-    byte_off = 0
-    while done < n:
-        cnt = min(_PACK_SLICE, n - done)
-        nbytes = (cnt * width + 7) // 8
-        bits = np.unpackbits(
-            raw[byte_off : byte_off + nbytes], count=cnt * width, bitorder="little"
-        ).reshape(cnt, width)
-        lanes = np.zeros((cnt, 8 * nb), dtype=np.uint8)
-        lanes[:, :width] = bits
-        vals = np.packbits(lanes.reshape(-1), bitorder="little").view(f"<u{nb}")
-        out[done : done + cnt] = vals
-        done += cnt
-        byte_off += nbytes
-    return out
+    if width in (8, 16, 32, 64):
+        return np.frombuffer(
+            buf, dtype=f"<u{width // 8}", count=n
+        ).astype(np.uint64, copy=False)
+    import math
+
+    # inverse of the strided shift-or packer: value i spans stream bits
+    # [i*width, (i+1)*width); one vectorized shift-mask per residue
+    # class of the 64/gcd(width,64) cycle — no unpackbits bit matrix
+    # (the previous kernel's 8-32x expansion, same rationale as
+    # pack_uints above).
+    period = 64 // math.gcd(width, 64)
+    wpp = width * period // 64
+    rows = -(-n // period)
+    wbuf = np.zeros(rows * wpp + 1, dtype="<u8")  # +1: spill room for reads
+    wbuf.view(np.uint8)[:need] = np.frombuffer(buf, dtype=np.uint8, count=need)
+    wm = wbuf[: rows * wpp].reshape(rows, wpp)
+    vp = np.empty((rows, period), dtype=np.uint64)
+    mask = np.uint64((1 << width) - 1)
+    for r in range(period):
+        start = r * width
+        col, off = start >> 6, start & 63
+        v = wm[:, col] >> np.uint64(off)
+        if off + width > 64:
+            v = v | (wbuf[col + 1 :: wpp][:rows] << np.uint64(64 - off))
+        vp[:, r] = v & mask
+    return vp.reshape(-1)[:n]
 
 
 def zigzag(v: np.ndarray) -> np.ndarray:
