@@ -126,15 +126,24 @@ def test_property_roundtrip_dicts(vals):
         assert np.array_equal(back, arr), codec_name
 
 
-@pytest.mark.parametrize("width", [1, 2, 3, 7, 8, 9, 15, 16, 17, 31, 32, 33, 63, 64])
+@pytest.mark.parametrize("width", list(range(1, 65)))
 def test_pack_unpack_widths(width):
-    hi = (1 << width) - 1
-    v = RNG.integers(0, min(hi, 2**63 - 1) + 1, 1003, dtype=np.uint64)
-    if width == 64:
-        v[0] = 2**64 - 1
-    buf = pack_uints(v, width)
-    assert len(buf) == (v.size * width + 7) // 8
-    assert np.array_equal(unpack_uints(buf, v.size, width), v)
+    """Every width 1..64, at lengths that straddle the shift-or
+    kernel's residue period (64/gcd(width,64)): shorter than one
+    period, exactly one, one-plus, and a large non-multiple."""
+    import math
+
+    period = 64 // math.gcd(width, 64)
+    for n in (1, period - 1 or 1, period, period + 1, 1003):
+        hi = (1 << width) - 1
+        v = RNG.integers(0, min(hi, 2**63 - 1) + 1, n, dtype=np.uint64)
+        if width == 64:
+            v[0] = 2**64 - 1
+        if n > 1:
+            v[-1] = hi  # max value in the final (spill-prone) slot
+        buf = pack_uints(v, width)
+        assert len(buf) == (v.size * width + 7) // 8
+        assert np.array_equal(unpack_uints(buf, v.size, width), v), (width, n)
 
 
 def test_zigzag_extremes():
