@@ -531,6 +531,42 @@ def q_user_event_seq(sf_dir: str):
     return bucketed_group_apply(ev, "user_id", seq)
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """Exact per-group quantiles (percentile_disc semantics — always
+    an existing value, so doubles compare bit-identical to SQL): one
+    bucket shuffle, vectorized per-bucket sort + offset gather."""
+    from colonnade_ray.functions.relational import grouped_quantiles
+
+    ev = _tbl(sf_dir, "events", ["event_type", "value"])
+    out = grouped_quantiles(ev, ["event_type"], "value", qs=(0.25, 0.5, 0.9))
+    return out.sort(["event_type", "q"])
+
+
+def q_rolling_value(sf_dir: str):
+    """Per-user rolling 5-row sum of event value in integer cents
+    (cumsum minus window-lagged cumsum inside one bucket shuffle) —
+    the moving-window aggregate, integer-exact vs the SQL window."""
+    from colonnade_ray.functions.relational import rolling_sum
+
+    ev = _tbl(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    cents = ev.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = rolling_sum(cents, "user_id", ["ts", "event_id"], "cents",
+                      window=5, out_col="roll_cents")
+    return out.map_batches(
+        lambda df: df[["event_id", "roll_cents"]], batch_format="pandas"
+    ).sort("event_id")
+
+
 def q_contamination(sf_dir: str):
     """Decontamination stage: per-doc distinct 5-gram shingles vs a
     held-out set's shingles (test set = every 50th doc), broadcast
@@ -940,6 +976,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": q_events_sliding,
         "shipping_priority": q_shipping_priority,
         "user_event_seq": q_user_event_seq,
+        "grouped_quantiles": q_grouped_quantiles,
+        "rolling_value": q_rolling_value,
         "contamination": q_contamination,
         "repetition": q_repetition,
         "redact": q_redact,
@@ -1298,6 +1336,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, CAST(row_number() OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq "
             "FROM events"
+        ),
+        # percentile_disc = the existing value at rank ceil(q*n): no
+        # interpolation, so doubles hash bit-identical
+        "grouped_quantiles": (
+            "SELECT event_type, 0.25 AS q, "
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS value "
+            "FROM events GROUP BY event_type UNION ALL "
+            "SELECT event_type, 0.5, "
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY value) "
+            "FROM events GROUP BY event_type UNION ALL "
+            "SELECT event_type, 0.9, "
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY value) "
+            "FROM events GROUP BY event_type "
+            "ORDER BY event_type, q"
+        ),
+        # integer-cents window sum: exact on both sides
+        "rolling_value": (
+            "SELECT event_id, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents "
+            "FROM events ORDER BY event_id"
         ),
         "contamination": (
             f"WITH {_SHINGLE_CTES}, "

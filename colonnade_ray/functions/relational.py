@@ -410,3 +410,81 @@ def interval_join(ds, intervals: "pa.Table", value_col: str,
         Probe, batch_format="pyarrow",
         concurrency=concurrency or (1, default_concurrency()),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped quantiles + per-key rolling windows
+
+
+def grouped_quantiles(ds, group_cols: Sequence[str], value_col: str,
+                      qs: Sequence[float] = (0.25, 0.5, 0.75),
+                      num_buckets: int = 64):
+    """EXACT per-group quantiles with percentile_disc semantics: the
+    smallest group value whose 1-based rank >= ceil(q * n) — always an
+    EXISTING value, so results are bit-identical to SQL's
+    percentile_disc (no interpolation arithmetic to drift).
+
+    One bucket shuffle (all of a key's rows land in one bucket); the
+    per-bucket pass is a single vectorized sort + offset gather, no
+    per-key Python.  Exact quantiles are irreducibly all-to-all in the
+    value rows — for sketch-sized exchanges at 100 TB sample first
+    (functions/sampling) and document the error, or keep groups
+    partition-aligned so the shuffle is local."""
+    import numpy as np
+
+    groups = list(group_cols)
+    qlist = [float(q) for q in qs]
+    if not all(0.0 < q <= 1.0 for q in qlist):
+        raise ValueError("quantiles must be in (0, 1]")
+
+    def quants(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(columns=groups + ["q", value_col])
+        df = df.sort_values(groups + [value_col], kind="mergesort")
+        sizes = df.groupby(groups, sort=False).size().to_numpy()
+        starts = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+        vals = df[value_col].to_numpy()
+        out = {g: [] for g in groups}
+        out["q"] = []
+        out[value_col] = []
+        heads = df.iloc[starts]
+        for q in qlist:
+            idx = starts + np.ceil(q * sizes).astype(np.int64) - 1
+            for g in groups:
+                out[g].extend(heads[g].tolist())
+            out["q"].extend([q] * sizes.size)
+            out[value_col].extend(vals[idx].tolist())
+        return pd.DataFrame(out)
+
+    from .bucketing import bucketed_group_apply
+
+    return bucketed_group_apply(ds, groups, quants, num_buckets=num_buckets)
+
+
+def rolling_sum(ds, key_col: str, order_cols: Sequence[str], value_col: str,
+                window: int, out_col: str = "rolling_sum",
+                num_buckets: int = 64):
+    """Per-key rolling-window sum over the last ``window`` rows in
+    ``order_cols`` order (SQL: SUM(v) OVER (PARTITION BY key ORDER BY
+    ... ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)).
+
+    Integer-exact: computed as cumsum minus its window-lagged self
+    within each key, so int64 inputs reproduce the SQL window sum
+    bit-for-bit (use scaled-integer values for money-like doubles).
+    One bucket shuffle on the key; per-bucket work is vectorized
+    (sort + groupby cumsum/shift, no per-key Python)."""
+    order = list(order_cols)
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(**{out_col: pd.Series([], dtype="int64")})
+        df = df.sort_values([key_col] + order, kind="mergesort")
+        g = df.groupby(key_col, sort=False)[value_col]
+        cs = g.cumsum()
+        lag = cs.groupby(df[key_col], sort=False).shift(window)
+        df[out_col] = (cs - lag.fillna(0)).astype(df[value_col].dtype)
+        return df
+
+    from .bucketing import bucketed_group_apply
+
+    return bucketed_group_apply(ds, [key_col], roll, num_buckets=num_buckets)

@@ -1146,3 +1146,46 @@ def test_lsh_verified_near_dups_sharded_multiblock(ray_session):
     assert got == exact
     # the whole-corpus-per-actor verify class must stay gone
     assert not hasattr(sim, "CosineVerifyPairs")
+
+
+def test_grouped_quantiles_percentile_disc_semantics(ray_session):
+    """Exact grouped quantiles = percentile_disc: value at 1-based
+    rank ceil(q*n), always an existing value; q=1.0 is the max;
+    singleton groups return their only value at every q."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.relational import grouped_quantiles
+
+    rows = (
+        [{"k": "a", "v": float(x)} for x in [5, 1, 4, 2, 3]]   # n=5
+        + [{"k": "b", "v": 7.0}]                               # n=1
+        + [{"k": "c", "v": float(x)} for x in [10, 20]]        # n=2
+    )
+    out = grouped_quantiles(rd.from_items(rows), ["k"], "v",
+                            qs=(0.5, 1.0)).take_all()
+    got = {(r["k"], r["q"]): r["v"] for r in out}
+    assert got == {
+        ("a", 0.5): 3.0, ("a", 1.0): 5.0,   # ceil(.5*5)=3 -> 3rd smallest
+        ("b", 0.5): 7.0, ("b", 1.0): 7.0,
+        ("c", 0.5): 10.0, ("c", 1.0): 20.0,  # ceil(.5*2)=1 -> first
+    }
+
+
+def test_rolling_sum_window_and_ties(ray_session):
+    """Per-key rolling sum: min_periods-1 head-of-group behavior,
+    window truncation, deterministic tie-break via order_cols."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.relational import rolling_sum
+
+    rows = [
+        {"k": 1, "t": 1, "id": 1, "v": 10},
+        {"k": 1, "t": 2, "id": 2, "v": 20},
+        {"k": 1, "t": 2, "id": 3, "v": 30},   # tie on t -> id orders
+        {"k": 1, "t": 3, "id": 4, "v": 40},
+        {"k": 2, "t": 1, "id": 5, "v": 100},  # window > group size
+    ]
+    out = rolling_sum(rd.from_items(rows), "k", ["t", "id"], "v",
+                      window=3, out_col="rs").take_all()
+    got = {r["id"]: r["rs"] for r in out}
+    assert got == {1: 10, 2: 30, 3: 60, 4: 90, 5: 100}
