@@ -25,12 +25,15 @@ __all__ = ["CsvColumn", "read_typed_jsonl"]
 
 def read_typed_jsonl(paths, columns: list, concurrency=None):
     """ray.data.read_json -> typed validated Dataset (declared
-    ``CsvColumn`` list, same contract as read_typed_csv)."""
+    ``CsvColumn`` list, same contract as read_typed_csv; gzip/zstd
+    inputs inferred from extension)."""
     import ray.data as rd
 
     from ..util import default_concurrency
 
-    ds = rd.read_json(paths)
+    from .typed_csv import compression_read_args
+
+    ds = rd.read_json(paths, **compression_read_args(paths))
     return ds.map_batches(
         TypedCsvDecoder,
         fn_constructor_kwargs={"columns": columns},

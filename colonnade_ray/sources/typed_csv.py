@@ -153,8 +153,26 @@ class TypedCsvDecoder:
         return pa.Table.from_arrays(out_arrays, schema=pa.schema(out_fields))
 
 
+def compression_read_args(paths) -> dict:
+    """Infer stream compression from file extensions — Ray/Arrow do
+    not sniff .gz/.zst on read_csv/read_json, so gzip'd corpus drops
+    (the common wire format for crawled text) need the open-stream
+    hint.  Mixed compressed/plain inputs are rejected loudly rather
+    than half-decoding."""
+    ps = [paths] if isinstance(paths, str) else list(paths)
+    exts = {"gzip" if p.endswith(".gz") else
+            "zstd" if p.endswith(".zst") else None for p in ps}
+    if len(exts) > 1:
+        raise ValueError(
+            f"mixed compressed/plain inputs need separate reads: {sorted(ps)[:4]}"
+        )
+    (ext,) = exts
+    return {"arrow_open_stream_args": {"compression": ext}} if ext else {}
+
+
 def read_typed_csv(paths, columns: list, concurrency=None):
-    """ray.data.read_csv -> typed validated Dataset."""
+    """ray.data.read_csv -> typed validated Dataset (gzip/zstd inputs
+    inferred from extension)."""
     import ray.data as rd
     from pyarrow import csv as pacsv
 
@@ -166,6 +184,7 @@ def read_typed_csv(paths, columns: list, concurrency=None):
             column_types={c.name: pa.string() for c in columns},
             strings_can_be_null=False,
         ),
+        **compression_read_args(paths),
     )
     return ds.map_batches(
         TypedCsvDecoder,

@@ -1189,3 +1189,37 @@ def test_rolling_sum_window_and_ties(ray_session):
                       window=3, out_col="rs").take_all()
     got = {r["id"]: r["rs"] for r in out}
     assert got == {1: 10, 2: 30, 3: 60, 4: 90, 5: 100}
+
+
+def test_gzip_sources_inferred(ray_session, tmp_path):
+    """gzip'd CSV/JSONL decode through the same typed readers (the
+    common wire format for crawled text corpora); mixed compressed and
+    plain inputs are rejected loudly."""
+    import gzip
+
+    import pytest as _pytest
+
+    from colonnade_ray.sources.jsonl import read_typed_jsonl
+    from colonnade_ray.sources.typed_csv import (
+        CsvColumn,
+        compression_read_args,
+        read_typed_csv,
+    )
+
+    cols = [CsvColumn("id", pa.int64()), CsvColumn("name", pa.string())]
+    csv_gz = tmp_path / "t.csv.gz"
+    with gzip.open(csv_gz, "wt") as f:
+        f.write("id,name\n1,alpha\n2,beta\n")
+    got = sorted(read_typed_csv(str(csv_gz), cols).take_all(),
+                 key=lambda r: r["id"])
+    assert got == [{"id": 1, "name": "alpha"}, {"id": 2, "name": "beta"}]
+
+    jl_gz = tmp_path / "t.jsonl.gz"
+    with gzip.open(jl_gz, "wt") as f:
+        f.write('{"id": 3, "name": "gamma"}\n{"id": 4, "name": "delta"}\n')
+    got = sorted(read_typed_jsonl(str(jl_gz), cols).take_all(),
+                 key=lambda r: r["id"])
+    assert got == [{"id": 3, "name": "gamma"}, {"id": 4, "name": "delta"}]
+
+    with _pytest.raises(ValueError):
+        compression_read_args([str(csv_gz), "/tmp/plain.csv"])
