@@ -119,8 +119,9 @@ def decode_dataset(enc_ds, verify_checksum: bool = True, concurrency=None,
     """Dataset of encoded chunk rows -> Dataset of original rows (lazy).
 
     ``columns``: projected decode (only those payload streams decoded,
-    per-column checksum verify).  ``predicate=(col, op, value)``:
-    zone-map chunk pruning + exact post-filter.  ``chunks_per_task``:
+    per-column checksum verify).  ``predicate``: one (col, op, value)
+    clause or a list of clauses AND'd together — zone-map chunk
+    pruning per clause + exact post-filter.  ``chunks_per_task``:
     chunks decoded per Ray task — at millions of chunks one task per
     chunk is pure scheduler overhead; ``decode_corpus`` sizes this from
     the lineage chunk count."""

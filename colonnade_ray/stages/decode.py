@@ -48,6 +48,21 @@ def _predicate_value(v):
     return v
 
 
+def normalize_predicates(predicate) -> list:
+    """One (col, op, value) clause or a sequence of them -> validated
+    list (AND semantics).  None -> []."""
+    if predicate is None:
+        return []
+    preds = [predicate] if (
+        isinstance(predicate, tuple) and len(predicate) == 3
+        and isinstance(predicate[1], str)
+    ) else list(predicate)
+    for p in preds:
+        if len(p) != 3 or p[1] not in _OPS:
+            raise ValueError(f"unsupported predicate {p!r}")
+    return preds
+
+
 def chunk_may_match(stats_json: Optional[str], predicate: Tuple[str, str, object]) -> bool:
     """False only when the chunk's [min, max] PROVES no row matches."""
     if not stats_json:
@@ -155,25 +170,25 @@ class DecodeBatch:
 
     def __init__(self, verify_checksum: bool = True,
                  columns: Optional[Sequence[str]] = None,
-                 predicate: Optional[Tuple[str, str, object]] = None):
-        if predicate is not None and predicate[1] not in _OPS:
-            raise ValueError(f"unsupported predicate op {predicate[1]!r}")
+                 predicate=None):
+        # one (col, op, value) clause or a list of clauses AND'd
+        # together; each clause prunes via the zone maps independently
+        self.predicates = normalize_predicates(predicate)
         self.verify_checksum = verify_checksum
         self.columns = list(columns) if columns is not None else None
-        self.predicate = predicate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tables = []
         cols = batch.column_names
         for r in range(len(batch)):
-            if self.predicate is not None and "stats_json" in cols:
+            if self.predicates and "stats_json" in cols:
                 sj = batch["stats_json"][r].as_py()
-                if not chunk_may_match(sj, self.predicate):
+                if not all(chunk_may_match(sj, p) for p in self.predicates):
                     continue  # zone map proves no row matches
             row = {c: batch[c][r].as_py() for c in cols}
             t = decode_chunk_row(row, self.verify_checksum, self.columns)
-            if self.predicate is not None:
-                t = _exact_filter(t, self.predicate)
+            for p in self.predicates:
+                t = _exact_filter(t, p)
             if t.num_rows:
                 tables.append(t)
         if not tables:

@@ -246,6 +246,16 @@ def test_projected_decode_and_zone_map_pushdown(ray_session, tmp_path):
     with pytest.raises(KeyError):
         decode_corpus(out, columns=["nope"])
 
+    # conjunction: list of clauses AND'd, each pruning via zone maps
+    band = decode_corpus(
+        out, predicate=[("n_tok", ">=", 30), ("n_tok", "<", 50)]
+    ).take_all()
+    exp_band = sum(1 for v in orig["n_tok"].to_pylist() if 30 <= v < 50)
+    assert len(band) == exp_band and exp_band > 0
+
+    with pytest.raises(ValueError):
+        decode_corpus(out, predicate=[("n_tok", "between", 3)]).take_all()
+
 
 def test_zone_map_chunk_skip_logic():
     import json
