@@ -353,10 +353,31 @@ def _pairs_from_group(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
 
 
 def _pairs_from_bucket(g: pd.DataFrame, id_col: str,
-                       keys=("band", "band_hash")) -> pd.DataFrame:
+                       keys=("band", "band_hash"),
+                       max_band_group: Optional[int] = None) -> pd.DataFrame:
     """Candidate pairs for a whole BUCKET of band groups: one
-    vectorized self-merge on the band key, ordered + locally deduped."""
+    vectorized self-merge on the band key, ordered + locally deduped.
+
+    ``max_band_group``: hot-bucket guard (the band-key analog of
+    jaccard_pairs_exact's stop-gram cap) — a band group of s docs
+    emits s(s-1)/2 pairs, so one boilerplate cluster of 1M docs would
+    emit 5e11 candidate rows.  Groups larger than the cap switch to a
+    STAR pattern (every member pairs with the group's min id, s-1
+    rows): pair-level recall inside the hot group drops, but group
+    CONNECTIVITY is preserved, so dup-group resolution
+    (connected components) still recovers the full cluster."""
     keys = list(keys)
+    if max_band_group is not None and len(g):
+        sizes = g.groupby(keys, sort=False)[id_col].transform("size")
+        hot = sizes > max_band_group
+        if hot.any():
+            h = g[hot]
+            rep = h.groupby(keys, sort=False)[id_col].transform("min")
+            star = pd.DataFrame({"id_a": rep, "id_b": h[id_col].to_numpy()})
+            star = star[star["id_a"] < star["id_b"]].drop_duplicates()
+            g = g[~hot]
+            cold = _pairs_from_bucket(g, id_col, keys, None)
+            return pd.concat([cold, star], ignore_index=True)
     m = g.merge(g, on=keys)
     m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
     out = m.rename(columns={f"{id_col}_x": "id_a", f"{id_col}_y": "id_b"})
@@ -408,8 +429,15 @@ def pair_counts(pairs_ds, out_col: str = "inter", num_buckets: int = _PAIR_BUCKE
 
 
 def minhash_candidates(ds, text_col="text", id_col="doc_id", bands=16, rows_per_band=4,
-                       shingle_k=5, concurrency=None, mode="oph"):
-    """LSH candidate pairs (id_a < id_b), deduplicated."""
+                       shingle_k=5, concurrency=None, mode="oph",
+                       max_band_group: Optional[int] = None):
+    """LSH candidate pairs (id_a < id_b), deduplicated.
+
+    ``max_band_group``: star-pattern cap for hot band buckets (see
+    _pairs_from_bucket) — bounds a size-s group's emission at s-1 rows
+    instead of s(s-1)/2 while keeping the group connected.  ``None``
+    (default) keeps exact all-pairs candidates, which the sf oracles
+    check."""
     from ..util import default_concurrency
 
     conc = concurrency or (1, default_concurrency())
@@ -428,7 +456,7 @@ def minhash_candidates(ds, text_col="text", id_col="doc_id", bands=16, rows_per_
     # emits each co-bucketed pair once per band, deduped locally
     pairs = bucketed_group_apply(
         exploded, ["band", "band_hash"],
-        lambda g: _pairs_from_bucket(g, id_col),
+        lambda g: _pairs_from_bucket(g, id_col, max_band_group=max_band_group),
     )
     # a pair can surface from several bands — dedup
     return distinct_pairs(pairs)

@@ -1223,3 +1223,32 @@ def test_gzip_sources_inferred(ray_session, tmp_path):
 
     with _pytest.raises(ValueError):
         compression_read_args([str(csv_gz), "/tmp/plain.csv"])
+
+
+def test_minhash_hot_bucket_star_cap(ray_session):
+    """max_band_group bounds a hot band bucket's pair emission at s-1
+    star rows (vs s(s-1)/2) while preserving group connectivity for
+    dup-group resolution."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.dedup import dup_groups, minhash_candidates
+
+    same = "identical boilerplate content repeated verbatim many words here " * 4
+    docs = [{"doc_id": i, "text": same} for i in range(40)]
+    docs += [{"doc_id": 100 + i, "text": f"unique doc {i} " + " ".join(
+        f"w{i}x{j}" for j in range(30))} for i in range(5)]
+    ds = rd.from_items(docs)
+
+    full = minhash_candidates(ds, bands=4, rows_per_band=4).take_all()
+    capped = minhash_candidates(ds, bands=4, rows_per_band=4,
+                                max_band_group=10).take_all()
+    # all-pairs of the 40-clone cluster vs star rows
+    assert len(full) == 40 * 39 // 2
+    assert len(capped) == 39
+    # connectivity preserved: one group of all 40 clones
+    cap_pairs = rd.from_items(
+        [{"id_a": r["id_a"], "id_b": r["id_b"]} for r in capped]
+    )
+    groups = dup_groups(cap_pairs).take_all()
+    gids = {r["group_id"] for r in groups}
+    assert len(groups) == 40 and len(gids) == 1
