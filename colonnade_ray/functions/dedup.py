@@ -999,7 +999,8 @@ def jaccard_pairs_exact(ds, threshold=0.8, text_col="text", id_col="doc_id",
 
 
 def simhash_candidates(ds, text_col="text", id_col="doc_id", max_hamming: int = 3,
-                       concurrency=None, hash_fn="pandas"):
+                       concurrency=None, hash_fn="pandas",
+                       max_band_group: Optional[int] = None):
     """SimHash near-dup pairs within a hamming ball — the scale path
     for the 64-bit signatures.
 
@@ -1012,6 +1013,11 @@ def simhash_candidates(ds, text_col="text", id_col="doc_id", max_hamming: int = 
 
     Output: (id_a, id_b, hamming) distinct pairs with
     hamming <= max_hamming.
+
+    ``max_band_group``: hot-bucket star cap (see _pairs_from_bucket) —
+    identical-signature clusters share EVERY band, so a size-s clone
+    cluster emits s(s-1)/2 pairs per band without it; with it, s-1
+    star rows keep the cluster connected for group resolution.
     """
     from .bucketing import bucketed_group_apply
 
@@ -1039,8 +1045,27 @@ def simhash_candidates(ds, text_col="text", id_col="doc_id", max_hamming: int = 
         # bucket (the _pairs_from_bucket pattern) instead of a Python
         # loop over (band, key) groups, then a single vectorized
         # popcount over every candidate pair at once.
+        star = None
+        if max_band_group is not None and len(g):
+            sizes = g.groupby(["band", "key"], sort=False)[id_col].transform("size")
+            hot = sizes > max_band_group
+            if hot.any():
+                h = g[hot]
+                # representative = the row of the group's min id; align
+                # its simhash by merging that row back on the band key
+                reps = h.loc[h.groupby(["band", "key"], sort=False)[id_col].idxmin(),
+                             ["band", "key", id_col, "simhash"]]
+                star = h.merge(reps, on=["band", "key"], suffixes=("_y", "_x"))
+                star = star[star[f"{id_col}_x"] < star[f"{id_col}_y"]]
+                g = g[~hot]
         m = g.merge(g, on=["band", "key"])
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        if star is not None:
+            m = pd.concat(
+                [m[[f"{id_col}_x", f"{id_col}_y", "simhash_x", "simhash_y"]],
+                 star[[f"{id_col}_x", f"{id_col}_y", "simhash_x", "simhash_y"]]],
+                ignore_index=True,
+            )
         empty = pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
         if m.empty:
             return empty.astype({"hamming": np.int64})

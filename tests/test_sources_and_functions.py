@@ -1252,3 +1252,22 @@ def test_minhash_hot_bucket_star_cap(ray_session):
     groups = dup_groups(cap_pairs).take_all()
     gids = {r["group_id"] for r in groups}
     assert len(groups) == 40 and len(gids) == 1
+
+
+def test_simhash_hot_bucket_star_cap(ray_session):
+    """Identical-signature clone clusters share every simhash band;
+    max_band_group bounds their emission to star rows with hamming
+    still computed exactly."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.dedup import simhash_candidates
+
+    same = "identical boilerplate content repeated verbatim many words here " * 4
+    docs = [{"doc_id": i, "text": same} for i in range(30)]
+    docs.append({"doc_id": 99, "text": "totally different other text entirely"})
+    ds = rd.from_items(docs)
+    full = simhash_candidates(ds, max_hamming=3).take_all()
+    capped = simhash_candidates(ds, max_hamming=3, max_band_group=8).take_all()
+    assert len(full) == 30 * 29 // 2
+    assert len(capped) == 29
+    assert all(r["hamming"] == 0 and r["id_a"] == 0 for r in capped)
