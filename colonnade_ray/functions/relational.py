@@ -437,28 +437,38 @@ def grouped_quantiles(ds, group_cols: Sequence[str], value_col: str,
     if not all(0.0 < q <= 1.0 for q in qlist):
         raise ValueError("quantiles must be in (0, 1]")
 
-    def quants(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame(columns=groups + ["q", value_col])
-        df = df.sort_values(groups + [value_col], kind="mergesort")
-        sizes = df.groupby(groups, sort=False).size().to_numpy()
-        starts = np.concatenate(([0], np.cumsum(sizes)))[:-1]
-        vals = df[value_col].to_numpy()
-        out = {g: [] for g in groups}
-        out["q"] = []
-        out[value_col] = []
-        heads = df.iloc[starts]
-        for q in qlist:
-            idx = starts + np.ceil(q * sizes).astype(np.int64) - 1
-            for g in groups:
-                out[g].extend(heads[g].tolist())
-            out["q"].extend([q] * sizes.size)
-            out[value_col].extend(vals[idx].tolist())
-        return pd.DataFrame(out)
-
     from .bucketing import bucketed_group_apply
 
-    return bucketed_group_apply(ds, groups, quants, num_buckets=num_buckets)
+    return bucketed_group_apply(
+        ds, groups,
+        lambda df: quantiles_in_bucket(df, groups, value_col, qlist),
+        num_buckets=num_buckets,
+    )
+
+
+def quantiles_in_bucket(df: pd.DataFrame, groups: list, value_col: str,
+                        qlist: list) -> pd.DataFrame:
+    """Pure per-bucket kernel of grouped_quantiles (unit-testable):
+    one sort, then an offset gather per quantile."""
+    import numpy as np
+
+    if df.empty:
+        return pd.DataFrame(columns=groups + ["q", value_col])
+    df = df.sort_values(groups + [value_col], kind="mergesort")
+    sizes = df.groupby(groups, sort=False).size().to_numpy()
+    starts = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+    vals = df[value_col].to_numpy()
+    out = {g: [] for g in groups}
+    out["q"] = []
+    out[value_col] = []
+    heads = df.iloc[starts]
+    for q in qlist:
+        idx = starts + np.ceil(q * sizes).astype(np.int64) - 1
+        for g in groups:
+            out[g].extend(heads[g].tolist())
+        out["q"].extend([q] * sizes.size)
+        out[value_col].extend(vals[idx].tolist())
+    return pd.DataFrame(out)
 
 
 def rolling_sum(ds, key_col: str, order_cols: Sequence[str], value_col: str,
@@ -475,16 +485,23 @@ def rolling_sum(ds, key_col: str, order_cols: Sequence[str], value_col: str,
     (sort + groupby cumsum/shift, no per-key Python)."""
     order = list(order_cols)
 
-    def roll(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return df.assign(**{out_col: pd.Series([], dtype="int64")})
-        df = df.sort_values([key_col] + order, kind="mergesort")
-        g = df.groupby(key_col, sort=False)[value_col]
-        cs = g.cumsum()
-        lag = cs.groupby(df[key_col], sort=False).shift(window)
-        df[out_col] = (cs - lag.fillna(0)).astype(df[value_col].dtype)
-        return df
-
     from .bucketing import bucketed_group_apply
 
-    return bucketed_group_apply(ds, [key_col], roll, num_buckets=num_buckets)
+    return bucketed_group_apply(
+        ds, [key_col],
+        lambda df: rolling_in_bucket(df, key_col, order, value_col, window, out_col),
+        num_buckets=num_buckets,
+    )
+
+
+def rolling_in_bucket(df: pd.DataFrame, key_col: str, order: list,
+                      value_col: str, window: int, out_col: str) -> pd.DataFrame:
+    """Pure per-bucket kernel of rolling_sum (unit-testable)."""
+    if df.empty:
+        return df.assign(**{out_col: pd.Series([], dtype="int64")})
+    df = df.sort_values([key_col] + order, kind="mergesort")
+    g = df.groupby(key_col, sort=False)[value_col]
+    cs = g.cumsum()
+    lag = cs.groupby(df[key_col], sort=False).shift(window)
+    df[out_col] = (cs - lag.fillna(0)).astype(df[value_col].dtype)
+    return df

@@ -1271,3 +1271,55 @@ def test_simhash_hot_bucket_star_cap(ray_session):
     assert len(full) == 30 * 29 // 2
     assert len(capped) == 29
     assert all(r["hamming"] == 0 and r["id_a"] == 0 for r in capped)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st_h
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st_h.lists(
+        st_h.tuples(st_h.integers(0, 4), st_h.integers(-1000, 1000)),
+        min_size=1, max_size=200,
+    ),
+    st_h.floats(0.01, 1.0),
+)
+def test_quantiles_bucket_kernel_vs_reference(rows, q):
+    """Property: the bucket kernel's quantile equals the sorted-array
+    value at 1-based rank ceil(q*n) for every group."""
+    from colonnade_ray.functions.relational import quantiles_in_bucket
+
+    df = pd.DataFrame(rows, columns=["k", "v"])
+    out = quantiles_in_bucket(df, ["k"], "v", [q])
+    got = {(r.k): r.v for r in out.itertuples()}
+    for k, g in df.groupby("k"):
+        vs = np.sort(g["v"].to_numpy())
+        expect = vs[int(np.ceil(q * vs.size)) - 1]
+        assert got[k] == expect, (k, q)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st_h.lists(
+        st_h.tuples(st_h.integers(0, 3), st_h.integers(0, 50),
+                    st_h.integers(-100, 100)),
+        min_size=1, max_size=200,
+    ),
+    st_h.integers(1, 8),
+)
+def test_rolling_bucket_kernel_vs_pandas(rows, window):
+    """Property: the cumsum-minus-lag kernel equals pandas' own
+    rolling(min_periods=1).sum per key on deduplicated order keys."""
+    from colonnade_ray.functions.relational import rolling_in_bucket
+
+    df = pd.DataFrame(rows, columns=["k", "t", "v"])
+    # unique (k, t) so the window order is well-defined
+    df = df.drop_duplicates(["k", "t"]).reset_index(drop=True)
+    out = rolling_in_bucket(df.copy(), "k", ["t"], "v", window, "rs")
+    ref = df.sort_values(["k", "t"], kind="mergesort")
+    ref_rs = (
+        ref.groupby("k", sort=False)["v"]
+        .rolling(window, min_periods=1).sum().to_numpy().astype(np.int64)
+    )
+    assert np.array_equal(out["rs"].to_numpy(), ref_rs)
