@@ -22,8 +22,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "PYTHONPATH", os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)  # Ray workers don't inherit driver sys.path mutations
 
 
 def main(argv=None) -> int:
