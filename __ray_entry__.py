@@ -57,16 +57,24 @@ def q_projection_revenue(sf_dir: str):
 
 
 def q_filter_recent(sf_dir: str):
-    """Row filter (blank-line-skip graft, SURVEY.md §2.7): vectorized predicate."""
-    ds = _lineitem(sf_dir, ["l_orderkey", "l_linenumber", "l_shipdate", "l_discount", "l_quantity"])
-    cutoff = pa.scalar(np.datetime64("1995-09-01", "us"), pa.timestamp("us"))
+    """Row filter (blank-line-skip graft, SURVEY.md §2.7), pushed INTO
+    the read: the predicate rides `read_parquet(filter=...)` down to
+    the pyarrow scanner, so non-matching row groups never leave
+    storage (the "prune at the read" rule) — the exact row filter then
+    runs on what's left."""
+    import os
 
-    def fn(b: pa.Table) -> pa.Table:
-        mask = pc.and_(pc.greater_equal(b["l_shipdate"], cutoff),
-                       pc.greater(b["l_discount"], pa.scalar(0.05)))
-        return b.filter(mask)
+    import pyarrow.dataset as pds
+    import ray.data as rd
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    cutoff = np.datetime64("1995-09-01", "us")
+    return rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_shipdate", "l_discount",
+                 "l_quantity"],
+        filter=(pds.field("l_shipdate") >= cutoff)
+        & (pds.field("l_discount") > 0.05),
+    )
 
 
 def q_groupby_pricing(sf_dir: str):
@@ -491,8 +499,14 @@ def q_shipping_priority(sf_dir: str):
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     )
     cust = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING")).select(["c_custkey"]).rename_columns(["o_custkey"])
-    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
-        lambda b: b.filter(pc.less(b["o_orderdate"], cutoff)), batch_format="pyarrow"
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    # date filter pushed into the read (row-group pruning at storage)
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pds.field("o_orderdate") < np.datetime64("1995-03-15", "us"),
     )
     o_build = broadcast_join(orders, cust, on="o_custkey").map_batches(
         lambda b: b.select(["o_orderkey", "o_orderdate"]), batch_format="pyarrow"
