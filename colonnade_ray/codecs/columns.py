@@ -478,16 +478,95 @@ def _decode_struct(meta: dict, parts: list, atype: pa.DataType, n: int) -> pa.Ar
     return pa.Array.from_buffers(atype, n, [vbuf], null_count=nulls, children=children)
 
 
+_ALP_MAX_EXP = {8: 15, 4: 8}  # 10^e search bound per float width
+_ALP_SAFE_INT = float(1 << 53)  # |scaled| bound for exact int64<->f8
+
+
+def _alp_exponent(vals: np.ndarray, w: int) -> Optional[int]:
+    """Smallest e such that round(vals * 10^e) / 10^e reproduces every
+    value BIT-exactly (so -0.0, which the division cannot restore,
+    rejects itself).  `vals` must be float64 (float32 inputs are
+    widened by the caller — widening is exact)."""
+    iview = np.dtype(np.uint64) if w == 8 else np.dtype(np.uint32)
+    for e in range(_ALP_MAX_EXP[w] + 1):
+        p = 10.0 ** e
+        scaled = vals * p
+        # non-finite values make the comparison False, rejecting e
+        with np.errstate(invalid="ignore", over="ignore"):
+            r = np.rint(scaled)
+            if not (np.abs(r) < _ALP_SAFE_INT).all():
+                return None  # larger e only grows magnitude
+            # verify through the REAL storage path (int64), not float
+            # rint: -0.0 survives `rint(x)/p` but not the int round
+            # trip, and must reject here
+            recon = r.astype(np.int64).astype(np.float64) / p
+        if w == 4:
+            recon = recon.astype(np.float32)
+            ok = recon.view(np.uint32) == vals.astype(np.float32).view(np.uint32)
+        else:
+            ok = recon.view(np.uint64) == vals.view(np.uint64)
+        if ok.all():
+            return e
+    return None
+
+
+def _try_alp(vals: np.ndarray) -> Optional[Encoded]:
+    """ALP-style decimal-float path (Afroozeh & Boncz, VLDB'23 — public
+    literature): when every value is exactly d / 10^e for integer d,
+    store the integers through the int cascade (FOR/delta/dict/bitlen)
+    instead of 8 raw bytes.  Probes a stride sample first so random
+    mantissas (embeddings) reject in O(sample), then proves the chosen
+    exponent on the full chunk — the encode is only taken when the
+    reconstruction is verified bit-identical."""
+    n = int(vals.size)
+    w = vals.dtype.itemsize
+    wide = vals.astype(np.float64) if w == 4 else vals
+    sample = wide[:: max(1, n // 1024)]
+    e = _alp_exponent(sample, w)
+    if e is None:
+        return None
+    if len(sample) < n:
+        e = _alp_exponent(wide, w)  # prove on the full chunk
+        if e is None:
+            return None
+    ints = np.rint(wide * (10.0 ** e)).astype(np.int64)
+    inner = encode_int_stream(ints)
+    if inner.nbytes() >= n * w:  # pathological (e.g. huge spread): planes decide
+        return None
+    inner.meta["part_lens"] = [len(p) for p in inner.parts]
+    meta = {
+        "dt": dtype_code(vals.dtype),
+        "n": n,
+        "e": e,
+        "inner": {"codec": inner.codec, "meta": inner.meta},
+    }
+    return Encoded("alp", meta, list(inner.parts))
+
+
+def _decode_alp(enc: Encoded) -> np.ndarray:
+    m = enc.meta
+    ie = m["inner"]
+    ints = decode_int_stream(Encoded(ie["codec"], ie["meta"], enc.parts))
+    recon = ints.astype(np.float64) / (10.0 ** m["e"])
+    return recon.astype(code_dtype(m["dt"]))
+
+
 def _encode_float_stream(vals: np.ndarray) -> Encoded:
-    """Float columns: byte-plane split (BtrBlocks-style, public
-    literature) — view as uint bytes, encode each byte plane through
-    the int selector.  Sign/exponent planes are low-entropy for
-    real-world value ranges even when mantissa planes are random;
-    falls back to plain when planes don't pay."""
+    """Float columns: ALP decimal scaling when the chunk is exactly
+    decimal (prices, rounded measurements) — see ``_try_alp`` — else
+    byte-plane split (BtrBlocks-style, public literature) — view as
+    uint bytes, encode each byte plane through the int selector.
+    Sign/exponent planes are low-entropy for real-world value ranges
+    even when mantissa planes are random; falls back to plain when
+    planes don't pay."""
     n = int(vals.size)
     w = vals.dtype.itemsize
     if n < 64:
         return INT_CODECS["plain"].encode(vals)
+    if w in _ALP_MAX_EXP:
+        alp = _try_alp(np.ascontiguousarray(vals))
+        if alp is not None:
+            return alp
     as_bytes = np.ascontiguousarray(vals).view(np.uint8).reshape(n, w)
     plane_encs = []
     total = 0
@@ -536,6 +615,8 @@ def _decode_primitive(meta: dict, parts: list, atype: pa.DataType, n: int) -> pa
     enc = Encoded(ventry["codec"], ventry["meta"], parts[idx : idx + k])
     if enc.codec == "float_planes":
         vals = _decode_float_stream(enc)
+    elif enc.codec == "alp":
+        vals = _decode_alp(enc)
     elif ventry["meta"].get("dt") == "b1" and enc.codec != "plain":
         enc.meta = dict(enc.meta, dt="u1")
         vals = decode_int_stream(enc).astype(bool)

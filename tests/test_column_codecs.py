@@ -151,15 +151,57 @@ def test_fsst_shared_table():
     assert FsstCodec().decode(Encoded.unpack("fsst", enc.meta, enc.pack())) == data
 
 
-def test_float_plane_split_compresses_prices():
-    """BtrBlocks-style byte-plane split: bounded-range doubles (price
-    columns) compress via their low-entropy sign/exponent planes."""
+def test_alp_compresses_prices():
+    """ALP decimal scaling: 2-decimal doubles (price columns) store as
+    scaled integers through the int cascade — far below byte planes."""
     rng = np.random.default_rng(3)
     arr = pa.array(np.round(rng.uniform(900, 105000, 20000), 2))
     payload, meta = encode_column(arr)
     assert decode_column(payload, meta).equals(arr)
+    assert meta["streams"]["values"]["codec"] == "alp"
+    assert meta["streams"]["values"]["meta"]["e"] == 2
+    assert len(payload) < 0.45 * arr.nbytes  # ~24-bit ints vs 64-bit raw
+
+
+def test_alp_bit_exact_roundtrip_float64():
+    rng = np.random.default_rng(11)
+    vals = np.round(rng.normal(0, 1e6, 5000), 4)
+    vals[::7] = -vals[::7]
+    arr = pa.array(vals)
+    payload, meta = encode_column(arr)
+    back = decode_column(payload, meta).to_numpy(zero_copy_only=False)
+    assert np.array_equal(vals.view(np.uint64), back.view(np.uint64))
+    assert meta["streams"]["values"]["codec"] == "alp"
+
+
+def test_alp_float32_and_negative_zero_fallback():
+    rng = np.random.default_rng(5)
+    # range bounded away from 0 so rounding cannot produce -0.0 (which
+    # correctly forces the planes fallback, asserted below)
+    f32 = (np.round(rng.uniform(10, 50, 4096), 1)
+           * np.where(np.arange(4096) % 2 == 0, -1.0, 1.0)).astype(np.float32)
+    arr = pa.array(f32, pa.float32())
+    payload, meta = encode_column(arr)
+    back = decode_column(payload, meta).to_numpy(zero_copy_only=False)
+    assert np.array_equal(f32.view(np.uint32), back.view(np.uint32))
+    assert meta["streams"]["values"]["codec"] == "alp"
+    # -0.0 cannot survive the integer reconstruction: must NOT pick alp
+    nz = np.where(np.arange(4096) % 3 == 0, -0.0, 0.0)
+    pm = encode_column(pa.array(nz))
+    back2 = decode_column(pm[0], pm[1]).to_numpy(zero_copy_only=False)
+    assert np.array_equal(nz.view(np.uint64), back2.view(np.uint64))
+    assert pm[1]["streams"]["values"]["codec"] != "alp"
+
+
+def test_float_plane_split_still_selected_for_nondecimal():
+    """Non-decimal bounded doubles (no 10^e scaling round-trips) keep
+    the BtrBlocks byte-plane path via its low-entropy exponent planes."""
+    rng = np.random.default_rng(3)
+    arr = pa.array(rng.uniform(900, 105000, 20000) * np.pi)
+    payload, meta = encode_column(arr)
+    assert decode_column(payload, meta).equals(arr)
     assert meta["streams"]["values"]["codec"] == "float_planes"
-    assert len(payload) < 0.75 * arr.nbytes
+    assert len(payload) < 0.95 * arr.nbytes
 
 
 def test_float_planes_nan_inf_exact():
