@@ -835,6 +835,24 @@ def q_dup_groups(sf_dir: str):
     return dup_groups(pairs.select_columns(["id_a", "id_b"]))
 
 
+def q_dedup_keep(sf_dir: str):
+    """The deduplicated corpus itself: docs in no near-dup component
+    plus each component's min-id representative, via ONE bucketed
+    anti-join exchange (no broadcast of the drop set)."""
+    from colonnade_ray.functions.dedup import dedup_keep, near_dup_pairs
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text", "source"])
+    pairs = near_dup_pairs(
+        ds.select_columns(["doc_id", "text"]), threshold=0.8
+    )
+    kept = dedup_keep(
+        ds.select_columns(["doc_id", "source"]),
+        pairs.select_columns(["id_a", "id_b"]),
+        carry=[("source", pa.string())],
+    )
+    return kept.sort("doc_id")
+
+
 def q_pack_sequences(sf_dir: str):
     """LLM data prep: tokenize -> pack into fixed 512-token training
     examples (EOS-separated).
@@ -1004,6 +1022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": q_curation_pipeline,
         "near_dup_pairs": q_near_dup_pairs,
         "dup_groups": q_dup_groups,
+        "dedup_keep": q_dedup_keep,
         "winnow_gram_counts": q_winnow_gram_counts,
         "encode_roundtrip": q_encode_roundtrip,
         "embedding_lsh_candidates": q_embedding_lsh_candidates,
@@ -1295,6 +1314,19 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) "
             "SELECT a AS doc_id, LEAST(a, MIN(b)) AS group_id "
             "FROM reach GROUP BY a"
+        ),
+        "dedup_keep": (
+            f"WITH RECURSIVE {_JACCARD_CTES}, "
+            "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach AS (SELECT a, b FROM edges "
+            "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), "
+            "grp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS group_id "
+            "FROM reach GROUP BY a) "
+            "SELECT d.doc_id, d.source FROM documents d "
+            "WHERE d.doc_id NOT IN "
+            "(SELECT doc_id FROM grp WHERE doc_id <> group_id) "
+            "ORDER BY d.doc_id"
         ),
         # Winnowing gram machinery vs an independent SQL word count
         # (the hash/window selection itself is property-tested; this

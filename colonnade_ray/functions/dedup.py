@@ -806,6 +806,33 @@ def dup_groups(pairs_ds, driver_threshold: int = 200_000, max_iters: int = 50):
     return rd.from_items(rows)
 
 
+def dedup_keep(ds, pairs_ds, id_col: str = "doc_id", carry=None):
+    """The deduplicated corpus: every doc that is either in no
+    near-dup component or is its component's canonical representative
+    (min id) — i.e. what a user actually keeps after
+    ``near_dup_pairs`` (reference analog: the keep side of
+    ``Colonnade.Encode`` row filtering, colonnade/src/Colonnade.hs
+    discard/mask combinators, re-expressed as a corpus operator).
+
+    Scale shape: the drop set is (doc_id) rows only and flows through
+    ONE bucketed anti-join exchange with the corpus — no broadcast, no
+    driver materialization, valid even when half the corpus is
+    duplicates."""
+    import pyarrow.compute as pc
+
+    from .relational import keyed_antijoin
+
+    groups = dup_groups(pairs_ds)
+    drop = groups.map_batches(
+        lambda b: b.filter(pc.not_equal(b["doc_id"], b["group_id"])),
+        batch_format="pyarrow",
+    )
+    drop = drop.select_columns(["doc_id"])
+    if id_col != "doc_id":
+        drop = drop.rename_columns({"doc_id": id_col})
+    return keyed_antijoin(ds, drop, on=id_col, carry=list(carry or []))
+
+
 def _dup_groups_distributed(pairs_ds, max_iters: int = 50):
     """Iterated min-label propagation: label(v) starts at v, each round
     becomes min(label(v), min over neighbors' labels), one

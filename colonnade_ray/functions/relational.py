@@ -156,6 +156,57 @@ def keyed_attach(pairs_ds, docs_ds, key_from: str, out_col: str,
     return bucketed_group_apply(tagged, "__key", per_bucket)
 
 
+def keyed_antijoin(left_ds, drop_ds, on: str, carry: Sequence[tuple]):
+    """Rows of ``left_ds`` whose ``on`` key does NOT appear in
+    ``drop_ds[on]`` — the dedup keep-set shape (corpus minus the
+    non-canonical duplicate ids).
+
+    Same tag-union + ONE bucketed groupby shuffle as ``keyed_attach``:
+    neither side is broadcast or materialized, so a drop set of any
+    size (up to half the corpus for a heavily duplicated crawl) moves
+    through the exchange exactly once.  ``carry`` lists
+    (name, arrow_type) of left columns to keep in the output."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    carry = list(carry)
+    carry_names = [c for c, _ in carry]
+    key_type = field_type(left_ds, on)
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        cols = {"__key": pc.cast(b[on], key_type)}
+        for c, t in carry:
+            cols[c] = pc.cast(b[c], t)
+        cols["__is_left"] = pa.array(np.ones(len(b), dtype=bool))
+        return pa.table(cols)
+
+    def tag_drop(b: pa.Table) -> pa.Table:
+        cols = {"__key": pc.cast(b[on], key_type)}
+        for c, t in carry:
+            cols[c] = pa.nulls(len(b), t)
+        cols["__is_left"] = pa.array(np.zeros(len(b), dtype=bool))
+        return pa.table(cols)
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        drop_ds.map_batches(tag_drop, batch_format="pyarrow")
+    )
+    int_cols = [c for c, t in carry if pa.types.is_integer(t)]
+    out_cols = [on] + [c for c in carry_names if c != on]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dropped = g.loc[~g["__is_left"], "__key"]
+        keep = g[g["__is_left"] & ~g["__key"].isin(dropped)]
+        out = keep.rename(columns={"__key": on})[out_cols]
+        for c in int_cols:
+            out[c] = out[c].astype("int64")
+        return out
+
+    from .bucketing import bucketed_group_apply
+
+    return bucketed_group_apply(tagged, "__key", per_bucket)
+
+
 def sessionize(events_ds, key_col: str = "user_id", ts_col: str = "ts",
                gap_minutes: int = 30, num_buckets: int = 64):
     """Session windows: per key, a new session starts when the gap to

@@ -1323,3 +1323,34 @@ def test_rolling_bucket_kernel_vs_pandas(rows, window):
         .rolling(window, min_periods=1).sum().to_numpy().astype(np.int64)
     )
     assert np.array_equal(out["rs"].to_numpy(), ref_rs)
+
+
+def test_keyed_antijoin_and_dedup_keep(ray_session):
+    """dedup_keep = corpus minus non-canonical dup-group members; the
+    anti-join must drop exactly the listed ids and keep everything
+    else (including ids never seen in any pair)."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.dedup import dedup_keep
+    from colonnade_ray.functions.relational import keyed_antijoin
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "source": pa.array(["a", "a", "b", "b", "c", "c"]),
+    }))
+    drop = rd.from_arrow(pa.table({"doc_id": pa.array([2, 5], pa.int64())}))
+    kept = keyed_antijoin(docs, drop, on="doc_id",
+                          carry=[("source", pa.string())])
+    t = kept.sort("doc_id").to_pandas()
+    assert t["doc_id"].tolist() == [1, 3, 4, 6]
+    assert t["source"].tolist() == ["a", "b", "b", "c"]
+
+    # components {1,2,3} (group 1) and {5,6} (group 5): keep 1, 4, 5
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array([1, 2, 5], pa.int64()),
+        "id_b": pa.array([2, 3, 6], pa.int64()),
+    }))
+    kept2 = dedup_keep(docs, pairs, carry=[("source", pa.string())])
+    t2 = kept2.sort("doc_id").to_pandas()
+    assert t2["doc_id"].tolist() == [1, 4, 5]
+    assert t2["source"].tolist() == ["a", "b", "c"]
