@@ -853,6 +853,19 @@ def q_dedup_keep(sf_dir: str):
     return kept.sort("doc_id")
 
 
+def q_shuffle_export(sf_dir: str):
+    """Deterministic seeded global shuffle into training shards:
+    (doc_id, shard, pos) as a pure function of (seed, id).  The md5
+    key mode is the SQL-twin; production default is vectorized
+    splitmix64 (pytest-verified same permutation semantics)."""
+    from colonnade_ray.functions.sampling import shuffle_export
+
+    ds = _tbl(sf_dir, "documents", ["doc_id"])
+    return shuffle_export(ds, seed=7, num_shards=8, hash_fn="md5").sort(
+        ["shard", "pos"]
+    )
+
+
 def q_pack_sequences(sf_dir: str):
     """LLM data prep: tokenize -> pack into fixed 512-token training
     examples (EOS-separated).
@@ -1023,6 +1036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_pairs": q_near_dup_pairs,
         "dup_groups": q_dup_groups,
         "dedup_keep": q_dedup_keep,
+        "shuffle_export": q_shuffle_export,
         "winnow_gram_counts": q_winnow_gram_counts,
         "encode_roundtrip": q_encode_roundtrip,
         "embedding_lsh_candidates": q_embedding_lsh_candidates,
@@ -1327,6 +1341,14 @@ def oracle_sql() -> dict[str, str]:
             "WHERE d.doc_id NOT IN "
             "(SELECT doc_id FROM grp WHERE doc_id <> group_id) "
             "ORDER BY d.doc_id"
+        ),
+        "shuffle_export": (
+            "WITH h AS (SELECT doc_id, ('0x' || "
+            "substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT AS k "
+            "FROM documents) "
+            "SELECT doc_id, CAST(k % 8 AS BIGINT) AS shard, "
+            "CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) - 1 "
+            "AS BIGINT) AS pos FROM h"
         ),
         # Winnowing gram machinery vs an independent SQL word count
         # (the hash/window selection itself is property-tested; this

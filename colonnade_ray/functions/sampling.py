@@ -73,3 +73,85 @@ def split_by_hash(ds, key_col: str = "doc_id", val_fraction_mod: tuple = (20, 0)
         ds.map_batches(part(True), batch_format="pyarrow"),
         ds.map_batches(part(False), batch_format="pyarrow"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle for training export
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public domain constants) —
+    the production shuffle key: one fused numpy pass, no Python."""
+    z = x.astype(np.uint64, copy=True)
+    z += np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _md5_id_keys(ids: np.ndarray, seed: int) -> np.ndarray:
+    """uint64 key = first 8 bytes (big-endian) of md5('<seed>:<id>') —
+    bit-identical to DuckDB's ('0x'||substr(md5(...),1,16))::UBIGINT,
+    the repo's SQL-twin convention (see dedup._md5_word_hashes).
+    O(rows) hashlib calls: the oracle-checkable mode, not the default."""
+    import hashlib
+
+    pre = f"{seed}:".encode()
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(pre + str(i).encode()).digest()[:8], "big")
+            for i in ids
+        ),
+        dtype=np.uint64,
+        count=len(ids),
+    )
+
+
+def shuffle_export(ds, id_col: str = "doc_id", seed: int = 7,
+                   num_shards: int = 8, hash_fn: str = "fast",
+                   carry: tuple = ()):
+    """Deterministic seeded global shuffle into training shards:
+    every row gets a shard (key % num_shards) and a 0-based position
+    within its shard (rank of (key, id)) — the pre-training export
+    layout (shard = one output file, position = read order), stable
+    across retries, resumes and cluster sizes because the permutation
+    is a pure function of (seed, id), never RNG state.
+
+    Scale shape: one map_batches computes keys (vectorized splitmix64;
+    ``hash_fn="md5"`` selects the SQL-twin key), then ONE exchange
+    keyed by shard assigns in-shard ranks.  The partitioning
+    assumption: a shard is a training-file-sized unit (pick num_shards
+    = corpus_bytes / ~1 GiB) so each rank group fits a worker."""
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = _key_numpy(batch, id_col)
+        if hash_fn == "md5":
+            k = _md5_id_keys(ids, seed)
+        else:
+            base = pd.util.hash_array(np.asarray(ids, dtype=object),
+                                      categorize=False) if ids.dtype == object \
+                else ids.astype(np.uint64)
+            k = _splitmix64(base + np.uint64(seed))
+        cols = {id_col: batch[id_col],
+                "__key": pa.array(k),
+                "shard": pa.array((k % np.uint64(num_shards)).astype(np.int64))}
+        for c in carry:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+
+    def rank_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # one BUCKET may hold several shards (bucketing.py contract):
+        # rank within each shard vectorized, no per-shard Python
+        g = g.sort_values(["shard", "__key", id_col], kind="mergesort")
+        g["pos"] = g.groupby("shard", sort=False).cumcount().astype(np.int64)
+        return g.drop(columns=["__key"])
+
+    from .bucketing import bucketed_group_apply
+
+    out = bucketed_group_apply(keyed, "shard", rank_shard)
+    return out.map_batches(
+        lambda b: b.select([id_col, "shard", "pos"] + list(carry)),
+        batch_format="pyarrow",
+    )

@@ -1354,3 +1354,32 @@ def test_keyed_antijoin_and_dedup_keep(ray_session):
     t2 = kept2.sort("doc_id").to_pandas()
     assert t2["doc_id"].tolist() == [1, 4, 5]
     assert t2["source"].tolist() == ["a", "b", "c"]
+
+
+def test_shuffle_export_is_a_deterministic_permutation(ray_session):
+    """Fast (splitmix64) path: every row appears exactly once, each
+    shard's positions are exactly 0..n-1, and a re-run reproduces the
+    identical layout (retry/resume safety)."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.sampling import shuffle_export
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(200)), pa.int64()),
+        "source": pa.array([f"s{i % 3}" for i in range(200)]),
+    }))
+    out = shuffle_export(docs, seed=11, num_shards=4,
+                         carry=("source",)).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(200))
+    for s, g in out.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))
+    assert out["shard"].nunique() == 4  # 200 rows: all shards hit
+    again = shuffle_export(docs, seed=11, num_shards=4,
+                           carry=("source",)).to_pandas()
+    a = out.sort_values(["shard", "pos"]).reset_index(drop=True)
+    b = again.sort_values(["shard", "pos"]).reset_index(drop=True)
+    assert a.equals(b)
+    # a different seed must give a different permutation
+    other = shuffle_export(docs, seed=12, num_shards=4).to_pandas()
+    c = other.sort_values(["shard", "pos"])["doc_id"].tolist()
+    assert c != a["doc_id"].tolist()
