@@ -866,6 +866,16 @@ def q_shuffle_export(sf_dir: str):
     )
 
 
+def q_bigram_topk(sf_dir: str):
+    """Distributed word-bigram counting: per-batch partial counts,
+    one small groupby — the n-gram statistics behind contamination /
+    repetition / LM-overlap analyses."""
+    from colonnade_ray.functions.text import ngram_freq
+
+    ds = _tbl(sf_dir, "documents", ["text"])
+    return ngram_freq(ds, n=2, k=40)
+
+
 def q_pack_sequences(sf_dir: str):
     """LLM data prep: tokenize -> pack into fixed 512-token training
     examples (EOS-separated).
@@ -1037,6 +1047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_groups": q_dup_groups,
         "dedup_keep": q_dedup_keep,
         "shuffle_export": q_shuffle_export,
+        "bigram_topk": q_bigram_topk,
         "winnow_gram_counts": q_winnow_gram_counts,
         "encode_roundtrip": q_encode_roundtrip,
         "embedding_lsh_candidates": q_embedding_lsh_candidates,
@@ -1387,6 +1398,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM ("
             "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word "
             "FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 50"
+        ),
+        "bigram_topk": (
+            "WITH a AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws "
+            "FROM documents), "
+            "b AS (SELECT ws, unnest(range(1, len(ws))) AS i FROM a), "
+            "g AS (SELECT ws[i] || ' ' || ws[i+1] AS gram FROM b) "
+            "SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM g "
+            "GROUP BY gram ORDER BY n DESC, gram LIMIT 40"
         ),
         "shipping_priority": (
             "SELECT l.l_orderkey AS o_orderkey, o.o_orderdate, "

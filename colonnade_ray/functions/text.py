@@ -166,6 +166,52 @@ def word_freq(ds, text_col: str = "text", k: int = 50):
     return agg.sort(["n", "word"], descending=[True, False]).limit(k)
 
 
+def ngram_freq(ds, n: int = 2, text_col: str = "text", k: int = 50):
+    """Top-k word n-gram frequencies — same shuffle-minimized shape as
+    ``word_freq`` (per-batch partial counts, ONE small groupby), with
+    the gram construction fully vectorized: one flat word explode per
+    batch, grams formed by n strided views masked at doc boundaries,
+    no per-doc Python.  N-gram statistics drive contamination checks,
+    Gopher-style repetition filters and LM-overlap analyses, so this
+    is a first-class corpus operator, not a convenience."""
+    from ray.data.aggregate import Sum
+
+    if n < 2:
+        return word_freq(ds, text_col=text_col, k=k)
+    empty = pa.table({"gram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if pa.types.is_null(col.type):
+            return empty
+        txt = pc.utf8_lower(pc.coalesce(col, ""))
+        words = txt.to_pandas().str.findall(_WORD_LOWER_RE)
+        lens = words.str.len().to_numpy().astype(np.int64)
+        total = int(lens.sum())
+        if total < n:
+            return empty
+        flat = np.concatenate(
+            [np.asarray(w, dtype=object) for w in words if len(w)]
+        )
+        doc_of = np.repeat(np.arange(lens.size), lens)
+        # gram starting at i is valid iff i..i+n-1 stay in one doc
+        valid = doc_of[: total - n + 1] == doc_of[n - 1 :]
+        if not valid.any():
+            return empty
+        grams = pd.Series(flat[: total - n + 1][valid])
+        for j in range(1, n):
+            grams = grams + " " + pd.Series(flat[j : total - n + 1 + j][valid])
+        vc = grams.value_counts()
+        return pa.table(
+            {"gram": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+             "n": pa.array(vc.to_numpy().astype(np.int64))}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    agg = parts.groupby("gram").aggregate(Sum("n", alias_name="n"))
+    return agg.sort(["n", "gram"], descending=[True, False]).limit(k)
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit document fingerprint (SipHash of full text — the
     rolling-hash fingerprint class; exact-dup key)."""

@@ -1383,3 +1383,20 @@ def test_shuffle_export_is_a_deterministic_permutation(ray_session):
     other = shuffle_export(docs, seed=12, num_shards=4).to_pandas()
     c = other.sort_values(["shard", "pos"])["doc_id"].tolist()
     assert c != a["doc_id"].tolist()
+
+
+def test_ngram_freq_masks_doc_boundaries(ray_session):
+    """Trigram counting must never form a gram spanning two docs, and
+    must fold multi-batch partials into exact global counts."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.text import ngram_freq
+
+    docs = rd.from_arrow(pa.table({
+        "text": pa.array(["a b c", "c a b", "", None, "a b c a b c"]),
+    })).repartition(3)
+    out = ngram_freq(docs, n=3, k=10).to_pandas()
+    got = dict(zip(out["gram"], out["n"]))
+    # "a b c": doc1 once, doc5 twice; "b c a"/"c a b": doc5 once each
+    # plus doc2's "c a b"; nothing spans docs
+    assert got == {"a b c": 3, "c a b": 2, "b c a": 1}
