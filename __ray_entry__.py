@@ -876,6 +876,16 @@ def q_bigram_topk(sf_dir: str):
     return ngram_freq(ds, n=2, k=40)
 
 
+def q_tfidf_topk(sf_dir: str):
+    """Top-3 distinctive terms per doc by linear-idf tf-idf (the
+    score's one multiply + one IEEE division is bit-identical in
+    numpy and DuckDB, making the full ranking hash-checkable)."""
+    from colonnade_ray.functions.text import tfidf_topk
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_topk(ds, k=3).sort(["doc_id", "word"])
+
+
 def q_pack_sequences(sf_dir: str):
     """LLM data prep: tokenize -> pack into fixed 512-token training
     examples (EOS-separated).
@@ -1048,6 +1058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep": q_dedup_keep,
         "shuffle_export": q_shuffle_export,
         "bigram_topk": q_bigram_topk,
+        "tfidf_topk": q_tfidf_topk,
         "winnow_gram_counts": q_winnow_gram_counts,
         "encode_roundtrip": q_encode_roundtrip,
         "embedding_lsh_candidates": q_embedding_lsh_candidates,
@@ -1406,6 +1417,20 @@ def oracle_sql() -> dict[str, str]:
             "g AS (SELECT ws[i] || ' ' || ws[i+1] AS gram FROM b) "
             "SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM g "
             "GROUP BY gram ORDER BY n DESC, gram LIMIT 40"
+        ),
+        "tfidf_topk": (
+            "WITH tc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf "
+            "FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')) AS word FROM documents) GROUP BY doc_id, word), "
+            "dfq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tc "
+            "GROUP BY word), "
+            "nq AS (SELECT COUNT(*) AS nn FROM documents), "
+            "s AS (SELECT doc_id, word, tf, df, "
+            "CAST(tf * nn AS DOUBLE) / df AS score "
+            "FROM tc JOIN dfq USING (word) CROSS JOIN nq), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, word) AS rk FROM s) "
+            "SELECT doc_id, word, tf, df, score FROM r WHERE rk <= 3"
         ),
         "shipping_priority": (
             "SELECT l.l_orderkey AS o_orderkey, o.o_orderdate, "

@@ -212,6 +212,89 @@ def ngram_freq(ds, n: int = 2, text_col: str = "text", k: int = 50):
     return agg.sort(["n", "gram"], descending=[True, False]).limit(k)
 
 
+def tfidf_topk(ds, text_col: str = "text", id_col: str = "doc_id",
+               k: int = 3, n_docs: int = None):
+    """Top-k distinctive terms per document by tf-idf with a LINEAR
+    idf (score = tf * N / df): linear idf keeps the score one integer
+    multiply + one IEEE double division, which both numpy and any SQL
+    engine round identically — so the whole ranking is bit-exactly
+    SQL-checkable (log idf is a one-line swap where checkability is
+    not needed; the ranking differs only in idf monotonicity edge
+    cases).
+
+    Exchanges (each bounded): (1) df = groupby-sum over per-batch
+    distinct (word, count) partials — moves vocab-per-batch rows;
+    (2) df attached back to term rows via the keyed_attach bucketed
+    hash join — term rows move once; (3) per-doc top-k via
+    grouped_topk's partial-shrink (<= k rows per (doc, batch) cross
+    the wire).  The term-count stage is recomputed by consumers (1)
+    and (2) instead of materialized — streaming re-read beats pinning
+    a corpus-sized intermediate in the object store."""
+    from .relational import grouped_topk, keyed_attach
+
+    n = int(n_docs if n_docs is not None else ds.count())
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "word": pa.array([], pa.string()),
+                      "tf": pa.array([], pa.int64())})
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if pa.types.is_null(col.type):
+            return empty
+        txt = pc.utf8_lower(pc.coalesce(col, ""))
+        words = txt.to_pandas().str.findall(_WORD_LOWER_RE)
+        lens = words.str.len().to_numpy().astype(np.int64)
+        if not lens.sum():
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({
+            id_col: np.repeat(ids, lens),
+            "word": np.concatenate(
+                [np.asarray(w, dtype=object) for w in words if len(w)]),
+        })
+        vc = d.value_counts(sort=False).reset_index(name="tf")
+        return pa.table({
+            id_col: pa.array(vc[id_col].to_numpy().astype(np.int64)),
+            "word": pa.array(vc["word"].to_numpy(dtype=object), pa.string()),
+            "tf": pa.array(vc["tf"].to_numpy().astype(np.int64)),
+        })
+
+    tc = ds.map_batches(term_counts, batch_format="pyarrow")
+
+    # df: (word, doc) rows are distinct within a doc by construction,
+    # so per-batch word value_counts are exact df partials
+    from ray.data.aggregate import Sum
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        vc = b["word"].to_pandas().value_counts()
+        return pa.table({
+            "word": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+            "df": pa.array(vc.to_numpy().astype(np.int64)),
+        })
+
+    dfreq = tc.map_batches(df_partial, batch_format="pyarrow") \
+              .groupby("word").aggregate(Sum("df", alias_name="df"))
+
+    # carry the key itself ("word"): keyed_attach emits carry+out only
+    scored = keyed_attach(
+        tc, dfreq, key_from="word", out_col="df",
+        carry=[(id_col, pa.int64()), ("word", pa.string()), ("tf", pa.int64())],
+        id_col="word", text_col="df",
+    )
+
+    def add_score(b: pa.Table) -> pa.Table:
+        tf = b["tf"].to_numpy(zero_copy_only=False)
+        df = b["df"].to_numpy(zero_copy_only=False)
+        score = (tf * n).astype(np.float64) / df
+        # restore the word column name dropped by the attach carry
+        return pa.table({id_col: b[id_col], "word": b["word"],
+                         "tf": b["tf"], "df": b["df"],
+                         "score": pa.array(score)})
+
+    scored = scored.map_batches(add_score, batch_format="pyarrow")
+    return grouped_topk(scored, [id_col], "score", k=k, tie_cols=["word"])
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit document fingerprint (SipHash of full text — the
     rolling-hash fingerprint class; exact-dup key)."""

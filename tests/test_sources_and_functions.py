@@ -1400,3 +1400,20 @@ def test_ngram_freq_masks_doc_boundaries(ray_session):
     # "a b c": doc1 once, doc5 twice; "b c a"/"c a b": doc5 once each
     # plus doc2's "c a b"; nothing spans docs
     assert got == {"a b c": 3, "c a b": 2, "b c a": 1}
+
+
+def test_tfidf_topk_ranks_distinctive_terms(ray_session):
+    """The corpus-wide common word must rank below each doc's unique
+    term, and df must count documents, not occurrences."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.text import tfidf_topk
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["common apple apple", "common banana", "common cherry"]),
+    })).repartition(2)
+    out = tfidf_topk(docs, k=1).to_pandas().sort_values("doc_id")
+    assert out["word"].tolist() == ["apple", "banana", "cherry"]
+    assert out["df"].tolist() == [1, 1, 1]
+    assert out.loc[out["doc_id"] == 1, "tf"].iloc[0] == 2
