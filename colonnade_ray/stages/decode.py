@@ -31,7 +31,7 @@ import pyarrow as pa
 from ..codecs import decode_column
 from ..errors import CellError, ChecksumError, ChunkDecodeError
 
-_OPS = {"==", "!=", ">", ">=", "<", "<="}
+_OPS = {"==", "!=", ">", ">=", "<", "<=", "in"}
 
 
 def _predicate_value(v):
@@ -57,10 +57,17 @@ def normalize_predicates(predicate) -> list:
         isinstance(predicate, tuple) and len(predicate) == 3
         and isinstance(predicate[1], str)
     ) else list(predicate)
+    out = []
     for p in preds:
         if len(p) != 3 or p[1] not in _OPS:
             raise ValueError(f"unsupported predicate {p!r}")
-    return preds
+        if p[1] == "in":
+            vals = list(p[2])
+            if not vals:
+                raise ValueError(f"empty value list in predicate {p!r}")
+            p = (p[0], "in", vals)
+        out.append(p)
+    return out
 
 
 def chunk_may_match(stats_json: Optional[str], predicate: Tuple[str, str, object]) -> bool:
@@ -74,6 +81,10 @@ def chunk_may_match(stats_json: Optional[str], predicate: Tuple[str, str, object
     lo, hi = stats[col]
     if not isinstance(lo, (int, float)) or not isinstance(hi, (int, float)):
         return True
+    if op == "in":
+        # OR across the list: the chunk survives if ANY value could be
+        # inside [min, max] (set-membership prune for id extractions)
+        return any(lo <= _predicate_value(x) <= hi for x in val)
     v = _predicate_value(val)
     if op == "==":
         return lo <= v <= hi
@@ -157,6 +168,9 @@ def _exact_filter(t: pa.Table, predicate: Tuple[str, str, object]) -> pa.Table:
     if col not in t.column_names:
         return t
     c = t[col]
+    if op == "in":
+        vals = pa.array(list(val)).cast(c.type)
+        return t.filter(pc.is_in(c, value_set=vals))
     v = pa.scalar(val).cast(c.type) if not isinstance(val, pa.Scalar) else val
     fn = {"==": pc.equal, "!=": pc.not_equal, ">": pc.greater,
           ">=": pc.greater_equal, "<": pc.less, "<=": pc.less_equal}[op]

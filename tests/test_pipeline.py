@@ -371,3 +371,36 @@ def test_projected_decode_heterogeneous_group_plans(ray_session, tmp_path):
     assert sorted(proj.column_names) == ["doc_id", "n_tok"]
     assert sorted(proj["doc_id"].to_pylist()) == sorted(f"d{i}" for i in range(90))
     assert proj["n_tok"].to_pylist() == [2] * 90
+
+
+def test_in_predicate_zone_and_exact(ray_session, tmp_path):
+    """'in' predicate: zone maps prune chunks whose [min,max] excludes
+    every listed value; survivors exact-filter to set membership; the
+    CLI parser accepts 'col in a,b,c'."""
+    import json
+
+    from colonnade_ray.corpus import tokenized_documents
+    from colonnade_ray.pipelines import decode_corpus, encode_corpus
+    from colonnade_ray.stages.decode import chunk_may_match
+    from tools.decode_job import parse_predicate
+
+    sj = json.dumps({"n_tok": [10, 99]})
+    assert chunk_may_match(sj, ("n_tok", "in", [5, 50]))
+    assert not chunk_may_match(sj, ("n_tok", "in", [5, 100]))
+
+    assert parse_predicate("doc_id in 3,5,8") == ("doc_id", "in", [3, 5, 8])
+    assert parse_predicate("src in a, b") == ("src", "in", ["a", "b"])
+
+    inp = str(tmp_path / "inp")
+    out = str(tmp_path / "out")
+    tokenized_documents("/root/testdata/sf0.001").write_parquet(inp)
+    encode_corpus(inp, out, batch_size=128, partition_by=None, resume=False)
+    # tokenized doc_id is a STRING column; int list casts to match
+    ids = [3, 250, 499]
+    got = decode_corpus(out, columns=["doc_id", "n_tok"],
+                        predicate=[("doc_id", "in", ids)]).to_pandas()
+    assert sorted(got["doc_id"].tolist(), key=int) == [str(i) for i in ids]
+    # int zone maps actually prune: n_tok membership hits a subset
+    got2 = decode_corpus(out, columns=["doc_id", "n_tok"],
+                         predicate=[("n_tok", "in", [77])]).to_pandas()
+    assert (got2["n_tok"] == 77).all() and len(got2) > 0

@@ -36,17 +36,28 @@ os.environ.setdefault(
 _PRED_RE = re.compile(r"^\s*(\w+)\s*(==|!=|>=|<=|>|<)\s*(.+?)\s*$")
 
 
-def parse_predicate(expr: str) -> tuple:
-    m = _PRED_RE.match(expr)
-    if not m:
-        raise SystemExit(f"bad --where {expr!r} (want col<op>value)")
-    col, op, raw = m.groups()
+_IN_RE = re.compile(r"^\s*(\w+)\s+in\s+(.+?)\s*$", re.IGNORECASE)
+
+
+def _coerce(raw: str):
     for cast in (int, float):
         try:
-            return (col, op, cast(raw))
+            return cast(raw)
         except ValueError:
             continue
-    return (col, op, raw)
+    return raw
+
+
+def parse_predicate(expr: str) -> tuple:
+    mi = _IN_RE.match(expr)
+    if mi:  # 'col in 1,2,3' -> set-membership (zone-map OR prune)
+        col, raw = mi.groups()
+        return (col, "in", [_coerce(v.strip()) for v in raw.split(",")])
+    m = _PRED_RE.match(expr)
+    if not m:
+        raise SystemExit(f"bad --where {expr!r} (want col<op>value or col in a,b)")
+    col, op, raw = m.groups()
+    return (col, op, _coerce(raw))
 
 
 def main(argv=None) -> int:
