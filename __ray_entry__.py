@@ -886,6 +886,25 @@ def q_tfidf_topk(sf_dir: str):
     return tfidf_topk(ds, k=3).sort(["doc_id", "word"])
 
 
+def q_quality_percentile_gate(sf_dir: str):
+    """Composed curation gate: per-SOURCE median q_chars (exact
+    percentile_disc, broadcast small side) -> keep docs at/above their
+    own source's median -> per-source kept counts."""
+    from ray.data.aggregate import Count
+
+    from colonnade_ray.functions.curation import percentile_gate
+    from colonnade_ray.functions.text import QualityScorer
+    from colonnade_ray.util import default_concurrency
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text", "source"])
+    scored = ds.map_batches(
+        QualityScorer, batch_format="pyarrow", concurrency=default_concurrency()
+    ).select_columns(["doc_id", "source", "q_chars"])
+    gated = percentile_gate(scored, "source", "q_chars", q=0.5)
+    return gated.groupby("source").aggregate(Count(alias_name="n_kept")) \
+        .sort("source")
+
+
 def q_pack_sequences(sf_dir: str):
     """LLM data prep: tokenize -> pack into fixed 512-token training
     examples (EOS-separated).
@@ -1059,6 +1078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_export": q_shuffle_export,
         "bigram_topk": q_bigram_topk,
         "tfidf_topk": q_tfidf_topk,
+        "quality_percentile_gate": q_quality_percentile_gate,
         "winnow_gram_counts": q_winnow_gram_counts,
         "encode_roundtrip": q_encode_roundtrip,
         "embedding_lsh_candidates": q_embedding_lsh_candidates,
@@ -1431,6 +1451,16 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
             "ORDER BY score DESC, word) AS rk FROM s) "
             "SELECT doc_id, word, tf, df, score FROM r WHERE rk <= 3"
+        ),
+        "quality_percentile_gate": (
+            "WITH s AS (SELECT doc_id, source, "
+            "CAST(length(COALESCE(text, '')) AS BIGINT) AS q_chars "
+            "FROM documents), "
+            "m AS (SELECT source, percentile_disc(0.5) WITHIN GROUP "
+            "(ORDER BY q_chars) AS med FROM s GROUP BY source) "
+            "SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_kept "
+            "FROM s JOIN m USING (source) WHERE s.q_chars >= m.med "
+            "GROUP BY s.source ORDER BY s.source"
         ),
         "shipping_priority": (
             "SELECT l.l_orderkey AS o_orderkey, o.o_orderdate, "

@@ -160,3 +160,40 @@ def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id",
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def percentile_gate(ds, group_col: str, value_col: str, q: float = 0.5,
+                    keep: str = "ge"):
+    """Keep rows at-or-above (``keep="ge"``) or strictly below their
+    GROUP's q-th percentile of ``value_col`` — the per-domain quality
+    gate of a curation flow ("drop the bottom half of every source"),
+    self-calibrating per group instead of one global threshold.
+
+    Thresholds come from ``grouped_quantiles`` (exact percentile_disc,
+    bit-identical to SQL) and are BROADCAST: the threshold table is one
+    row per group — domains/sources, not documents — so pulling it to
+    the driver and shipping it into every filter task is the correct
+    small-side pattern even at 100 TB (same rationale as
+    broadcast_join's small side)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .relational import grouped_quantiles
+
+    med = grouped_quantiles(
+        ds.select_columns([group_col, value_col]), [group_col], value_col,
+        qs=(q,),
+    ).to_pandas()
+    thresholds = dict(zip(med[group_col], med[value_col]))
+
+    def gate(b: pa.Table) -> pa.Table:
+        g = b[group_col].to_pandas()
+        thr = g.map(thresholds).to_numpy()
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        mask = v >= thr if keep == "ge" else v < thr
+        # groups unseen at threshold time (can't happen for a
+        # same-dataset gate; possible when ds grew): keep the row
+        mask = np.where(np.isnan(thr.astype(np.float64)), True, mask)
+        return b.filter(pa.array(mask.astype(bool)))
+
+    return ds.map_batches(gate, batch_format="pyarrow")

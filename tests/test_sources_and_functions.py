@@ -1417,3 +1417,22 @@ def test_tfidf_topk_ranks_distinctive_terms(ray_session):
     assert out["word"].tolist() == ["apple", "banana", "cherry"]
     assert out["df"].tolist() == [1, 1, 1]
     assert out.loc[out["doc_id"] == 1, "tf"].iloc[0] == 2
+
+
+def test_percentile_gate_per_group_threshold(ray_session):
+    """Each group gates on ITS OWN percentile: group a's large values
+    survive while group b's identical values can fail b's threshold."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.curation import percentile_gate
+
+    t = pa.table({
+        "g": pa.array(["a"] * 4 + ["b"] * 4),
+        "v": pa.array([1, 2, 3, 4, 30, 40, 50, 60], pa.int64()),
+    })
+    out = percentile_gate(rd.from_arrow(t), "g", "v", q=0.5).to_pandas()
+    # percentile_disc(0.5) of [1,2,3,4] = 2; of [30,40,50,60] = 40
+    kept = sorted(out["v"].tolist())
+    assert kept == [2, 3, 4, 40, 50, 60]
+    below = percentile_gate(rd.from_arrow(t), "g", "v", q=0.5, keep="lt")
+    assert sorted(below.to_pandas()["v"].tolist()) == [1, 30]
