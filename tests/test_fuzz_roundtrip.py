@@ -70,3 +70,29 @@ def test_fuzz_table_roundtrip(t):
             ) and np.array_equal(np.isnan(av), np.isnan(bv))
         else:
             assert b.equals(a), c
+
+
+@given(
+    st.integers(0, 6),                       # decimal digits e
+    st.integers(64, 400),                    # n values
+    st.integers(0, 2**32),                   # seed
+    st.booleans(),                           # poison one value?
+)
+@settings(max_examples=60, deadline=None)
+def test_alp_property_bit_exact_or_rejected(e, n, seed, poison):
+    """Any decimal column round-trips BIT-exactly through the column
+    encoder; if a non-decimal (or -0.0 / non-finite) value is present
+    the ALP path must reject itself and the fallback still round-trips."""
+    rng = np.random.default_rng(seed)
+    vals = np.round(rng.uniform(-1e6, 1e6, n), e)
+    vals = np.where(vals == 0.0, 1.0, vals)  # avoid rounded -0.0
+    if poison:
+        vals[n // 2] = [np.pi, -0.0, np.nan, np.inf][seed % 4]
+    arr = pa.array(vals, pa.float64())
+    from colonnade_ray.codecs.columns import decode_column, encode_column
+
+    payload, meta = encode_column(arr)
+    back = decode_column(payload, meta).to_numpy(zero_copy_only=False)
+    assert np.array_equal(vals.view(np.uint64), back.view(np.uint64))
+    if poison:
+        assert meta["streams"]["values"]["codec"] != "alp"
