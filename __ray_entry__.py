@@ -905,6 +905,15 @@ def q_quality_percentile_gate(sf_dir: str):
         .sort("source")
 
 
+def q_dup_gram_stats(sf_dir: str):
+    """Span-dedup counting core (Lee et al. 2022): per doc, how many
+    k-gram positions carry a gram occurring >1 time corpus-wide."""
+    from colonnade_ray.functions.dedup import dup_gram_stats
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    return dup_gram_stats(ds, k=5, hash_fn="md5").sort("doc_id")
+
+
 def q_pack_sequences(sf_dir: str):
     """LLM data prep: tokenize -> pack into fixed 512-token training
     examples (EOS-separated).
@@ -1075,6 +1084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_pairs": q_near_dup_pairs,
         "dup_groups": q_dup_groups,
         "dedup_keep": q_dedup_keep,
+        "dup_gram_stats": q_dup_gram_stats,
         "shuffle_export": q_shuffle_export,
         "bigram_topk": q_bigram_topk,
         "tfidf_topk": q_tfidf_topk,
@@ -1121,7 +1131,9 @@ _SIMHASH_CTES = (
 # key, leftmost single minimum for docs with fewer than 4 grams, and
 # docs with 0 < words < 5 folding to ONE whole-doc gram (matching
 # _flat_shingles' short-doc semantics, dedup.py).
-_WINNOW_CTES = (
+# words + per-position gram-hash CTEs (the md5/FNV gram twin), shared
+# by the winnowing chain and dup_gram_stats
+_GRAMS_CTES = (
     "words AS (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS ws "
     "FROM documents WHERE len(trim(COALESCE(text, ''))) > 0), "
     "grams AS (SELECT doc_id, CAST(i AS HUGEINT) AS gpos, "
@@ -1130,7 +1142,11 @@ _WINNOW_CTES = (
     "w -> CAST(('0x' || substr(md5(w), 1, 16))::UBIGINT AS HUGEINT)), "
     "(a, b) -> (a * 1099511628211 + b) % 18446744073709551616) AS gh "
     "FROM (SELECT doc_id, ws, "
-    "unnest(range(1, greatest(len(ws) - 4, 1) + 1)) AS i FROM words)), "
+    "unnest(range(1, greatest(len(ws) - 4, 1) + 1)) AS i FROM words))"
+)
+
+_WINNOW_CTES = (
+    _GRAMS_CTES + ", "
     "wsel AS (SELECT doc_id, wkey // 4294967296 AS gh FROM ("
     "SELECT doc_id, gpos, ng, "
     "min(gh * 4294967296 + (4294967295 - gpos)) OVER "
@@ -1461,6 +1477,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_kept "
             "FROM s JOIN m USING (source) WHERE s.q_chars >= m.med "
             "GROUP BY s.source ORDER BY s.source"
+        ),
+        "dup_gram_stats": (
+            f"WITH {_GRAMS_CTES}, "
+            "tot AS (SELECT gh, COUNT(*) AS c FROM grams GROUP BY gh) "
+            "SELECT g.doc_id, "
+            "CAST(SUM(CASE WHEN t.c > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_dup_grams, CAST(COUNT(*) AS BIGINT) AS n_grams "
+            "FROM grams g JOIN tot t USING (gh) "
+            "GROUP BY g.doc_id ORDER BY g.doc_id"
         ),
         "shipping_priority": (
             "SELECT l.l_orderkey AS o_orderkey, o.o_orderdate, "

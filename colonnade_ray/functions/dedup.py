@@ -806,6 +806,53 @@ def dup_groups(pairs_ds, driver_threshold: int = 200_000, max_iters: int = 50):
     return rd.from_items(rows)
 
 
+def dup_gram_stats(ds, text_col: str = "text", id_col: str = "doc_id",
+                   k: int = 5, hash_fn: str = "md5", num_buckets: int = 64):
+    """Per-doc duplicated-k-gram statistics — the counting core of
+    span-level dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", public literature): for every doc,
+    how many of its k-gram positions carry a gram that occurs MORE
+    THAN ONCE in the whole corpus (cross-doc or self-repetition).
+    The n_dup_grams / n_grams ratio is the standard drop/trim signal.
+
+    Scale shape: one explode to (doc_id, gram_hash) position rows,
+    ONE bucketed exchange keyed by gram hash (all occurrences of a
+    gram co-locate, so bucket-local totals are global totals), then a
+    tiny per-doc partial-sum groupby.  ``hash_fn="md5"`` selects the
+    SQL-twin gram hash (see _flat_shingles)."""
+    from ray.data.aggregate import Sum
+
+    from .bucketing import bucketed_group_apply
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas()
+        gh, g = _flat_shingles(texts, k, hash_fn)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, g)),
+            "gh": pa.array(gh.view(np.int64)),
+        })
+
+    rows = ds.map_batches(explode, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("gh", sort=False)["gh"].transform("size")
+        agg = (
+            g.assign(dup=(tot > 1).to_numpy().astype(np.int64))
+            .groupby(id_col, sort=False)
+            .agg(n_dup_grams=("dup", "sum"), n_grams=("dup", "size"))
+            .reset_index()
+        )
+        return agg
+
+    parts = bucketed_group_apply(rows, "gh", per_bucket,
+                                 num_buckets=num_buckets)
+    return parts.groupby(id_col).aggregate(
+        Sum("n_dup_grams", alias_name="n_dup_grams"),
+        Sum("n_grams", alias_name="n_grams"),
+    )
+
+
 def dedup_keep(ds, pairs_ds, id_col: str = "doc_id", carry=None):
     """The deduplicated corpus: every doc that is either in no
     near-dup component or is its component's canonical representative

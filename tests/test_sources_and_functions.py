@@ -1436,3 +1436,27 @@ def test_percentile_gate_per_group_threshold(ray_session):
     assert kept == [2, 3, 4, 40, 50, 60]
     below = percentile_gate(rd.from_arrow(t), "g", "v", q=0.5, keep="lt")
     assert sorted(below.to_pandas()["v"].tolist()) == [1, 30]
+
+
+def test_dup_gram_stats_counts_cross_and_self_repeats(ray_session):
+    """A gram shared by two docs and a self-repeated gram both count
+    as duplicated positions; unique-gram docs count zero."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.dedup import dup_gram_stats
+
+    rep = "p q r s t"                 # the shared 5-gram
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            f"{rep} x1 x2 x3",        # 4 grams, 1 dup (shared with doc2)
+            f"y1 {rep}",              # 2 grams, 1 dup
+            f"{rep} z {rep}",         # 7 grams; positions 1 and 7 dup
+            "a b c d e f",            # 2 grams, none dup
+        ]),
+    })).repartition(2)
+    out = dup_gram_stats(docs, k=5).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_grams"] == 4 and out.loc[1, "n_dup_grams"] == 1
+    assert out.loc[2, "n_grams"] == 2 and out.loc[2, "n_dup_grams"] == 1
+    assert out.loc[3, "n_grams"] == 7 and out.loc[3, "n_dup_grams"] == 2
+    assert out.loc[4, "n_grams"] == 2 and out.loc[4, "n_dup_grams"] == 0
