@@ -914,6 +914,27 @@ def q_dup_gram_stats(sf_dir: str):
     return dup_gram_stats(ds, k=5, hash_fn="md5").sort("doc_id")
 
 
+def q_left_join_histogram(sf_dir: str):
+    """TPC-H Q13 shape: per-customer event count INCLUDING the
+    zero-event customers (left join with default via keyed_attach's
+    fill), then the count-of-counts histogram."""
+    from ray.data.aggregate import Count
+
+    from colonnade_ray.functions.relational import keyed_attach
+
+    cust = _tbl(sf_dir, "customer", ["c_custkey"])
+    ev = _tbl(sf_dir, "events", ["user_id"])
+    counts = ev.groupby("user_id").aggregate(Count(alias_name="n_events"))
+    per_cust = keyed_attach(
+        cust, counts, key_from="c_custkey", out_col="n_events",
+        carry=[("c_custkey", pa.int64())], id_col="user_id",
+        text_col="n_events", fill=0,
+    )
+    return per_cust.groupby("n_events").aggregate(
+        Count(alias_name="n_cust")
+    ).sort("n_events")
+
+
 def q_pack_sequences(sf_dir: str):
     """LLM data prep: tokenize -> pack into fixed 512-token training
     examples (EOS-separated).
@@ -1055,6 +1076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "broadcast_join": q_broadcast_join,
         "hash_join": q_hash_join,
+        "left_join_histogram": q_left_join_histogram,
         "sessions": q_sessions,
         "asof_clicks": q_asof_clicks,
         "dedup_exact": q_dedup_exact,
@@ -1486,6 +1508,14 @@ def oracle_sql() -> dict[str, str]:
             "AS n_dup_grams, CAST(COUNT(*) AS BIGINT) AS n_grams "
             "FROM grams g JOIN tot t USING (gh) "
             "GROUP BY g.doc_id ORDER BY g.doc_id"
+        ),
+        "left_join_histogram": (
+            "WITH ec AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events GROUP BY user_id), "
+            "cc AS (SELECT c.c_custkey, COALESCE(ec.n, 0) AS n_events "
+            "FROM customer c LEFT JOIN ec ON ec.user_id = c.c_custkey) "
+            "SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_cust FROM cc "
+            "GROUP BY n_events ORDER BY n_events"
         ),
         "shipping_priority": (
             "SELECT l.l_orderkey AS o_orderkey, o.o_orderdate, "

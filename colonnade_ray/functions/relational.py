@@ -87,7 +87,7 @@ def field_type(ds, name: str):
 
 def keyed_attach(pairs_ds, docs_ds, key_from: str, out_col: str,
                  carry: Sequence[tuple], id_col: str = "doc_id",
-                 text_col: str = "text"):
+                 text_col: str = "text", fill=None):
     """Attach one column of ``docs_ds`` to every row of ``pairs_ds``
     whose ``key_from`` column matches ``id_col`` — a hash join
     expressed as tag-union + ONE groupby(key) shuffle.
@@ -144,6 +144,10 @@ def keyed_attach(pairs_ds, docs_ds, key_from: str, out_col: str,
             return pd.DataFrame({c: [] for c in out_cols})
         merged = p[["__key"] + carry_names].merge(docs, on="__key", how="left")
         merged = merged.rename(columns={"__val": out_col})[out_cols]
+        if fill is not None:
+            # LEFT-JOIN-with-default semantics: unmatched keys get
+            # ``fill`` instead of poisoning the int restore below
+            merged[out_col] = merged[out_col].fillna(fill)
         for c in int_cols:
             if c in merged.columns:
                 merged[c] = merged[c].astype("int64")
