@@ -935,6 +935,17 @@ def q_left_join_histogram(sf_dir: str):
     ).sort("n_events")
 
 
+def q_hll_vocab(sf_dir: str):
+    """Per-source HyperLogLog registers over distinct words: the
+    sketch STATE is deterministic given the md5-twin hash, so the full
+    register table hash-matches a DuckDB bit-op twin (the derived
+    estimate is pytest-checked against exact counts)."""
+    from colonnade_ray.functions.sketches import hll_word_registers
+
+    ds = _tbl(sf_dir, "documents", ["source", "text"])
+    return hll_word_registers(ds).sort(["source", "reg"])
+
+
 def q_pack_sequences(sf_dir: str):
     """LLM data prep: tokenize -> pack into fixed 512-token training
     examples (EOS-separated).
@@ -1111,6 +1122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_topk": q_bigram_topk,
         "tfidf_topk": q_tfidf_topk,
         "quality_percentile_gate": q_quality_percentile_gate,
+        "hll_vocab": q_hll_vocab,
         "winnow_gram_counts": q_winnow_gram_counts,
         "encode_roundtrip": q_encode_roundtrip,
         "embedding_lsh_candidates": q_embedding_lsh_candidates,
@@ -1516,6 +1528,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer c LEFT JOIN ec ON ec.user_id = c.c_custkey) "
             "SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_cust FROM cc "
             "GROUP BY n_events ORDER BY n_events"
+        ),
+        "hll_vocab": (
+            "WITH w AS (SELECT DISTINCT source, word FROM ("
+            "SELECT source, unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')) AS word FROM documents)), "
+            "h AS (SELECT source, "
+            "('0x' || substr(md5(word), 1, 16))::UBIGINT AS hv FROM w), "
+            "rr AS (SELECT source, CAST(hv >> 58 AS BIGINT) AS reg, "
+            "CASE WHEN (hv & 288230376151711743) = 0 THEN 59 "
+            "ELSE 58 - length(bin(hv & 288230376151711743)) + 1 END AS rho "
+            "FROM h) "
+            "SELECT source, reg, CAST(MAX(rho) AS BIGINT) AS r FROM rr "
+            "GROUP BY source, reg ORDER BY source, reg"
         ),
         "shipping_priority": (
             "SELECT l.l_orderkey AS o_orderkey, o.o_orderdate, "

@@ -1460,3 +1460,31 @@ def test_dup_gram_stats_counts_cross_and_self_repeats(ray_session):
     assert out.loc[2, "n_grams"] == 2 and out.loc[2, "n_dup_grams"] == 1
     assert out.loc[3, "n_grams"] == 7 and out.loc[3, "n_dup_grams"] == 2
     assert out.loc[4, "n_grams"] == 2 and out.loc[4, "n_dup_grams"] == 0
+
+
+def test_hll_estimate_tracks_exact_vocab(ray_session):
+    """HLL estimate from merged per-batch partials lands within the
+    expected m=64 error band (~13% RSE; assert 3 sigma) of the exact
+    per-group vocabulary, and the fast-hash mode works too."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.sketches import hll_estimate, hll_word_registers
+
+    rng = np.random.default_rng(0)
+    texts, groups = [], []
+    vocab = {"a": 300, "b": 1500}
+    for g, v in vocab.items():
+        for _ in range(60):
+            words = rng.integers(0, v, 40)
+            texts.append(" ".join(f"w{g}{w}" for w in words))
+            groups.append(g)
+    ds = rd.from_arrow(pa.table({"source": pa.array(groups),
+                                 "text": pa.array(texts)})).repartition(4)
+    for mode in ("md5", "fast"):
+        regs = hll_word_registers(ds, hash_fn=mode).to_pandas()
+        est = hll_estimate(regs).set_index("source")["estimate"]
+        for g, v in vocab.items():
+            exact = len({f"w{g}{w}" for w in
+                         np.concatenate([np.asarray(t.split()) for t, gg in
+                                         zip(texts, groups) if gg == g])})
+            assert abs(est[g] - exact) / exact < 0.40, (mode, g, est[g], exact)
