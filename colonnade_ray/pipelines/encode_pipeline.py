@@ -233,6 +233,7 @@ def encode_corpus(
     max_concurrent_groups: int = 1,
     transport: bool = True,
     stateless: Optional[bool] = None,
+    append: bool = False,
 ) -> dict:
     """Encode a parquet corpus to out_dir with lineage + exact resume.
 
@@ -251,6 +252,18 @@ def encode_corpus(
     lin_root = os.path.join(out_dir, "_lineage")
     os.makedirs(data_root, exist_ok=True)
     os.makedirs(lin_root, exist_ok=True)
+
+    if append:
+        # Incremental corpus growth: encode ONLY input files no
+        # committed group already covers, as their own new group(s).
+        # Filtering by FILE (not group id) keeps old group boundaries
+        # untouched, so a later full-dir append run never re-chunks —
+        # and never duplicates — previously committed data.
+        done_files = encoded_input_files(out_dir)
+        files = [f for f in files if f not in done_files]
+        if not files:
+            return corpus_summary(out_dir) | {"groups": 0, "resumed_groups": 0,
+                                              "appended_files": 0}
 
     groups: list[list[str]] = (
         [files]
@@ -329,6 +342,10 @@ def encode_corpus(
             stateless=use_stateless,
         )
         enc.write_parquet(gdir, compression="none")
+        # input-file sidecar first (append mode reads it), THEN the
+        # lineage marker — the marker parquet stays the commit point
+        with open(os.path.join(lin_root, f"group-{gid}.files.json"), "w") as fh:
+            json.dump(sorted(g), fh)
         # commit marker: lineage written only after the data lands
         lineage = pq.read_table(gdir, columns=LINEAGE_COLS)
         pq.write_table(lineage, lin_path)
@@ -342,7 +359,29 @@ def encode_corpus(
         _stub_fsspec_http()
         with ThreadPoolExecutor(max_workers=max_concurrent_groups) as ex:
             done = sum(ex.map(encode_group, groups))
-    return corpus_summary(out_dir) | {"groups": len(groups), "resumed_groups": int(done)}
+    summary = corpus_summary(out_dir) | {"groups": len(groups),
+                                         "resumed_groups": int(done)}
+    if append:
+        summary["appended_files"] = len(files)
+    return summary
+
+
+def encoded_input_files(out_dir: str) -> set:
+    """Input files covered by COMMITTED groups (sidecar + marker both
+    present).  Sidecars predating the marker alone don't count — the
+    parquet marker stays the single commit point."""
+    lin_root = os.path.join(out_dir, "_lineage")
+    out: set = set()
+    if not os.path.isdir(lin_root):
+        return out
+    for f in os.listdir(lin_root):
+        if not f.endswith(".files.json"):
+            continue
+        marker = os.path.join(lin_root, f[: -len(".files.json")] + ".parquet")
+        if os.path.exists(marker):
+            with open(os.path.join(lin_root, f)) as fh:
+                out.update(json.load(fh))
+    return out
 
 
 def corpus_summary(out_dir: str) -> dict:

@@ -404,3 +404,49 @@ def test_in_predicate_zone_and_exact(ray_session, tmp_path):
     got2 = decode_corpus(out, columns=["doc_id", "n_tok"],
                          predicate=[("n_tok", "in", [77])]).to_pandas()
     assert (got2["n_tok"] == 77).all() and len(got2) > 0
+
+
+def test_append_mode_encodes_only_new_files(ray_session, tmp_path):
+    """append=True: a second run over a grown input dir encodes only
+    the new files (old groups untouched on disk), and the decoded
+    corpus equals a from-scratch encode of everything."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from colonnade_ray.corpus import tokenized_documents
+    from colonnade_ray.pipelines import decode_corpus, encode_corpus
+    from colonnade_ray.pipelines.encode_pipeline import (
+        dataset_digest,
+        encoded_input_files,
+    )
+
+    inp = str(tmp_path / "inp")
+    out = str(tmp_path / "out")
+    full = tokenized_documents("/root/testdata/sf0.001")
+    cols = full.schema().names
+    full.repartition(4).write_parquet(inp)
+    parts = sorted(glob.glob(inp + "/*.parquet"))
+    assert len(parts) >= 2, "need multiple fragments for the append split"
+    half = parts[: len(parts) // 2]
+
+    s1 = encode_corpus(half, out, batch_size=512, partition_by=None,
+                       group_size=1)
+    assert set(encoded_input_files(out)) == set(half)
+    mtimes = {f: os.path.getmtime(f)
+              for f in glob.glob(out + "/data/group-*/*.parquet")}
+
+    s2 = encode_corpus(inp, out, batch_size=512, partition_by=None,
+                       group_size=1, append=True)
+    assert s2["appended_files"] == len(parts) - len(half)
+    for f, m in mtimes.items():  # old group files untouched
+        assert os.path.getmtime(f) == m
+    # idempotent: a third append run encodes nothing
+    s3 = encode_corpus(inp, out, batch_size=512, partition_by=None,
+                       group_size=1, append=True)
+    assert s3["appended_files"] == 0 and s3["groups"] == 0
+
+    dec = decode_corpus(out)
+    assert dataset_digest(dec, cols) == dataset_digest(
+        rd.read_parquet(inp), cols)

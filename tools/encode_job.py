@@ -46,6 +46,8 @@ def main(argv=None) -> int:
     ap.add_argument("--concurrent-groups", type=int, default=1)
     ap.add_argument("--resume", action="store_true",
                     help="skip groups whose lineage marker exists")
+    ap.add_argument("--append", action="store_true",
+                    help="encode only input files no committed group covers")
     ap.add_argument("--no-transport", action="store_true",
                     help="disable shuffle-transport narrowing")
     ap.add_argument("--verify", action="store_true",
@@ -71,6 +73,7 @@ def main(argv=None) -> int:
         max_concurrent_groups=args.concurrent_groups,
         resume=args.resume,
         transport=not args.no_transport,
+        append=args.append,
     )
     summary["encode_sec"] = round(time.time() - t0, 3)
 
