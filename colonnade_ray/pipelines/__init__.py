@@ -1,4 +1,6 @@
 from .encode_pipeline import (
+    active_groups,
+    compact_corpus,
     completed_groups,
     corpus_summary,
     decode_corpus,

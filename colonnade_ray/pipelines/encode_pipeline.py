@@ -271,12 +271,16 @@ def encode_corpus(
         else [files[i : i + group_size] for i in range(0, len(files), group_size)]
     )
 
+    shadowed = shadowed_groups(out_dir) if resume else set()
+
     def encode_group(g: list) -> bool:
         """True if resumed (already committed)."""
         gid = _group_id(g)
         lin_path = os.path.join(lin_root, f"group-{gid}.parquet")
         gdir = os.path.join(data_root, f"group-{gid}")
-        if resume and os.path.exists(lin_path):
+        # a gid folded into a committed compaction counts as committed
+        # even after its own marker was garbage-collected
+        if resume and (os.path.exists(lin_path) or gid in shadowed):
             return True
         if os.path.exists(gdir):
             shutil.rmtree(gdir)  # torn write from a previous run
@@ -387,7 +391,8 @@ def encoded_input_files(out_dir: str) -> set:
 def corpus_summary(out_dir: str) -> dict:
     lin_root = os.path.join(out_dir, "_lineage")
     files = [
-        os.path.join(lin_root, f) for f in os.listdir(lin_root) if f.endswith(".parquet")
+        os.path.join(lin_root, f"group-{gid}.parquet")
+        for gid in active_groups(out_dir)
     ]
     if not files:
         return {"chunks": 0, "rows": 0, "tokens": 0, "bytes_in": 0, "bytes_out": 0}
@@ -412,6 +417,100 @@ def completed_groups(out_dir: str) -> list:
         for f in os.listdir(lin_root)
         if f.startswith("group-") and f.endswith(".parquet")
     )
+
+
+def shadowed_groups(out_dir: str) -> set:
+    """Gids superseded by a COMMITTED compacted group (the compaction
+    commit point is the new group's marker; its .supersedes.json is
+    written first, so a committed marker always has its shadow list)."""
+    lin_root = os.path.join(out_dir, "_lineage")
+    shadowed: set = set()
+    for gid in completed_groups(out_dir):
+        sup = os.path.join(lin_root, f"group-{gid}.supersedes.json")
+        if os.path.exists(sup):
+            with open(sup) as fh:
+                shadowed.update(json.load(fh))
+    return shadowed
+
+
+def active_groups(out_dir: str) -> list:
+    """Committed groups minus those shadowed by a committed compaction
+    — the single source of truth for every read path."""
+    shadowed = shadowed_groups(out_dir)
+    return [g for g in completed_groups(out_dir) if g not in shadowed]
+
+
+def compact_corpus(out_dir: str, gc: bool = True) -> dict:
+    """Merge the committed groups into one consolidated group per
+    encoded SCHEMA — the operational counterpart of ``append=True``:
+    after many incremental runs the corpus is thousands of small
+    groups, and compaction rewrites only the already-encoded chunk
+    ROWS (no re-encode, payloads move verbatim) into one directory.
+
+    Crash-safe ordering: new data dir -> merged input-file sidecar ->
+    .supersedes.json -> lineage marker (the commit point; every read
+    path filters shadowed groups via ``active_groups``).  ``gc=True``
+    deletes the shadowed groups' markers, sidecars and data after the
+    commit; with ``gc=False`` they remain on disk, shadowed."""
+    import ray.data as rd
+
+    data_root = os.path.join(out_dir, "data")
+    lin_root = os.path.join(out_dir, "_lineage")
+    olds = active_groups(out_dir)
+    # cohorts by encoded schema: groups from different plans carry
+    # different colN columns and cannot share one parquet schema
+    cohorts: dict = {}
+    for gid in olds:
+        gdir = os.path.join(data_root, f"group-{gid}")
+        fs = sorted(
+            os.path.join(gdir, f) for f in os.listdir(gdir)
+            if f.endswith(".parquet")
+        )
+        key = tuple(pq.read_schema(fs[0]).names)
+        cohorts.setdefault(key, []).append(gid)
+    compacted = 0
+    for key, gids in cohorts.items():
+        if len(gids) < 2:
+            continue
+        h = hashlib.blake2b(digest_size=8)
+        for g in gids:
+            h.update(g.encode())
+            h.update(b"\x00")
+        ngid = "c" + h.hexdigest()[:15]
+        gdir = os.path.join(data_root, f"group-{ngid}")
+        if os.path.exists(gdir):
+            shutil.rmtree(gdir)  # torn compaction from a previous run
+        files = [
+            os.path.join(data_root, f"group-{g}", f)
+            for g in gids
+            for f in sorted(os.listdir(os.path.join(data_root, f"group-{g}")))
+            if f.endswith(".parquet")
+        ]
+        rd.read_parquet(files, override_num_blocks=max(1, len(files) // 8)) \
+            .write_parquet(gdir, compression="none")
+        covered: set = set()
+        for g in gids:
+            sc = os.path.join(lin_root, f"group-{g}.files.json")
+            if os.path.exists(sc):
+                with open(sc) as fh:
+                    covered.update(json.load(fh))
+        with open(os.path.join(lin_root, f"group-{ngid}.files.json"), "w") as fh:
+            json.dump(sorted(covered), fh)
+        with open(os.path.join(lin_root, f"group-{ngid}.supersedes.json"), "w") as fh:
+            json.dump(sorted(gids), fh)
+        lineage = pq.read_table(gdir, columns=LINEAGE_COLS)
+        pq.write_table(lineage, os.path.join(lin_root, f"group-{ngid}.parquet"))
+        compacted += len(gids)
+        if gc:
+            for g in gids:
+                for suffix in (".parquet", ".files.json", ".supersedes.json"):
+                    p = os.path.join(lin_root, f"group-{g}{suffix}")
+                    if os.path.exists(p):
+                        os.remove(p)
+                shutil.rmtree(os.path.join(data_root, f"group-{g}"),
+                              ignore_errors=True)
+    return {"compacted_groups": compacted, "cohorts": len(cohorts),
+            "active_groups": len(active_groups(out_dir))}
 
 
 def decode_corpus(out_dir: str, verify_checksum: bool = True, concurrency=None,
@@ -441,7 +540,7 @@ def _read_encoded(out_dir: str, columns: Optional[Sequence[str]] = None,
     data_root = os.path.join(out_dir, "data")
     lin_root = os.path.join(out_dir, "_lineage")
     group_files: dict = {}
-    for gid in completed_groups(out_dir):
+    for gid in active_groups(out_dir):
         gdir = os.path.join(data_root, f"group-{gid}")
         group_files[gid] = [
             os.path.join(gdir, f) for f in sorted(os.listdir(gdir)) if f.endswith(".parquet")
@@ -459,8 +558,8 @@ def _read_encoded(out_dir: str, columns: Optional[Sequence[str]] = None,
     from ..util import default_concurrency
 
     n_chunks = sum(
-        pq.ParquetFile(os.path.join(lin_root, f)).metadata.num_rows
-        for f in os.listdir(lin_root) if f.endswith(".parquet")
+        pq.ParquetFile(os.path.join(lin_root, f"group-{gid}.parquet")).metadata.num_rows
+        for gid in group_files
     )  # footer-only: never materializes the lineage tables
     eff = concurrency if concurrency is not None else default_concurrency()
     cpt = min(8, max(1, n_chunks // (4 * max(eff, 1))))

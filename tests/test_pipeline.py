@@ -450,3 +450,53 @@ def test_append_mode_encodes_only_new_files(ray_session, tmp_path):
     dec = decode_corpus(out)
     assert dataset_digest(dec, cols) == dataset_digest(
         rd.read_parquet(inp), cols)
+
+
+def test_compact_corpus_merges_groups_without_reencode(ray_session, tmp_path):
+    """Compaction folds many committed groups into one, moving chunk
+    rows verbatim; decode digest is unchanged, summaries don't double
+    count, append still skips covered files, and gc=False leaves the
+    old groups shadowed but intact."""
+    import glob
+
+    import ray.data as rd
+
+    from colonnade_ray.corpus import tokenized_documents
+    from colonnade_ray.pipelines import (
+        active_groups,
+        compact_corpus,
+        corpus_summary,
+        decode_corpus,
+        encode_corpus,
+    )
+    from colonnade_ray.pipelines.encode_pipeline import dataset_digest
+
+    inp = str(tmp_path / "inp")
+    out = str(tmp_path / "out")
+    tokenized_documents("/root/testdata/sf0.001").repartition(4).write_parquet(inp)
+    cols = rd.read_parquet(inp).schema().names
+    s = encode_corpus(inp, out, batch_size=512, partition_by=None, group_size=1)
+    assert s["groups"] >= 4
+    before = dataset_digest(decode_corpus(out), cols)
+    sum_before = corpus_summary(out)
+
+    r = compact_corpus(out, gc=False)
+    assert r["compacted_groups"] >= 4 and r["active_groups"] == 1
+    assert dataset_digest(decode_corpus(out), cols) == before
+    sum_after = corpus_summary(out)
+    assert sum_after["rows"] == sum_before["rows"]
+    assert sum_after["tokens"] == sum_before["tokens"]
+
+    # append over the same dir: nothing to add (merged sidecar covers all)
+    s2 = encode_corpus(inp, out, batch_size=512, partition_by=None,
+                       group_size=1, append=True)
+    assert s2["appended_files"] == 0
+
+    # resume-mode re-run: shadowed gids count as committed
+    s3 = encode_corpus(inp, out, batch_size=512, partition_by=None, group_size=1)
+    assert s3["resumed_groups"] == 4
+
+    # gc pass removes the shadowed groups from disk
+    compact_corpus(out, gc=True)  # no-op merge (1 active), but idempotent
+    assert len(active_groups(out)) == 1
+    assert dataset_digest(decode_corpus(out), cols) == before
