@@ -348,7 +348,7 @@ def encode_corpus(
         enc.write_parquet(gdir, compression="none")
         # input-file sidecar first (append mode reads it), THEN the
         # lineage marker — the marker parquet stays the commit point
-        with open(os.path.join(lin_root, f"group-{gid}.files.json"), "w") as fh:
+        with open(os.path.join(_meta_root(out_dir), f"group-{gid}.files.json"), "w") as fh:
             json.dump(sorted(g), fh)
         # commit marker: lineage written only after the data lands
         lineage = pq.read_table(gdir, columns=LINEAGE_COLS)
@@ -370,20 +370,30 @@ def encode_corpus(
     return summary
 
 
+def _meta_root(out_dir: str) -> str:
+    """Sidecar dir (input-file coverage, supersedes lists) — kept OUT
+    of _lineage so that directory stays a pure parquet dataset (tools
+    and tests read it with pq.read_table(dir))."""
+    p = os.path.join(out_dir, "_meta")
+    os.makedirs(p, exist_ok=True)
+    return p
+
+
 def encoded_input_files(out_dir: str) -> set:
     """Input files covered by COMMITTED groups (sidecar + marker both
     present).  Sidecars predating the marker alone don't count — the
     parquet marker stays the single commit point."""
     lin_root = os.path.join(out_dir, "_lineage")
+    meta_root = os.path.join(out_dir, "_meta")
     out: set = set()
-    if not os.path.isdir(lin_root):
+    if not os.path.isdir(meta_root):
         return out
-    for f in os.listdir(lin_root):
+    for f in os.listdir(meta_root):
         if not f.endswith(".files.json"):
             continue
         marker = os.path.join(lin_root, f[: -len(".files.json")] + ".parquet")
         if os.path.exists(marker):
-            with open(os.path.join(lin_root, f)) as fh:
+            with open(os.path.join(meta_root, f)) as fh:
                 out.update(json.load(fh))
     return out
 
@@ -426,7 +436,7 @@ def shadowed_groups(out_dir: str) -> set:
     lin_root = os.path.join(out_dir, "_lineage")
     shadowed: set = set()
     for gid in completed_groups(out_dir):
-        sup = os.path.join(lin_root, f"group-{gid}.supersedes.json")
+        sup = os.path.join(out_dir, "_meta", f"group-{gid}.supersedes.json")
         if os.path.exists(sup):
             with open(sup) as fh:
                 shadowed.update(json.load(fh))
@@ -490,21 +500,24 @@ def compact_corpus(out_dir: str, gc: bool = True) -> dict:
             .write_parquet(gdir, compression="none")
         covered: set = set()
         for g in gids:
-            sc = os.path.join(lin_root, f"group-{g}.files.json")
+            sc = os.path.join(_meta_root(out_dir), f"group-{g}.files.json")
             if os.path.exists(sc):
                 with open(sc) as fh:
                     covered.update(json.load(fh))
-        with open(os.path.join(lin_root, f"group-{ngid}.files.json"), "w") as fh:
+        with open(os.path.join(_meta_root(out_dir), f"group-{ngid}.files.json"), "w") as fh:
             json.dump(sorted(covered), fh)
-        with open(os.path.join(lin_root, f"group-{ngid}.supersedes.json"), "w") as fh:
+        with open(os.path.join(_meta_root(out_dir), f"group-{ngid}.supersedes.json"), "w") as fh:
             json.dump(sorted(gids), fh)
         lineage = pq.read_table(gdir, columns=LINEAGE_COLS)
         pq.write_table(lineage, os.path.join(lin_root, f"group-{ngid}.parquet"))
         compacted += len(gids)
         if gc:
             for g in gids:
-                for suffix in (".parquet", ".files.json", ".supersedes.json"):
-                    p = os.path.join(lin_root, f"group-{g}{suffix}")
+                roots = {".parquet": lin_root,
+                         ".files.json": _meta_root(out_dir),
+                         ".supersedes.json": _meta_root(out_dir)}
+                for suffix, root in roots.items():
+                    p = os.path.join(root, f"group-{g}{suffix}")
                     if os.path.exists(p):
                         os.remove(p)
                 shutil.rmtree(os.path.join(data_root, f"group-{g}"),
