@@ -946,6 +946,15 @@ def q_hll_vocab(sf_dir: str):
     return hll_word_registers(ds).sort(["source", "reg"])
 
 
+def q_rollup_counts(sf_dir: str):
+    """GROUP BY ROLLUP(source, lang): one distributed fine aggregate,
+    coarser levels derived from the groups-sized result."""
+    from colonnade_ray.functions.relational import rollup_counts
+
+    ds = _tbl(sf_dir, "documents", ["source", "lang"])
+    return rollup_counts(ds, ["source", "lang"])
+
+
 def q_pack_sequences(sf_dir: str):
     """LLM data prep: tokenize -> pack into fixed 512-token training
     examples (EOS-separated).
@@ -1088,6 +1097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join": q_broadcast_join,
         "hash_join": q_hash_join,
         "left_join_histogram": q_left_join_histogram,
+        "rollup_counts": q_rollup_counts,
         "sessions": q_sessions,
         "asof_clicks": q_asof_clicks,
         "dedup_exact": q_dedup_exact,
@@ -1541,6 +1551,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM h) "
             "SELECT source, reg, CAST(MAX(rho) AS BIGINT) AS r FROM rr "
             "GROUP BY source, reg ORDER BY source, reg"
+        ),
+        "rollup_counts": (
+            "SELECT COALESCE(source, '(all)') AS source, "
+            "COALESCE(lang, '(all)') AS lang, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY ROLLUP(source, lang) "
+            "ORDER BY source, lang"
         ),
         "shipping_priority": (
             "SELECT l.l_orderkey AS o_orderkey, o.o_orderdate, "

@@ -560,3 +560,30 @@ def rolling_in_bucket(df: pd.DataFrame, key_col: str, order: list,
     lag = cs.groupby(df[key_col], sort=False).shift(window)
     df[out_col] = (cs - lag.fillna(0)).astype(df[value_col].dtype)
     return df
+
+
+def rollup_counts(ds, dims: Sequence[str], sentinel: str = "(all)"):
+    """GROUP BY ROLLUP(dims...) row counts: one DISTRIBUTED aggregate
+    at the finest level, then every coarser level derived from that
+    group-level result on the driver — the standard rollup optimization
+    (the corpus is read once; the fine result is groups-sized, i.e.
+    driver-small by the same argument as broadcast-join small sides).
+    Rolled-up dimensions carry ``sentinel`` (dims are assumed non-null;
+    a null-bearing dim would need a distinguishing marker)."""
+    from ray.data.aggregate import Count
+
+    dims = list(dims)
+    fine = ds.groupby(dims).aggregate(Count(alias_name="n")).to_pandas()
+    frames = [fine]
+    for lvl in range(len(dims) - 1, -1, -1):
+        keep = dims[:lvl]
+        if keep:
+            g = fine.groupby(keep, as_index=False)["n"].sum()
+        else:
+            g = pd.DataFrame({"n": [int(fine["n"].sum())]})
+        for d in dims[lvl:]:
+            g[d] = sentinel
+        frames.append(g[dims + ["n"]])
+    out = pd.concat(frames, ignore_index=True)[dims + ["n"]]
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(dims, kind="mergesort").reset_index(drop=True)

@@ -1488,3 +1488,20 @@ def test_hll_estimate_tracks_exact_vocab(ray_session):
                          np.concatenate([np.asarray(t.split()) for t, gg in
                                          zip(texts, groups) if gg == g])})
             assert abs(est[g] - exact) / exact < 0.40, (mode, g, est[g], exact)
+
+
+def test_rollup_counts_levels_are_consistent(ray_session):
+    import ray.data as rd
+
+    from colonnade_ray.functions.relational import rollup_counts
+
+    docs = rd.from_arrow(pa.table({
+        "source": pa.array(["a", "a", "a", "b", "b"]),
+        "lang": pa.array(["en", "en", "de", "en", "fr"]),
+    }))
+    out = rollup_counts(docs, ["source", "lang"])
+    m = {(r.source, r.lang): r.n for r in out.itertuples()}
+    assert m[("a", "en")] == 2 and m[("a", "de")] == 1
+    assert m[("a", "(all)")] == 3 and m[("b", "(all)")] == 2
+    assert m[("(all)", "(all)")] == 5
+    assert len(out) == 4 + 2 + 1
