@@ -955,6 +955,30 @@ def q_rollup_counts(sf_dir: str):
     return rollup_counts(ds, ["source", "lang"])
 
 
+def q_group_moments(sf_dir: str):
+    """Algebraic aggregate partials: per-flag lineitem quantity moments
+    (n, sum, sum of squares) — the mergeable-statistics shape behind
+    variance/corr, integer-exact so the SQL twin hashes identically."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _tbl(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(b["l_quantity"]), pa.int64())
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "q": q,
+            "q2": pc.multiply(q, q),
+        })
+
+    keyed = ds.map_batches(partial, batch_format="pyarrow")
+    return keyed.groupby("l_returnflag").aggregate(
+        Count(alias_name="n"),
+        Sum("q", alias_name="sum_q"),
+        Sum("q2", alias_name="sum_q2"),
+    ).sort("l_returnflag")
+
+
 def q_pack_sequences(sf_dir: str):
     """LLM data prep: tokenize -> pack into fixed 512-token training
     examples (EOS-separated).
@@ -1098,6 +1122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join": q_hash_join,
         "left_join_histogram": q_left_join_histogram,
         "rollup_counts": q_rollup_counts,
+        "group_moments": q_group_moments,
         "sessions": q_sessions,
         "asof_clicks": q_asof_clicks,
         "dedup_exact": q_dedup_exact,
@@ -1558,6 +1583,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n "
             "FROM documents GROUP BY ROLLUP(source, lang) "
             "ORDER BY source, lang"
+        ),
+        "group_moments": (
+            "SELECT l_returnflag, COUNT(*) AS n, "
+            "CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q, "
+            "CAST(SUM(CAST(round(l_quantity) AS BIGINT) * "
+            "CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q2 "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         "shipping_priority": (
             "SELECT l.l_orderkey AS o_orderkey, o.o_orderdate, "

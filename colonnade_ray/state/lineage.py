@@ -18,12 +18,14 @@ import pyarrow.parquet as pq
 
 
 def load_lineage(out_dir: str) -> pa.Table:
-    """All committed lineage records of an encode output directory."""
+    """Lineage records of the ACTIVE committed groups (compaction-
+    shadowed groups excluded, matching what decode reads)."""
+    from ..pipelines.encode_pipeline import active_groups
+
     lin_root = os.path.join(out_dir, "_lineage")
     files = [
-        os.path.join(lin_root, f)
-        for f in sorted(os.listdir(lin_root))
-        if f.endswith(".parquet")
+        os.path.join(lin_root, f"group-{gid}.parquet")
+        for gid in active_groups(out_dir)
     ]
     if not files:
         return pa.table(

@@ -48,6 +48,8 @@ def main(argv=None) -> int:
                     help="skip groups whose lineage marker exists")
     ap.add_argument("--append", action="store_true",
                     help="encode only input files no committed group covers")
+    ap.add_argument("--compact", action="store_true",
+                    help="fold committed groups into one after encoding")
     ap.add_argument("--no-transport", action="store_true",
                     help="disable shuffle-transport narrowing")
     ap.add_argument("--verify", action="store_true",
@@ -75,6 +77,10 @@ def main(argv=None) -> int:
         transport=not args.no_transport,
         append=args.append,
     )
+    if args.compact:
+        from colonnade_ray.pipelines import compact_corpus
+
+        summary |= compact_corpus(args.output)
     summary["encode_sec"] = round(time.time() - t0, 3)
 
     if args.verify:
