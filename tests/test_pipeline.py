@@ -500,3 +500,34 @@ def test_compact_corpus_merges_groups_without_reencode(ray_session, tmp_path):
     compact_corpus(out, gc=True)  # no-op merge (1 active), but idempotent
     assert len(active_groups(out)) == 1
     assert dataset_digest(decode_corpus(out), cols) == before
+
+
+def test_compact_corpus_keeps_plan_cohorts_separate(ray_session, tmp_path):
+    """Groups encoded with different column plans have different
+    parquet schemas: compaction must merge within a cohort only, and
+    projected decode keeps working per cohort."""
+    import ray.data as rd
+
+    from colonnade_ray.corpus import tokenized_documents
+    from colonnade_ray.pipelines import (
+        active_groups,
+        compact_corpus,
+        decode_corpus,
+        encode_corpus,
+    )
+
+    inp = str(tmp_path / "inp")
+    out = str(tmp_path / "out")
+    tokenized_documents("/root/testdata/sf0.001").repartition(4).write_parquet(inp)
+    import glob
+
+    parts = sorted(glob.glob(inp + "/*.parquet"))
+    # 2 groups with the full plan, 2 with a projected plan
+    encode_corpus(parts[:2], out, batch_size=512, partition_by=None, group_size=1)
+    encode_corpus(parts[2:], out, batch_size=512, partition_by=None, group_size=1,
+                  plan_names=["doc_id", "n_tok"])
+    assert len(active_groups(out)) == 4
+    r = compact_corpus(out)
+    assert r["cohorts"] == 2 and len(active_groups(out)) == 2
+    got = decode_corpus(out, columns=["doc_id", "n_tok"]).to_pandas()
+    assert len(got) == rd.read_parquet(inp).count()
