@@ -62,6 +62,7 @@ def encode_dataset(
     stateless: bool = False,
     transport: Optional[dict] = None,
     fragments: Optional[Sequence[str]] = None,
+    post_compress: Optional[str] = None,
 ):
     """Dataset of raw rows -> Dataset of encoded chunk rows (lazy).
 
@@ -78,7 +79,8 @@ def encode_dataset(
 
                 b = unpack_list_columns(b, transport)
             return encode_batch(
-                b, list(plan_names) if plan_names else None, frag_names
+                b, list(plan_names) if plan_names else None, frag_names,
+                post_compress=post_compress,
             )
 
         return ds.map_batches(
@@ -104,6 +106,7 @@ def encode_dataset(
             "shared_fsst": shared_fsst,
             "transport": transport,
             "fragments": list(fragments) if fragments else None,
+            "post_compress": post_compress,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -234,6 +237,7 @@ def encode_corpus(
     transport: bool = True,
     stateless: Optional[bool] = None,
     append: bool = False,
+    post_compress: Optional[str] = None,
 ) -> dict:
     """Encode a parquet corpus to out_dir with lineage + exact resume.
 
@@ -343,7 +347,7 @@ def encode_corpus(
         enc = encode_dataset(
             ds, plan_names, batch_size, concurrency, shared_fsst=shared_fsst,
             transport=spec or None, fragments=frag_names,
-            stateless=use_stateless,
+            stateless=use_stateless, post_compress=post_compress,
         )
         enc.write_parquet(gdir, compression="none")
         # input-file sidecar first (append mode reads it), THEN the

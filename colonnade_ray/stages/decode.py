@@ -137,8 +137,14 @@ def decode_chunk_row(row: dict, verify_checksum: bool = True,
                 raise ChecksumError(row.get("fragment", ""), row.get("chunk_id", ""),
                                     meta["ck"], actual)
         try:
+            if "z" in meta:  # generic post-compression layer (stored-
+                # byte checksums above already verified integrity)
+                zname, orig = meta["z"]
+                payload = pa.Codec(zname).decompress(
+                    payload, decompressed_size=orig, asbytes=True)
             arr = decode_column(payload, meta)
-        except (ValueError, IndexError, KeyError, pa.lib.ArrowInvalid) as e:
+        except (ValueError, IndexError, KeyError, OSError,
+                pa.lib.ArrowInvalid) as e:
             cell_errors.append(
                 CellError(column=name, row=-1,
                           content=f"<{len(payload)} payload bytes>",

@@ -103,20 +103,33 @@ def encode_chunk(
     bound: BoundPlan,
     fsst_codecs: Optional[dict] = None,
     fragment: str = "",
+    post_compress: Optional[str] = None,
 ) -> dict:
     """Encode one Arrow chunk under a bound plan -> dict of columns
-    for a one-row encoded table."""
+    for a one-row encoded table.
+
+    ``post_compress`` ("zstd"/"lz4"): squeeze each column payload with
+    a generic codec AFTER the lightweight encode (the parquet layering
+    model) — taken per column only when it actually shrinks, recorded
+    in meta["z"], transparent at decode.  All checksums cover the
+    STORED bytes."""
     n_rows = len(batch)
     out: dict = {}
     payload_parts: list = []
     codec_summary: list = []
     stats: dict = {}
     bytes_in = 0
+    zcodec = pa.Codec(post_compress) if post_compress else None
     for i, bc in enumerate(bound.columns):
         arr = batch.column(bc.index)
         bytes_in += arr.nbytes
         fsst = (fsst_codecs or {}).get(bc.field.name)
         payload, meta = encode_column(arr, fsst=fsst, forced=bc.plan.forced_codec)
+        if zcodec is not None and len(payload) > 64:
+            comp = memoryview(zcodec.compress(payload, asbytes=True))
+            if len(comp) < len(payload):
+                meta["z"] = [post_compress, len(payload)]
+                payload = bytes(comp)
         meta["name"] = bc.field.name
         # per-column checksum: lets PROJECTED decodes (subset of
         # columns) verify integrity without every payload
@@ -193,7 +206,9 @@ class EncoderActor:
         shared_fsst: bool = True,
         transport: Optional[dict] = None,
         fragments: Optional[list] = None,
+        post_compress: Optional[str] = None,
     ):
+        self._post_compress = post_compress
         self._plan_names = plan_names
         self._shared_fsst = shared_fsst
         self._transport = transport or {}
@@ -247,11 +262,13 @@ class EncoderActor:
             batch = unpack_list_columns(batch, self._transport)
         data = _strip_sys(batch)
         bound = self._bind(data.schema)
-        return encode_chunk(data, bound, self._fsst_for(data, bound), fragment)
+        return encode_chunk(data, bound, self._fsst_for(data, bound), fragment,
+                            post_compress=self._post_compress)
 
 
 def encode_batch(batch: pa.Table, plan_names: Optional[list] = None,
-                 fragments: Optional[list] = None) -> dict:
+                 fragments: Optional[list] = None,
+                 post_compress: Optional[str] = None) -> dict:
     """Stateless task form — strictly deterministic (tables trained per
     chunk), used where bit-identical re-execution matters more than
     amortized table builds."""
@@ -259,4 +276,5 @@ def encode_batch(batch: pa.Table, plan_names: Optional[list] = None,
     data = _strip_sys(batch)
     plan = CodecPlan.by_name(*plan_names) if plan_names else CodecPlan.from_schema(data.schema)
     bound = bind_plan(plan, data.schema)
-    return encode_chunk(data, bound, None, fragment)
+    return encode_chunk(data, bound, None, fragment,
+                        post_compress=post_compress)

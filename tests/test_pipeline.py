@@ -531,3 +531,26 @@ def test_compact_corpus_keeps_plan_cohorts_separate(ray_session, tmp_path):
     assert r["cohorts"] == 2 and len(active_groups(out)) == 2
     got = decode_corpus(out, columns=["doc_id", "n_tok"]).to_pandas()
     assert len(got) == rd.read_parquet(inp).count()
+
+
+def test_post_compress_zstd_roundtrip(ray_session, tmp_path):
+    """Optional generic post-compression layer: taken per column only
+    when it shrinks, transparent at decode, checksums over stored
+    bytes, and never larger than the uncompressed encode."""
+    import ray.data as rd
+
+    from colonnade_ray.corpus import tokenized_documents
+    from colonnade_ray.pipelines import decode_corpus, encode_corpus
+    from colonnade_ray.pipelines.encode_pipeline import dataset_digest
+
+    inp = str(tmp_path / "inp")
+    tokenized_documents("/root/testdata/sf0.001").write_parquet(inp)
+    cols = rd.read_parquet(inp).schema().names
+    plain_out = str(tmp_path / "plain")
+    z_out = str(tmp_path / "z")
+    s0 = encode_corpus(inp, plain_out, batch_size=512, partition_by=None)
+    s1 = encode_corpus(inp, z_out, batch_size=512, partition_by=None,
+                       post_compress="zstd")
+    assert s1["bytes_out"] <= s0["bytes_out"]
+    assert dataset_digest(decode_corpus(z_out), cols) == dataset_digest(
+        rd.read_parquet(inp), cols)
