@@ -122,3 +122,84 @@ def hll_estimate(registers: pd.DataFrame, group_col: str = "source") -> pd.DataF
             est = _HLL_M * np.log(_HLL_M / zeros)  # linear counting
         out.append({group_col: g, "estimate": float(est)})
     return pd.DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# t-digest quantile sketch (Dunning & Ertl, public literature)
+
+_TD_DELTA = 100
+
+
+def _k_scale(q: np.ndarray) -> np.ndarray:
+    """t-digest k1 scale function: arcsin compression concentrates
+    centroid resolution at the tails, where quantile error matters."""
+    return (np.arcsin(2.0 * np.clip(q, 0.0, 1.0) - 1.0) / np.pi) + 0.5
+
+
+def _compress_centroids(means: np.ndarray, weights: np.ndarray,
+                        delta: int = _TD_DELTA) -> tuple[np.ndarray, np.ndarray]:
+    """Merge (mean, weight) centroids down to <= ~delta buckets —
+    fully vectorized (one argsort + one reduceat), deterministic for a
+    given multiset of centroids (ties broken by mean order)."""
+    if means.size == 0:
+        return means, weights
+    order = np.argsort(means, kind="mergesort")
+    m, w = means[order].astype(np.float64), weights[order].astype(np.float64)
+    total = w.sum()
+    qmid = (np.cumsum(w) - w / 2.0) / total
+    buckets = np.minimum((_k_scale(qmid) * delta).astype(np.int64), delta - 1)
+    # reduceat over bucket runs: weighted means per bucket
+    starts = np.flatnonzero(np.diff(buckets, prepend=buckets[0] - 1))
+    wsum = np.add.reduceat(w, starts)
+    msum = np.add.reduceat(m * w, starts)
+    return msum / wsum, wsum
+
+
+def tdigest_partials(ds, group_col: str, value_col: str,
+                     delta: int = _TD_DELTA):
+    """Per-group t-digest centroids as mergeable Dataset rows
+    (group, c_mean, c_weight): every batch compresses its values to
+    <= delta centroids, ONE bucketed exchange merges per group — the
+    100-TB quantile path (exact grouped_quantiles is irreducibly
+    all-to-all in value rows; this moves <= delta rows per
+    (group, batch))."""
+    from .bucketing import bucketed_group_apply
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = pa.table({group_col: b[group_col],
+                       value_col: b[value_col]}).to_pandas()
+        out = []
+        for g, sub in df.groupby(group_col, sort=False):
+            v = sub[value_col].to_numpy(dtype=np.float64)
+            m, w = _compress_centroids(v, np.ones_like(v), delta)
+            out.append(pd.DataFrame({group_col: g, "c_mean": m, "c_weight": w}))
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {group_col: [], "c_mean": [], "c_weight": []})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for key, sub in g.groupby(group_col, sort=False):
+            m, w = _compress_centroids(sub["c_mean"].to_numpy(),
+                                       sub["c_weight"].to_numpy(), delta)
+            out.append(pd.DataFrame({group_col: key, "c_mean": m, "c_weight": w}))
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_apply(parts, group_col, merge_bucket)
+
+
+def tdigest_quantile(centroids: pd.DataFrame, qs, group_col: str = "source"
+                     ) -> pd.DataFrame:
+    """Quantile estimates from merged centroids (groups x delta rows —
+    driver-small): linear interpolation over centroid midpoints."""
+    rows = []
+    for g, sub in centroids.groupby(group_col, sort=True):
+        sub = sub.sort_values("c_mean", kind="mergesort")
+        m = sub["c_mean"].to_numpy()
+        w = sub["c_weight"].to_numpy()
+        cq = (np.cumsum(w) - w / 2.0) / w.sum()
+        for q in qs:
+            rows.append({group_col: g, "q": float(q),
+                         "value": float(np.interp(q, cq, m))})
+    return pd.DataFrame(rows)

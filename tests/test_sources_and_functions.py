@@ -1505,3 +1505,36 @@ def test_rollup_counts_levels_are_consistent(ray_session):
     assert m[("a", "(all)")] == 3 and m[("b", "(all)")] == 2
     assert m[("(all)", "(all)")] == 5
     assert len(out) == 4 + 2 + 1
+
+
+def test_tdigest_tracks_exact_quantiles(ray_session):
+    """Mergeable t-digest partials: estimates within ~2% of the exact
+    quantile on a skewed distribution, robust to partitioning, and the
+    exchange is bounded (<= delta centroid rows per group per batch)."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.sketches import (
+        tdigest_partials,
+        tdigest_quantile,
+    )
+
+    rng = np.random.default_rng(42)
+    vals = {
+        "a": rng.lognormal(0.0, 1.0, 20000),
+        "b": rng.normal(100.0, 5.0, 20000),
+    }
+    t = pa.table({
+        "source": pa.array(sum(([g] * len(v) for g, v in vals.items()), [])),
+        "v": pa.array(np.concatenate(list(vals.values()))),
+    })
+    for nparts in (2, 7):
+        cents = tdigest_partials(rd.from_arrow(t).repartition(nparts),
+                                 "source", "v").to_pandas()
+        assert cents.groupby("source").size().max() <= 110
+        est = tdigest_quantile(cents, (0.1, 0.5, 0.9, 0.99), "source")
+        for g, v in vals.items():
+            for q in (0.1, 0.5, 0.9, 0.99):
+                exact = np.quantile(v, q)
+                got = est[(est["source"] == g) & (est["q"] == q)]["value"].iloc[0]
+                spread = np.quantile(v, 0.99) - np.quantile(v, 0.01)
+                assert abs(got - exact) < 0.03 * spread, (nparts, g, q, got, exact)
