@@ -979,6 +979,15 @@ def q_group_moments(sf_dir: str):
     ).sort("l_returnflag")
 
 
+def q_build_vocab(sf_dir: str):
+    """Frequency-ranked vocabulary (the build step ahead of the
+    remap_tokens broadcast LUT); contiguous ids by (count desc, word)."""
+    from colonnade_ray.functions.text import build_vocab
+
+    ds = _tbl(sf_dir, "documents", ["text"])
+    return build_vocab(ds)
+
+
 def q_pack_sequences(sf_dir: str):
     """LLM data prep: tokenize -> pack into fixed 512-token training
     examples (EOS-separated).
@@ -1123,6 +1132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join_histogram": q_left_join_histogram,
         "rollup_counts": q_rollup_counts,
         "group_moments": q_group_moments,
+        "build_vocab": q_build_vocab,
         "sessions": q_sessions,
         "asof_clicks": q_asof_clicks,
         "dedup_exact": q_dedup_exact,
@@ -1590,6 +1600,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(round(l_quantity) AS BIGINT) * "
             "CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q2 "
             "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "build_vocab": (
+            "WITH f AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+            "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) "
+            "AS word FROM documents) GROUP BY word) "
+            "SELECT word, n, CAST(row_number() OVER "
+            "(ORDER BY n DESC, word) - 1 AS BIGINT) AS token_id FROM f"
         ),
         "shipping_priority": (
             "SELECT l.l_orderkey AS o_orderkey, o.o_orderdate, "

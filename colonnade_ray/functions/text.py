@@ -301,3 +301,47 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     txt = pc.coalesce(batch[text_col], "").to_pandas().to_numpy(dtype=object)
     h = pd.util.hash_array(txt, categorize=False).astype(np.uint64).view(np.int64)
     return batch.append_column("fingerprint", pa.array(h))
+
+
+def build_vocab(ds, text_col: str = "text", min_count: int = 1):
+    """Frequency-ranked vocabulary (word -> contiguous id by count
+    desc, word asc): the build step ahead of ``remap_tokens``'s
+    broadcast LUT.  Same partial-counts exchange as word_freq; the
+    final rank pass runs on ONE block because a vocabulary is
+    vocab-sized (millions of rows at web scale — block-sized, not
+    corpus-sized; the deterministic-layout convention of
+    pack_sequences)."""
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({"word": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if pa.types.is_null(col.type):
+            return empty
+        txt = pc.utf8_lower(pc.coalesce(col, ""))
+        words = txt.to_pandas().str.findall(_WORD_LOWER_RE)
+        if not words.str.len().sum():
+            return empty
+        flat = np.concatenate(
+            [np.asarray(w, dtype=object) for w in words if len(w)])
+        vc = pd.Series(flat).value_counts()
+        return pa.table(
+            {"word": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+             "n": pa.array(vc.to_numpy().astype(np.int64))})
+
+    freq = ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby("word").aggregate(Sum("n", alias_name="n"))
+    if min_count > 1:
+        freq = freq.filter(expr=f"n >= {min_count}")
+
+    def rank(b: pa.Table) -> pa.Table:
+        idx = pa.table({"word": b["word"], "n": b["n"]}).to_pandas()
+        idx = idx.sort_values(["n", "word"], ascending=[False, True],
+                              kind="mergesort")
+        idx["token_id"] = np.arange(len(idx), dtype=np.int64)
+        return pa.Table.from_pandas(idx, preserve_index=False)
+
+    return freq.sort(["n", "word"], descending=[True, False]) \
+               .repartition(1).map_batches(rank, batch_format="pyarrow")

@@ -1538,3 +1538,21 @@ def test_tdigest_tracks_exact_quantiles(ray_session):
                 got = est[(est["source"] == g) & (est["q"] == q)]["value"].iloc[0]
                 spread = np.quantile(v, 0.99) - np.quantile(v, 0.01)
                 assert abs(got - exact) < 0.03 * spread, (nparts, g, q, got, exact)
+
+
+def test_build_vocab_then_remap_roundtrip(ray_session):
+    """build_vocab ids feed remap_tokens' broadcast LUT: most-frequent
+    word gets id 0; remapped streams use only vocab ids."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.text import build_vocab
+
+    docs = rd.from_arrow(pa.table({
+        "text": pa.array(["b b b a a c", "a b", None, ""]),
+    }))
+    v = build_vocab(docs).to_pandas()
+    assert v["word"].tolist() == ["b", "a", "c"]
+    assert v["token_id"].tolist() == [0, 1, 2]
+    assert v["n"].tolist() == [4, 3, 1]
+    v2 = build_vocab(docs, min_count=2).to_pandas()
+    assert v2["word"].tolist() == ["b", "a"]
