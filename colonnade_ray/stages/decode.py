@@ -79,7 +79,14 @@ def chunk_may_match(stats_json: Optional[str], predicate: Tuple[str, str, object
     if col not in stats:
         return True
     lo, hi = stats[col]
-    if not isinstance(lo, (int, float)) or not isinstance(hi, (int, float)):
+    numeric = isinstance(lo, (int, float)) and isinstance(hi, (int, float))
+    if isinstance(lo, str) and isinstance(hi, str):
+        # lexicographic bounds (string ids); only prune when the
+        # predicate compares strings too
+        vals = val if op == "in" else [val]
+        if not all(isinstance(v, str) for v in vals):
+            return True
+    elif not numeric:
         return True
     if op == "in":
         # OR across the list: the chunk survives if ANY value could be

@@ -78,13 +78,22 @@ _STATS_TYPES = (
 )
 
 
+_ZONE_STR_CAP = 64
+
+
 def _zone_stat(arr) -> Optional[list]:
     """JSON-safe [min, max] for orderable columns (zone map entry).
-    Temporal values are stored as their underlying integer repr."""
+    Temporal values are stored as their underlying integer repr.
+    String columns get lexicographic bounds too (id-extraction decodes
+    prune on string doc ids): the stored MIN may be truncated to
+    _ZONE_STR_CAP chars (a prefix is a valid lower bound), but a
+    truncated MAX is unsafe (the prefix sorts BELOW the real value),
+    so over-long maxima drop the whole entry."""
     import pyarrow.compute as pc
 
     t = arr.type
-    if not any(chk(t) for chk in _STATS_TYPES):
+    is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
+    if not (is_str or any(chk(t) for chk in _STATS_TYPES)):
         return None
     if len(arr) == 0 or arr.null_count == len(arr):
         return None
@@ -93,6 +102,10 @@ def _zone_stat(arr) -> Optional[list]:
     if pa.types.is_temporal(t):
         lo, hi = lo.cast(pa.int64()), hi.cast(pa.int64())
     lo, hi = lo.as_py(), hi.as_py()
+    if is_str:
+        if len(hi) > _ZONE_STR_CAP:
+            return None
+        lo = lo[:_ZONE_STR_CAP]
     if isinstance(lo, bool):
         lo, hi = int(lo), int(hi)
     return [lo, hi]

@@ -554,3 +554,28 @@ def test_post_compress_zstd_roundtrip(ray_session, tmp_path):
     assert s1["bytes_out"] <= s0["bytes_out"]
     assert dataset_digest(decode_corpus(z_out), cols) == dataset_digest(
         rd.read_parquet(inp), cols)
+
+
+def test_string_zone_maps_prune_and_stay_correct(ray_session, tmp_path):
+    """String columns now carry lexicographic [min,max] zone bounds:
+    chunk_may_match prunes string predicates, over-long maxima drop the
+    entry (a truncated max would under-bound), and id-extraction decode
+    stays exact."""
+    import json
+
+    from colonnade_ray.stages.decode import chunk_may_match
+    from colonnade_ray.stages.encode import _zone_stat
+
+    sj = json.dumps({"doc_id": ["100", "399"]})
+    assert chunk_may_match(sj, ("doc_id", "==", "250"))
+    assert not chunk_may_match(sj, ("doc_id", "==", "500"))
+    assert not chunk_may_match(sj, ("doc_id", "in", ["5", "99"]))
+    assert chunk_may_match(sj, ("doc_id", "in", ["5", "25"]))   # "25" in range
+    assert chunk_may_match(sj, ("doc_id", "==", 250))           # non-str: keep
+    assert chunk_may_match(sj, ("doc_id", ">=", "399"))
+    assert not chunk_may_match(sj, ("doc_id", ">", "399"))
+
+    assert _zone_stat(pa.array(["b", "a", "c"])) == ["a", "c"]
+    assert _zone_stat(pa.array(["a", "z" * 100])) is None  # unsafe max
+    long_min = pa.array(["m" * 100, "z"])
+    assert _zone_stat(long_min) == ["m" * 64, "z"]  # truncated min is safe
