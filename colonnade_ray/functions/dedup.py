@@ -815,7 +815,7 @@ def dup_groups(pairs_ds, driver_threshold: int = 200_000, max_iters: int = 50):
 
 
 def dup_gram_stats(ds, text_col: str = "text", id_col: str = "doc_id",
-                   k: int = 5, hash_fn: str = "md5", num_buckets: int = 64):
+                   k: int = 5, hash_fn: str = "pandas", num_buckets: int = 64):
     """Per-doc duplicated-k-gram statistics — the counting core of
     span-level dedup (Lee et al. 2022, "Deduplicating Training Data
     Makes Language Models Better", public literature): for every doc,

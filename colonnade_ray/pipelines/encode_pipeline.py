@@ -541,29 +541,51 @@ def decode_corpus(out_dir: str, verify_checksum: bool = True, concurrency=None,
     untouched payload streams never leave disk.  ``predicate`` prunes
     whole chunks by their lineage zone maps before exact filtering.
     """
-    enc, cpt = _read_encoded(out_dir, columns, concurrency)
+    enc, cpt = _read_encoded(out_dir, columns, concurrency,
+                             predicate=predicate)
     return decode_dataset(enc, verify_checksum=verify_checksum,
                           concurrency=concurrency, columns=columns,
                           predicate=predicate, chunks_per_task=cpt)
 
 
 def _read_encoded(out_dir: str, columns: Optional[Sequence[str]] = None,
-                  concurrency=None):
+                  concurrency=None, predicate: Optional[tuple] = None):
     """Committed-group encoded chunk rows as a Dataset, plus the
     lineage-derived chunks-per-task sizing.  Shared by decode_corpus
-    and the fused digest path."""
+    and the fused digest path.
+
+    ``predicate`` enables GROUP-level pruning: the lineage manifest
+    (small) carries every chunk's zone maps, so a group in which no
+    chunk can match is dropped from the read list entirely — its
+    payload bytes never leave storage (a time- or source-partitioned
+    corpus typically kills whole groups, not just chunks)."""
     import ray.data as rd
 
+    from ..stages.decode import chunk_may_match, normalize_predicates
+
+    preds = normalize_predicates(predicate)
     data_root = os.path.join(out_dir, "data")
     lin_root = os.path.join(out_dir, "_lineage")
     group_files: dict = {}
     for gid in active_groups(out_dir):
+        if preds:
+            lin = pq.read_table(
+                os.path.join(lin_root, f"group-{gid}.parquet"),
+                columns=["stats_json"])
+            sj = lin["stats_json"].to_pylist()
+            if not any(all(chunk_may_match(s, p) for p in preds) for s in sj):
+                continue  # zone maps prove: nothing in this group
         gdir = os.path.join(data_root, f"group-{gid}")
         group_files[gid] = [
             os.path.join(gdir, f) for f in sorted(os.listdir(gdir)) if f.endswith(".parquet")
         ]
     files = [f for fs in group_files.values() for f in fs]
     if not files:
+        if preds and active_groups(out_dir):
+            # every group zone-pruned: a valid empty result, not an error
+            import ray.data as _rd
+
+            return _rd.from_items([]), 1
         raise FileNotFoundError(f"no committed encode groups under {out_dir}")
     # Size chunks-per-task from the lineage chunk count: keep every
     # core busy (4 task waves per core) but never one task per chunk

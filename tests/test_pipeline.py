@@ -579,3 +579,38 @@ def test_string_zone_maps_prune_and_stay_correct(ray_session, tmp_path):
     assert _zone_stat(pa.array(["a", "z" * 100])) is None  # unsafe max
     long_min = pa.array(["m" * 100, "z"])
     assert _zone_stat(long_min) == ["m" * 64, "z"]  # truncated min is safe
+
+
+def test_group_level_zone_pruning(ray_session, tmp_path):
+    """A predicate that excludes every chunk of a group drops that
+    group's files from the read list entirely; a predicate excluding
+    ALL groups returns an empty (not error) result."""
+    import pyarrow.parquet as pq
+
+    from colonnade_ray.corpus import synth_rows
+    from colonnade_ray.pipelines import decode_corpus, encode_corpus
+
+    d = tmp_path / "in"
+    d.mkdir()
+    # two fragments with DISJOINT n_tok ranges -> two groups with
+    # disjoint zone maps
+    lo = synth_rows(200, seed=1, start_id=0)
+    hi = synth_rows(200, seed=2, start_id=200)
+    import numpy as np
+    import pyarrow as pa
+
+    def force_ntok(t, lo_v, hi_v):
+        n = (np.arange(len(t)) % (hi_v - lo_v) + lo_v).astype(np.int32)
+        return t.set_column(t.column_names.index("n_tok"), "n_tok",
+                            pa.array(n, pa.int32()))
+
+    pq.write_table(force_ntok(lo, 10, 50), d / "a.parquet")
+    pq.write_table(force_ntok(hi, 1000, 1050), d / "b.parquet")
+    out = str(tmp_path / "enc")
+    encode_corpus(str(d), out, batch_size=512, partition_by=None, group_size=1)
+    got = decode_corpus(out, columns=["doc_id", "n_tok"],
+                        predicate=[("n_tok", ">=", 1000)]).to_pandas()
+    assert len(got) == 200 and (got["n_tok"] >= 1000).all()
+    empty = decode_corpus(out, columns=["doc_id", "n_tok"],
+                          predicate=[("n_tok", ">", 5000)]).to_pandas()
+    assert len(empty) == 0
