@@ -199,6 +199,10 @@ def keyed_antijoin(left_ds, drop_ds, on: str, carry: Sequence[tuple]):
     out_cols = [on] + [c for c in carry_names if c != on]
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or "__key" not in g.columns:
+            # empty inputs can reach the group pass schema-less
+            return pd.DataFrame({c: pd.Series([], dtype=object)
+                                 for c in out_cols})
         dropped = g.loc[~g["__is_left"], "__key"]
         keep = g[g["__is_left"] & ~g["__key"].isin(dropped)]
         out = keep.rename(columns={"__key": on})[out_cols]

@@ -96,3 +96,29 @@ def test_alp_property_bit_exact_or_rejected(e, n, seed, poison):
     assert np.array_equal(vals.view(np.uint64), back.view(np.uint64))
     if poison:
         assert meta["streams"]["values"]["codec"] != "alp"
+
+
+@given(
+    st.lists(st.integers(0, 400), min_size=0, max_size=120, unique=True),
+    st.lists(st.integers(0, 400), min_size=0, max_size=120, unique=True),
+)
+@settings(max_examples=25, deadline=None)
+def test_keyed_antijoin_property(left_ids, drop_ids):
+    """keyed_antijoin == set difference, any overlap shape."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.relational import keyed_antijoin
+
+    left = rd.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(left_ids), pa.int64()),
+        "tag": pa.array([f"t{i}" for i in sorted(left_ids)]),
+    }))
+    drop = rd.from_arrow(pa.table({"doc_id": pa.array(sorted(drop_ids), pa.int64())}))
+    got = keyed_antijoin(left, drop, on="doc_id",
+                         carry=[("tag", pa.string())]).to_pandas()
+    expect = sorted(set(left_ids) - set(drop_ids))
+    if not expect:
+        # an all-empty result may come back schema-less from Ray
+        assert len(got) == 0
+    else:
+        assert sorted(got["doc_id"].tolist()) == expect
