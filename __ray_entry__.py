@@ -988,6 +988,16 @@ def q_build_vocab(sf_dir: str):
     return build_vocab(ds)
 
 
+def q_cap_source_share(sf_dir: str):
+    """Domain balancing: deterministically downsample every source
+    above 3% of the corpus to ~that share (md5-keyed keep set; exact
+    power-of-two threshold scaling makes the SQL twin bit-identical)."""
+    from colonnade_ray.functions.sampling import cap_source_share
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "source"])
+    return cap_source_share(ds, cap_fraction=0.03, seed=9).sort("doc_id")
+
+
 def q_pack_sequences(sf_dir: str):
     """LLM data prep: tokenize -> pack into fixed 512-token training
     examples (EOS-separated).
@@ -1133,6 +1143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_counts": q_rollup_counts,
         "group_moments": q_group_moments,
         "build_vocab": q_build_vocab,
+        "cap_source_share": q_cap_source_share,
         "sessions": q_sessions,
         "asof_clicks": q_asof_clicks,
         "dedup_exact": q_dedup_exact,
@@ -1607,6 +1618,19 @@ def oracle_sql() -> dict[str, str]:
             "AS word FROM documents) GROUP BY word) "
             "SELECT word, n, CAST(row_number() OVER "
             "(ORDER BY n DESC, word) - 1 AS BIGINT) AS token_id FROM f"
+        ),
+        "cap_source_share": (
+            "WITH nq AS (SELECT COUNT(*) AS total FROM documents), "
+            "g AS (SELECT source, COUNT(*) AS ng FROM documents GROUP BY source), "
+            "h AS (SELECT doc_id, source, "
+            "('0x' || substr(md5('9:' || CAST(doc_id AS VARCHAR)), 1, 16))"
+            "::UBIGINT AS hv FROM documents) "
+            "SELECT h.doc_id, h.source FROM h "
+            "JOIN g USING (source) CROSS JOIN nq "
+            "WHERE (0.03 * nq.total / g.ng) >= 1 "
+            "OR hv < CAST(floor((0.03 * nq.total / g.ng) * "
+            "18446744073709551616.0) AS UBIGINT) "
+            "ORDER BY h.doc_id"
         ),
         "shipping_priority": (
             "SELECT l.l_orderkey AS o_orderkey, o.o_orderdate, "

@@ -155,3 +155,40 @@ def shuffle_export(ds, id_col: str = "doc_id", seed: int = 7,
         lambda b: b.select([id_col, "shard", "pos"] + list(carry)),
         batch_format="pyarrow",
     )
+
+
+def cap_source_share(ds, group_col: str = "source", id_col: str = "doc_id",
+                     cap_fraction: float = 0.3, seed: int = 9):
+    """Domain balancing: downsample every group whose share of the
+    corpus exceeds ``cap_fraction`` to (approximately) that share,
+    deterministically — keep iff md5_key(seed:id) falls below the
+    group's keep-rate threshold, so retries/resumes keep the same rows
+    and under-represented groups pass through untouched.
+
+    The per-group keep threshold is floor(rate * 2^64) with rate =
+    (cap_fraction * total) / n_group: the 2^64 scaling is a power of
+    two (exact in IEEE), so an SQL twin computes the identical
+    threshold bit-for-bit.  Group counts are a groups-sized broadcast;
+    the filter is a pure row pass — no shuffle."""
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby(group_col).aggregate(Count(alias_name="ng")).to_pandas()
+    total = float(counts["ng"].sum())
+    thresholds = {}
+    for g, ng in zip(counts[group_col], counts["ng"]):
+        rate = (cap_fraction * total) / float(ng)
+        thresholds[g] = None if rate >= 1.0 else np.uint64(
+            np.floor(rate * 18446744073709551616.0))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        grp = batch[group_col].to_pandas().to_numpy(dtype=object)
+        ids = _key_numpy(batch, id_col)
+        h = _md5_id_keys(ids, seed)
+        mask = np.ones(len(batch), dtype=bool)
+        for g, thr in thresholds.items():
+            if thr is not None:
+                sel = grp == g
+                mask[sel] = h[sel] < thr
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

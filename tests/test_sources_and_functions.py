@@ -1556,3 +1556,24 @@ def test_build_vocab_then_remap_roundtrip(ray_session):
     assert v["n"].tolist() == [4, 3, 1]
     v2 = build_vocab(docs, min_count=2).to_pandas()
     assert v2["word"].tolist() == ["b", "a"]
+
+
+def test_cap_source_share_balances_domains(ray_session):
+    """The over-represented source is cut to ~the cap share; small
+    sources pass through untouched; re-runs keep identical rows."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.sampling import cap_source_share
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(1100)), pa.int64()),
+        "source": pa.array(["big"] * 1000 + ["small"] * 100),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    out = cap_source_share(ds, cap_fraction=0.2, seed=9).to_pandas()
+    n_big = (out["source"] == "big").sum()
+    n_small = (out["source"] == "small").sum()
+    assert n_small == 100                         # under the cap: untouched
+    assert abs(n_big - 220) < 45                  # ~rate 0.22, binomial noise
+    again = cap_source_share(ds, cap_fraction=0.2, seed=9).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])  # deterministic
