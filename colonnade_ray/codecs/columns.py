@@ -30,8 +30,8 @@ from .ints import INT_CODECS
 
 # deterministic candidate order = selector tie-break order
 INT_CANDIDATE_ORDER = (
-    "for_bitpack", "delta_bitpack", "rle", "dict_bitlen", "dict_varint",
-    "dict_bitpack", "plain",
+    "for_bitpack", "delta_bitpack", "rle", "dict_rans", "dict_bitlen",
+    "dict_varint", "dict_bitpack", "plain",
 )
 
 _STR_SAMPLE_BYTES = 1 << 16

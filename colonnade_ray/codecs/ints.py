@@ -431,7 +431,8 @@ class DictBitlenCodec(Codec):
         bl_uniq[nzu] = np.frexp(rank_of[nzu].astype(np.float64))[1]
         sel_uniq = np.minimum(bl_uniq, np.uint8(self._ESCAPE))
         sel = sel_uniq[inv]
-        parts = [pack_uints(sel, self._SEL_BITS)]
+        sel_meta, parts = self._encode_sel(sel)
+        meta.update(sel_meta)
         # ONE stable radix argsort groups ranks by class (original
         # order preserved within a class — the decode contract) instead
         # of 14 full mask+boolean-index passes over the rank stream
@@ -460,13 +461,22 @@ class DictBitlenCodec(Codec):
                     class_counts=class_counts)
         return Encoded(self.name, meta, parts)
 
+    # Selector-stream hooks — dict_rans swaps the flat 4-bit packing
+    # for a lane-interleaved entropy coder without touching the
+    # payload-class machinery.
+    def _encode_sel(self, sel: np.ndarray) -> tuple[dict, list]:
+        return {}, [pack_uints(sel, self._SEL_BITS)]
+
+    def _decode_sel(self, enc: Encoded, n: int) -> tuple[np.ndarray, int]:
+        return unpack_uints(enc.parts[0], n, self._SEL_BITS).astype(np.uint8), 1
+
     def decode(self, enc: Encoded) -> np.ndarray:
         m = enc.meta
         dt = code_dtype(m["dt"])
         n = m["n"]
         if n == 0:
             return np.zeros(0, dtype=dt)
-        sel = unpack_uints(enc.parts[0], n, self._SEL_BITS).astype(np.uint8)
+        sel, nsel_parts = self._decode_sel(enc, n)
         # mirror of encode: one stable argsort replaces the per-class
         # mask scatters; order slices are each class's positions in
         # first-occurrence order
@@ -476,7 +486,7 @@ class DictBitlenCodec(Codec):
         )
         ranks = np.zeros(n, dtype=np.uint64)
         ranks[order[bounds[1] : bounds[2]]] = 1
-        idx = 1
+        idx = nsel_parts
         for i, b in enumerate(range(2, self._ESCAPE)):
             cnt = m["class_counts"][i]
             if cnt:
@@ -495,6 +505,76 @@ class DictBitlenCodec(Codec):
             Encoded("for_bitpack", m["values"], [enc.parts[idx]])
         )
         return by_rank[ranks.astype(np.int64)].astype(dt, copy=False)
+
+
+class DictRansCodec(DictBitlenCodec):
+    """dict_bitlen with the 4-bit class-selector stream entropy-coded
+    by a lane-interleaved rANS (codecs/rans.py).
+
+    Measured on the flagship token corpus: the class stream carries
+    H = 3.53 bits/value of information but the flat nibble packing
+    spends 4.0; payload streams are already within 0.07 bits of their
+    conditional entropy, so rANS-coding ONLY the 16-symbol selector
+    closes most of the gap to the unigram entropy (7.41 -> 6.94
+    bits/token on a 1.75M-token chunk) while every payload stream
+    stays pure vectorized bit-packing.  Per-chunk overhead: K lane
+    states (4K bytes) + a 16-entry quantized frequency table in meta.
+    """
+
+    name = "dict_rans"
+
+    def _encode_sel(self, sel: np.ndarray) -> tuple[dict, list]:
+        from .rans import pick_lanes, quantize_freqs, rans_encode
+
+        counts = np.bincount(sel, minlength=self._ESCAPE + 1).astype(np.int64)
+        freqs = quantize_freqs(counts)
+        K = pick_lanes(sel.size)
+        rows = (sel.size + K - 1) // K
+        pad = rows * K - sel.size
+        if pad:
+            mps = int(np.argmax(freqs))
+            sel = np.concatenate([sel, np.full(pad, mps, dtype=sel.dtype)])
+        states, stream = rans_encode(sel, freqs, K)
+        return {"sel_freqs": freqs.tolist(), "sel_K": K}, [states, stream]
+
+    def _decode_sel(self, enc: Encoded, n: int) -> tuple[np.ndarray, int]:
+        from .rans import rans_decode
+
+        K = int(enc.meta["sel_K"])
+        freqs = np.asarray(enc.meta["sel_freqs"], dtype=np.int64)
+        rows = (n + K - 1) // K
+        sel = rans_decode(enc.parts[0], enc.parts[1], freqs, rows * K, K)
+        return sel[:n], 2
+
+    def estimate(self, st: ChunkStats) -> Optional[int]:
+        if st.n == 0 or st.sample_n == 0 or st.top_counts is None:
+            return None
+        ndv = _extrapolate_ndv(st)
+        if ndv >= st.n:
+            return None
+        from .rans import pick_lanes
+
+        counts = st.top_counts.astype(np.float64)
+        probs = counts / counts.sum()
+        ranks = np.arange(1, probs.size + 1)
+        bl = np.ceil(np.log2(ranks + 1)).astype(np.int64)
+        W = bit_width(max(ndv - 1, 1))
+        cls = np.minimum(bl, self._ESCAPE)
+        payload = np.where(cls == self._ESCAPE, W, np.maximum(bl - 1, 0))
+        f1 = float((st.top_counts == 1).sum())
+        p_unseen = min(f1 / st.sample_n, 0.9) if st.sample_n < st.n else 0.0
+        pcls = np.bincount(cls, weights=probs,
+                           minlength=self._ESCAPE + 1) * (1 - p_unseen)
+        pcls[self._ESCAPE] += p_unseen
+        nz = pcls > 0
+        h_sel = float(-(pcls[nz] * np.log2(pcls[nz])).sum())
+        pay_bits = (1 - p_unseen) * float((probs * payload).sum()) + p_unseen * W
+        avg_bits = h_sel + pay_bits
+        wd = bit_width(max(st.vmax - st.vmin, 1))
+        lane_bytes = 4 * pick_lanes(st.n) + 64  # states + freq table
+        est = (int(st.n * avg_bits) // 8 + (ndv * wd + 7) // 8
+               + lane_bytes + 2 * _META_OVERHEAD)
+        return est + est // 20
 
 
 def _dict_store_bytes(st: ChunkStats, ndv: int, rank_ordered: bool = False) -> int:
@@ -535,5 +615,6 @@ INT_CODECS: dict[str, Codec] = {
         DictBitpackCodec(),
         DictVarintCodec(),
         DictBitlenCodec(),
+        DictRansCodec(),
     ]
 }
