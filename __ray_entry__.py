@@ -946,6 +946,28 @@ def q_hll_vocab(sf_dir: str):
     return hll_word_registers(ds).sort(["source", "reg"])
 
 
+def q_cms_word_counts(sf_dir: str):
+    """Count-Min sketch registers over corpus word occurrences: like
+    hll_vocab, the sketch STATE is a pure function of the md5-twin
+    hash, so the full (d, j, c) counter table hash-matches DuckDB;
+    the min-over-rows point-estimate property is pytest-checked."""
+    from colonnade_ray.functions.sketches import cms_word_registers
+
+    ds = _tbl(sf_dir, "documents", ["text"])
+    return cms_word_registers(ds).sort(["d", "j"])
+
+
+def q_posting_lists(sf_dir: str):
+    """Inverted index build: word -> (df, sorted posting list).  The
+    exchange ships DISTINCT (word, doc) pairs only; posting
+    construction is parallel across word buckets (the shard layout a
+    100-TB index build writes)."""
+    from colonnade_ray.functions.text import posting_lists
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    return posting_lists(ds, min_df=2)
+
+
 def q_rollup_counts(sf_dir: str):
     """GROUP BY ROLLUP(source, lang): one distributed fine aggregate,
     coarser levels derived from the groups-sized result."""
@@ -1179,6 +1201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": q_tfidf_topk,
         "quality_percentile_gate": q_quality_percentile_gate,
         "hll_vocab": q_hll_vocab,
+        "cms_word_counts": q_cms_word_counts,
+        "posting_lists": q_posting_lists,
         "winnow_gram_counts": q_winnow_gram_counts,
         "encode_roundtrip": q_encode_roundtrip,
         "embedding_lsh_candidates": q_embedding_lsh_candidates,
@@ -1597,6 +1621,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM h) "
             "SELECT source, reg, CAST(MAX(rho) AS BIGINT) AS r FROM rr "
             "GROUP BY source, reg ORDER BY source, reg"
+        ),
+        "posting_lists": (
+            "WITH pairs AS (SELECT DISTINCT doc_id, word FROM ("
+            "SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')) AS word FROM documents)) "
+            "SELECT word, CAST(COUNT(*) AS BIGINT) AS df, "
+            "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
+            "AS postings "
+            "FROM pairs GROUP BY word HAVING COUNT(*) >= 2 ORDER BY word"
+        ),
+        "cms_word_counts": (
+            "WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')) AS word FROM documents), "
+            "cells AS (SELECT d, ('0x' || substr(md5(word), "
+            "CAST(1 + 8 * d AS INTEGER), 8))::UBIGINT % 512 AS j "
+            "FROM toks, (SELECT unnest(range(0, 4)) AS d)) "
+            "SELECT CAST(d AS BIGINT) AS d, CAST(j AS BIGINT) AS j, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM cells "
+            "GROUP BY d, j ORDER BY d, j"
         ),
         "rollup_counts": (
             "SELECT COALESCE(source, '(all)') AS source, "

@@ -203,3 +203,74 @@ def tdigest_quantile(centroids: pd.DataFrame, qs, group_col: str = "source"
             rows.append({group_col: g, "q": float(q),
                          "value": float(np.interp(q, cq, m))})
     return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005, public literature)
+
+_CMS_D = 4       # hash rows
+_CMS_W = 512     # counters per row
+
+
+def _cms_cols(words: np.ndarray) -> np.ndarray:
+    """(len(words), D) counter columns: row d uses bytes [4d, 4d+4) of
+    the md5 digest, big-endian, mod W — byte-for-byte the DuckDB
+    ``('0x' || substr(md5(w), 1+8*d, 8))::UBIGINT % W`` twin."""
+    import hashlib
+
+    out = np.empty((len(words), _CMS_D), dtype=np.int64)
+    for i, w in enumerate(words):
+        dg = hashlib.md5(w.encode()).digest()
+        for d in range(_CMS_D):
+            out[i, d] = int.from_bytes(dg[4 * d : 4 * d + 4], "big") % _CMS_W
+    return out
+
+
+def cms_word_registers(ds, text_col: str = "text"):
+    """Count-Min registers over word OCCURRENCES of the corpus: a
+    Dataset of (d, j, c) counter cells.  Per-batch partials count the
+    batch locally (md5 cost is O(batch vocab), scatter-add is
+    vectorized), so the exchange is bounded by D x W = 2048 rows per
+    batch regardless of corpus size; the groupby-SUM merge is the
+    sketch's native associative combine.  Like the HLL twin, the
+    register STATE is a pure function of the md5 hash — the full
+    counter table hash-matches a DuckDB twin, while the derived
+    point-estimate property (min over rows >= true count) is
+    pytest-checked."""
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({"d": pa.array([], pa.int64()),
+                      "j": pa.array([], pa.int64()),
+                      "c": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(pc.coalesce(batch[text_col], "")).to_pandas()
+        words = txt.str.findall(_WORD_LOWER_RE)
+        flat = [w for ws in words for w in ws]
+        if not flat:
+            return empty
+        uniq, counts = np.unique(np.asarray(flat, dtype=object), return_counts=True)
+        cols = _cms_cols(uniq)
+        mat = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+        for d in range(_CMS_D):
+            np.add.at(mat[d], cols[:, d], counts)
+        d_idx, j_idx = np.nonzero(mat)
+        return pa.table({"d": pa.array(d_idx.astype(np.int64)),
+                         "j": pa.array(j_idx.astype(np.int64)),
+                         "c": pa.array(mat[d_idx, j_idx])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby(["d", "j"]).aggregate(Sum("c", alias_name="c"))
+
+
+def cms_estimate(registers: pd.DataFrame, words) -> pd.DataFrame:
+    """Point estimates from a merged (d, j, c) frame: min over the D
+    rows — an upper bound on the true count with standard CM error
+    (eps ~ e/W of the stream length, delta ~ e^-D)."""
+    mat = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    mat[registers["d"].to_numpy(), registers["j"].to_numpy()] = (
+        registers["c"].to_numpy())
+    words = list(words)
+    cols = _cms_cols(np.asarray(words, dtype=object))
+    est = mat[np.arange(_CMS_D)[None, :], cols].min(axis=1)
+    return pd.DataFrame({"word": words, "estimate": est.astype(np.int64)})

@@ -345,3 +345,54 @@ def build_vocab(ds, text_col: str = "text", min_count: int = 1):
 
     return freq.sort(["n", "word"], descending=[True, False]) \
                .repartition(1).map_batches(rank, batch_format="pyarrow")
+
+
+def posting_lists(ds, text_col: str = "text", id_col: str = "doc_id",
+                  min_df: int = 1):
+    """Inverted index over the corpus: one row per distinct word with
+    its document frequency and the SORTED posting list of doc ids
+    (comma-joined — a hashable scalar for the SQL string_agg twin).
+
+    Shape: per-batch explode to DISTINCT (word, doc) pairs (dedup
+    before the exchange, so a word repeated k times in a doc ships
+    once), then one word-keyed bucket shuffle; each bucket builds its
+    words' postings vectorized (one sort + groupby-agg per bucket).
+    The exchange is bounded by the corpus's distinct (word, doc) pair
+    count — the index's own size — and posting construction is
+    embarrassingly parallel across word buckets, which is the
+    partitioning a 100-TB index build needs (each bucket writes its
+    own shard).
+    """
+    import pandas as pd
+
+    from .bucketing import bucketed_group_apply
+
+    def explode(b: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(pc.coalesce(b[text_col], "")).to_pandas()
+        words = txt.str.findall(_WORD_LOWER_RE)
+        lens = words.str.len().to_numpy().astype(np.int64)
+        ids = b[id_col].to_pandas().to_numpy()
+        if not lens.sum():
+            return pa.table({"word": pa.array([], pa.string()),
+                             id_col: pa.array([], pa.from_numpy_dtype(ids.dtype)
+                                              if ids.dtype != object else pa.string())})
+        flat_ids = np.repeat(ids, lens)
+        flat = np.concatenate([np.asarray(w, dtype=object) for w in words if len(w)])
+        d = pd.DataFrame({"word": flat, id_col: flat_ids}).drop_duplicates()
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow")
+
+    def build(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.sort_values(["word", id_col], kind="mergesort")
+        g = bucket.groupby("word", sort=False)[id_col]
+        out = pd.DataFrame({
+            "word": g.size().index,
+            "df": g.size().to_numpy().astype(np.int64),
+            "postings": g.agg(lambda s: ",".join(map(str, s))).to_numpy(),
+        })
+        if min_df > 1:
+            out = out[out["df"] >= min_df]
+        return out.reset_index(drop=True)
+
+    return bucketed_group_apply(pairs, "word", build)

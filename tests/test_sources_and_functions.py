@@ -1490,6 +1490,65 @@ def test_hll_estimate_tracks_exact_vocab(ray_session):
             assert abs(est[g] - exact) / exact < 0.40, (mode, g, est[g], exact)
 
 
+def test_posting_lists_sorted_and_deduped(ray_session):
+    """Inverted index: postings sorted by doc id, repeated words in a
+    doc counted once, min_df filter applied."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.text import posting_lists
+
+    tbl = pa.table({
+        "doc_id": pa.array([3, 1, 2], pa.int64()),
+        "text": pa.array(["apple banana apple", "Banana cherry", "apple"]),
+    })
+    out = posting_lists(rd.from_arrow(tbl).repartition(2)).to_pandas()
+    out = out.set_index("word")
+    assert out.loc["apple", "postings"] == "2,3"
+    assert out.loc["apple", "df"] == 2
+    assert out.loc["banana", "postings"] == "1,3"  # case-folded
+    assert out.loc["cherry", "postings"] == "1"
+    filtered = posting_lists(rd.from_arrow(tbl), min_df=2).to_pandas()
+    assert set(filtered["word"]) == {"apple", "banana"}
+
+
+def test_cms_estimate_bounds_exact_counts(ray_session):
+    """Count-Min point estimates are an upper bound on the exact
+    occurrence counts (never under), tight for heavy hitters, and
+    invariant to partitioning (the groupby-SUM merge is the sketch's
+    associative combine)."""
+    import collections
+
+    import ray.data as rd
+
+    from colonnade_ray.functions.sketches import cms_estimate, cms_word_registers
+
+    rng = np.random.default_rng(1)
+    texts = []
+    for _ in range(120):
+        words = [f"w{int(z)}" for z in rng.zipf(1.5, 50) if z < 5000]
+        texts.append(" ".join(words))
+    exact = collections.Counter(w for t in texts for w in t.split())
+    tbl = pa.table({"text": pa.array(texts)})
+    regs4 = cms_word_registers(
+        rd.from_arrow(tbl).repartition(4)).to_pandas()
+    regs1 = cms_word_registers(
+        rd.from_arrow(tbl).repartition(1)).to_pandas()
+    key = ["d", "j"]
+    assert regs4.sort_values(key).reset_index(drop=True).equals(
+        regs1.sort_values(key).reset_index(drop=True))
+    probe = [w for w, _ in exact.most_common(20)] + ["w4999", "neverseen"]
+    est = cms_estimate(regs4, probe).set_index("word")["estimate"]
+    total = sum(exact.values())
+    for w in probe:
+        assert est[w] >= exact.get(w, 0), w
+        # CM guarantee: overshoot < e/W of the stream length (3 sigma)
+        assert est[w] - exact.get(w, 0) <= 3 * np.e * total / 512, w
+    # heavy hitters essentially exact at this stream/width ratio
+    top = exact.most_common(3)
+    for w, c in top:
+        assert est[w] <= c + total // 64, (w, est[w], c)
+
+
 def test_rollup_counts_levels_are_consistent(ray_session):
     import ray.data as rd
 
