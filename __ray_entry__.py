@@ -968,6 +968,16 @@ def q_posting_lists(sf_dir: str):
     return posting_lists(ds, min_df=2)
 
 
+def q_lm_commonness(sf_dir: str):
+    """Perplexity-proxy quality score: mean corpus bigram frequency
+    per document (integer sums + ONE IEEE division -> bit-exact SQL
+    twin)."""
+    from colonnade_ray.functions.text import lm_commonness
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    return lm_commonness(ds).sort("doc_id")
+
+
 def q_rollup_counts(sf_dir: str):
     """GROUP BY ROLLUP(source, lang): one distributed fine aggregate,
     coarser levels derived from the groups-sized result."""
@@ -1203,6 +1213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_vocab": q_hll_vocab,
         "cms_word_counts": q_cms_word_counts,
         "posting_lists": q_posting_lists,
+        "lm_commonness": q_lm_commonness,
         "winnow_gram_counts": q_winnow_gram_counts,
         "encode_roundtrip": q_encode_roundtrip,
         "embedding_lsh_candidates": q_embedding_lsh_candidates,
@@ -1621,6 +1632,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM h) "
             "SELECT source, reg, CAST(MAX(rho) AS BIGINT) AS r FROM rr "
             "GROUP BY source, reg ORDER BY source, reg"
+        ),
+        "lm_commonness": (
+            "WITH a AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "'[a-z0-9]+') AS ws FROM documents), "
+            "b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram FROM "
+            "(SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM a)), "
+            "c AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c FROM b "
+            "GROUP BY gram), "
+            "d AS (SELECT b.doc_id, CAST(SUM(c.c) AS BIGINT) AS w, "
+            "CAST(COUNT(*) AS BIGINT) AS nb FROM b JOIN c USING (gram) "
+            "GROUP BY b.doc_id) "
+            "SELECT doc_id, CAST(w AS DOUBLE) / CAST(nb AS DOUBLE) AS "
+            "commonness FROM d ORDER BY doc_id"
         ),
         "posting_lists": (
             "WITH pairs AS (SELECT DISTINCT doc_id, word FROM ("

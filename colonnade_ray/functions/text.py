@@ -396,3 +396,82 @@ def posting_lists(ds, text_col: str = "text", id_col: str = "doc_id",
         return out.reset_index(drop=True)
 
     return bucketed_group_apply(pairs, "word", build)
+
+
+def lm_commonness(ds, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 2):
+    """Perplexity-proxy document quality score (the CCNet-style
+    corpus-LM signal, made integer-exact): mean corpus frequency of
+    the document's word n-grams — SUM(count(gram)) over the doc's gram
+    occurrences, divided ONCE by the doc's gram count, so the float
+    hash-matches a SQL twin bit-for-bit.  Rare-gram docs (gibberish,
+    OCR noise) score low; boilerplate/template docs score high — gate
+    on either tail.
+
+    Two passes over the same vectorized gram explode (global counts,
+    then a gram-keyed attach); the exchanges carry (doc, gram, tf)
+    partials and the gram count table — never document texts.  Docs
+    with fewer than n words produce no grams and are absent (same as
+    the twin's inner join).
+    """
+    from ray.data.aggregate import Sum
+
+    from .relational import field_type, keyed_attach
+
+    id_type = field_type(ds, id_col)
+    empty = pa.table({id_col: pa.array([], id_type),
+                      "gram": pa.array([], pa.string()),
+                      "tf": pa.array([], pa.int64())})
+
+    def doc_grams(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if pa.types.is_null(col.type):
+            return empty
+        txt = pc.utf8_lower(pc.coalesce(col, ""))
+        words = txt.to_pandas().str.findall(_WORD_LOWER_RE)
+        lens = words.str.len().to_numpy().astype(np.int64)
+        total = int(lens.sum())
+        if total < n:
+            return empty
+        flat = np.concatenate(
+            [np.asarray(w, dtype=object) for w in words if len(w)])
+        doc_of = np.repeat(np.arange(lens.size), lens)
+        valid = doc_of[: total - n + 1] == doc_of[n - 1 :]
+        if not valid.any():
+            return empty
+        grams = pd.Series(flat[: total - n + 1][valid])
+        for j in range(1, n):
+            grams = grams + " " + pd.Series(flat[j : total - n + 1 + j][valid])
+        ids = batch[id_col].to_pandas().to_numpy()
+        gid = ids[doc_of[: total - n + 1][valid]]
+        d = pd.DataFrame({id_col: gid, "gram": grams.to_numpy()})
+        g = d.groupby([id_col, "gram"], sort=False).size().reset_index(name="tf")
+        return pa.table({
+            id_col: pa.array(g[id_col].to_numpy(), id_type),
+            "gram": pa.array(g["gram"].to_numpy(dtype=object), pa.string()),
+            "tf": pa.array(g["tf"].to_numpy().astype(np.int64)),
+        })
+
+    tg = ds.map_batches(doc_grams, batch_format="pyarrow")
+    counts = tg.groupby("gram").aggregate(Sum("tf", alias_name="c"))
+    joined = keyed_attach(tg, counts, key_from="gram", out_col="c",
+                          carry=[(id_col, id_type), ("tf", pa.int64())],
+                          id_col="gram", text_col="c")
+
+    def weight(b: pa.Table) -> pa.Table:
+        tf = pc.cast(b["tf"], pa.int64())
+        return pa.table({id_col: b[id_col],
+                         "w": pc.multiply(tf, pc.cast(b["c"], pa.int64())),
+                         "nb": tf})
+
+    agg = (joined.map_batches(weight, batch_format="pyarrow")
+           .groupby(id_col)
+           .aggregate(Sum("w", alias_name="w"), Sum("nb", alias_name="nb")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        w = b["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = b["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: b[id_col],
+                         "commonness": pa.array(w / nb, type=pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

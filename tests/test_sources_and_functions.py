@@ -1490,6 +1490,27 @@ def test_hll_estimate_tracks_exact_vocab(ray_session):
             assert abs(est[g] - exact) / exact < 0.40, (mode, g, est[g], exact)
 
 
+def test_lm_commonness_separates_template_from_gibberish(ray_session):
+    """Boilerplate (shared bigrams) scores high, unique-gram docs
+    score low, and the exact value is integer-sum / gram-count."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.text import lm_commonness
+
+    template = "click here to subscribe now"
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([template, template, template,
+                          "zq glarb fnord xyzzy"]),
+    })
+    out = (lm_commonness(rd.from_arrow(tbl).repartition(2))
+           .to_pandas().set_index("doc_id")["commonness"])
+    # each template bigram occurs 3x corpus-wide -> score exactly 3
+    assert out[1] == out[2] == out[3] == 3.0
+    # all gibberish bigrams are singletons -> score exactly 1
+    assert out[4] == 1.0
+
+
 def test_posting_lists_sorted_and_deduped(ray_session):
     """Inverted index: postings sorted by doc id, repeated words in a
     doc counted once, min_df filter applied."""
