@@ -968,6 +968,16 @@ def q_posting_lists(sf_dir: str):
     return posting_lists(ds, min_df=2)
 
 
+def q_dedup_spans(sf_dir: str):
+    """Span-level dedup rewrite (Lee et al.): word positions covered
+    by a 5-gram whose canonical (min (doc_id, pos)) occurrence is
+    elsewhere get removed; outputs the cleaned text per doc."""
+    from colonnade_ray.functions.dedup import dedup_spans
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_spans(ds, hash_fn="md5").sort("doc_id")
+
+
 def q_lm_commonness(sf_dir: str):
     """Perplexity-proxy quality score: mean corpus bigram frequency
     per document (integer sums + ONE IEEE division -> bit-exact SQL
@@ -1214,6 +1224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_word_counts": q_cms_word_counts,
         "posting_lists": q_posting_lists,
         "lm_commonness": q_lm_commonness,
+        "dedup_spans": q_dedup_spans,
         "winnow_gram_counts": q_winnow_gram_counts,
         "encode_roundtrip": q_encode_roundtrip,
         "embedding_lsh_candidates": q_embedding_lsh_candidates,
@@ -1632,6 +1643,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM h) "
             "SELECT source, reg, CAST(MAX(rho) AS BIGINT) AS r FROM rr "
             "GROUP BY source, reg ORDER BY source, reg"
+        ),
+        "dedup_spans": (
+            f"WITH {_GRAMS_CTES}, "
+            "tot AS (SELECT gh, COUNT(*) AS c, MIN(doc_id) AS cdoc "
+            "FROM grams GROUP BY gh), "
+            "canon AS (SELECT gh, cdoc, MIN(gpos) AS cpos FROM ("
+            "SELECT g.gh, t.cdoc, g.gpos FROM grams g "
+            "JOIN tot t ON g.gh = t.gh AND g.doc_id = t.cdoc "
+            "WHERE t.c > 1) GROUP BY gh, cdoc), "
+            "red AS (SELECT g.doc_id, g.gpos FROM grams g "
+            "JOIN canon cn USING (gh) "
+            "WHERE NOT (g.doc_id = cn.cdoc AND g.gpos = cn.cpos)), "
+            "cov AS (SELECT DISTINCT r.doc_id, r.gpos + o AS pos "
+            "FROM red r, (SELECT unnest(range(0, 5)) AS o)), "
+            "wpos AS (SELECT doc_id, unnest(ws) AS word, "
+            "unnest(range(1, len(ws) + 1)) AS pos FROM words), "
+            "keptw AS (SELECT w.doc_id, w.pos, w.word FROM wpos w "
+            "ANTI JOIN cov c ON w.doc_id = c.doc_id AND w.pos = c.pos), "
+            "ka AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS "
+            "kept_text, COUNT(*) AS n_kept FROM keptw GROUP BY doc_id), "
+            "nw AS (SELECT doc_id, len(ws) AS n_words FROM words) "
+            "SELECT d.doc_id, CAST(COALESCE(n.n_words, 0) AS BIGINT) AS "
+            "n_words, CAST(COALESCE(n.n_words, 0) - COALESCE(k.n_kept, 0) "
+            "AS BIGINT) AS n_removed, COALESCE(k.kept_text, '') AS kept_text "
+            "FROM documents d LEFT JOIN nw n USING (doc_id) "
+            "LEFT JOIN ka k USING (doc_id) ORDER BY d.doc_id"
         ),
         "lm_commonness": (
             "WITH a AS (SELECT doc_id, regexp_extract_all(lower(text), "

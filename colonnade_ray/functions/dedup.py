@@ -1179,3 +1179,92 @@ def simhash_candidates(ds, text_col="text", id_col="doc_id", max_hamming: int = 
         cand.map_batches(dedup_bucket, batch_format="pandas"),
         ["id_a", "id_b"], dedup_bucket,
     )
+
+
+def dedup_spans(ds, text_col: str = "text", id_col: str = "doc_id",
+                k: int = 5, hash_fn: str = "pandas", num_buckets: int = 64):
+    """Span-level dedup REWRITE (the removal step of Lee et al. 2022 —
+    dup_gram_stats is the counting core, this produces the cleaned
+    corpus): every word position covered by a k-gram whose canonical
+    occurrence (lexicographic min (doc_id, gram_pos) corpus-wide) is
+    elsewhere gets removed; the canonical occurrence survives.  An
+    exact duplicate doc therefore rewrites to empty while the min-id
+    copy keeps its text, and within-doc repetition keeps only the
+    first span.
+
+    Output: (doc_id, n_words, n_removed, kept_text) for EVERY input
+    doc, kept_text being the surviving words space-joined.
+
+    Scale shape: (1) one corpus-sized explode to (doc_id, gh, gpos)
+    rows and ONE gh-bucketed exchange — all occurrences of a gram
+    co-locate, so the bucket-local sort picks the global canonical
+    occurrence; only REDUNDANT positions leave the bucket.  (2) the
+    redundant positions fold to one comma-joined string per affected
+    doc and attach back to the corpus through the keyed_attach
+    hash-join (left join, fill="").  (3) the rewrite itself is per-doc
+    word surgery inside map_batches — payload-level work on the doc's
+    own words, like the render/multimodal stages.  ``hash_fn="md5"``
+    selects the SQL-twin gram hash."""
+    from .bucketing import bucketed_group_apply
+    from .relational import field_type, keyed_attach
+
+    id_type = field_type(ds, id_col)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas()
+        gh, g = _flat_shingles(texts, k, hash_fn)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        goff = np.concatenate(([0], np.cumsum(g)))[:-1]
+        pos = np.arange(int(g.sum()), dtype=np.int64) - np.repeat(goff, g)
+        return pa.table({id_col: pa.array(np.repeat(ids, g)),
+                         "gh": pa.array(gh.view(np.int64)),
+                         "gpos": pa.array(pos)})
+
+    rows = ds.map_batches(explode, batch_format="pyarrow")
+
+    def redundant(gdf: pd.DataFrame) -> pd.DataFrame:
+        s = gdf.sort_values(["gh", id_col, "gpos"], kind="mergesort")
+        red = s[s.duplicated("gh", keep="first")]
+        return red[[id_col, "gpos"]].reset_index(drop=True)
+
+    red = bucketed_group_apply(rows, "gh", redundant, num_buckets=num_buckets)
+
+    def collect(gdf: pd.DataFrame) -> pd.DataFrame:
+        s = gdf.sort_values([id_col, "gpos"], kind="mergesort")
+        g = s.groupby(id_col, sort=False)["gpos"]
+        out = g.agg(lambda x: ",".join(map(str, x)))
+        return pd.DataFrame({id_col: out.index.to_numpy(), "rpos": out.to_numpy()})
+
+    agg = bucketed_group_apply(red, id_col, collect)
+    attached = keyed_attach(
+        ds, agg, key_from=id_col, out_col="rpos",
+        carry=[(id_col, id_type), (text_col, pa.string())],
+        id_col=id_col, text_col="rpos", fill="",
+    )
+
+    def rewrite(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pandas().fillna("")
+        rpos = b["rpos"].to_pandas().fillna("")
+        n_words, n_removed, kept = [], [], []
+        for t, r in zip(texts, rpos):
+            ws = t.split()
+            nw = len(ws)
+            if not r:
+                n_words.append(nw)
+                n_removed.append(0)
+                kept.append(" ".join(ws))
+                continue
+            cov = np.zeros(nw, dtype=bool)
+            for p in np.fromstring(r, dtype=np.int64, sep=","):
+                cov[p : p + k] = True
+            n_words.append(nw)
+            n_removed.append(int(cov.sum()))
+            kept.append(" ".join(w for w, c in zip(ws, cov) if not c))
+        return pa.table({
+            id_col: b[id_col],
+            "n_words": pa.array(np.asarray(n_words, dtype=np.int64)),
+            "n_removed": pa.array(np.asarray(n_removed, dtype=np.int64)),
+            "kept_text": pa.array(kept, pa.string()),
+        })
+
+    return attached.map_batches(rewrite, batch_format="pyarrow")

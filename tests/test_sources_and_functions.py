@@ -1490,6 +1490,35 @@ def test_hll_estimate_tracks_exact_vocab(ray_session):
             assert abs(est[g] - exact) / exact < 0.40, (mode, g, est[g], exact)
 
 
+def test_dedup_spans_removes_noncanonical_spans(ray_session):
+    """Span rewrite: an exact duplicate doc empties (the min-id copy
+    keeps its text); within-doc gram repetition keeps only the first
+    span; unique docs pass through untouched."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.dedup import dedup_spans
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "a b c d e f",                # canonical
+            "a b c d e f",                # exact dup -> empties
+            "x y z w v x y z w v",        # self-repeat -> first span kept
+            "p q r s t u",                # unique -> untouched
+        ]),
+    })
+    out = (dedup_spans(rd.from_arrow(tbl).repartition(2))
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[1, "kept_text"] == "a b c d e f"
+    assert out.loc[1, "n_removed"] == 0
+    assert out.loc[2, "kept_text"] == ""
+    assert out.loc[2, "n_removed"] == 6
+    assert out.loc[3, "kept_text"] == "x y z w v"
+    assert out.loc[3, "n_removed"] == 5
+    assert out.loc[4, "kept_text"] == "p q r s t u"
+    assert list(out["n_words"]) == [6, 6, 10, 6]
+
+
 def test_lm_commonness_separates_template_from_gibberish(ray_session):
     """Boilerplate (shared bigrams) scores high, unique-gram docs
     score low, and the exact value is integer-sum / gram-count."""
