@@ -248,3 +248,24 @@ def test_torn_frame_chunk_coordinates():
     torn_cols = {c.column for c in errd.cell_errors}
     assert {"doc_id", "tokens", "source"} <= torn_cols
     assert "truncated" in str(errd) or "corrupt" in str(errd)
+
+
+def test_delta_for_beats_zigzag_on_jittered_intervals():
+    """Round-3: deltas are FOR'd (residual = delta - min_delta), so a
+    jittered regular interval packs at bit_width(jitter range), not
+    bit_width(2*delta) — and old zigzag frames still decode."""
+    codec = INT_CODECS["delta_bitpack"]
+    x = np.cumsum(RNG.integers(100, 131, 5000)).astype(np.int64)
+    enc = codec.encode(x)
+    assert np.array_equal(codec.decode(enc), x)
+    assert enc.meta["width"] <= 5  # range 30 -> 5 bits (zigzag paid 9)
+    # backward compat: decode a round-2-style zigzag frame (no dbase)
+    from colonnade_ray.codecs.base import pack_uints, zigzag
+
+    d = np.diff(x)
+    zz = zigzag(d)
+    w = int(zz.max()).bit_length()
+    old = Encoded("delta_bitpack",
+                  {"dt": "i8", "n": int(x.size), "first": int(x[0]), "width": w},
+                  [pack_uints(zz, w)])
+    assert np.array_equal(codec.decode(old), x)
