@@ -968,6 +968,29 @@ def q_posting_lists(sf_dir: str):
     return posting_lists(ds, min_df=2)
 
 
+def q_chunk_sequences(sf_dir: str):
+    """Context-window chunking layout: split tokenized docs into
+    512-token windows every 384 tokens (128-token overlap).  The
+    window geometry (doc, ordinal, start, length, source) is
+    SQL-exact; token contents are pinned by pytest slices +
+    the n_tok formula itself."""
+    from colonnade_ray.corpus import tokenized_documents
+    from colonnade_ray.functions.sequences import chunk_sequences
+
+    ch = chunk_sequences(tokenized_documents(sf_dir), max_len=512, stride=384)
+
+    def layout(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "win_idx": b["win_idx"],
+            "start": b["start"],
+            "n_tok": b["n_tok"],
+            "source": b["source"],
+        })
+
+    return ch.map_batches(layout, batch_format="pyarrow").sort(["doc_id", "win_idx"])
+
+
 def q_dedup_spans(sf_dir: str):
     """Span-level dedup rewrite (Lee et al.): word positions covered
     by a 5-gram whose canonical (min (doc_id, pos)) occurrence is
@@ -1225,6 +1248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "posting_lists": q_posting_lists,
         "lm_commonness": q_lm_commonness,
         "dedup_spans": q_dedup_spans,
+        "chunk_sequences": q_chunk_sequences,
         "winnow_gram_counts": q_winnow_gram_counts,
         "encode_roundtrip": q_encode_roundtrip,
         "embedding_lsh_candidates": q_embedding_lsh_candidates,
@@ -1643,6 +1667,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM h) "
             "SELECT source, reg, CAST(MAX(rho) AS BIGINT) AS r FROM rr "
             "GROUP BY source, reg ORDER BY source, reg"
+        ),
+        "chunk_sequences": (
+            "WITH docs AS (SELECT doc_id, source, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n "
+            "FROM documents), "
+            "w AS (SELECT doc_id, source, n, "
+            "unnest(range(0, (n + 383) // 384)) AS win_idx "
+            "FROM docs WHERE n > 0) "
+            "SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx, "
+            "CAST(win_idx * 384 AS BIGINT) AS start, "
+            "CAST(least(512, n - win_idx * 384) AS BIGINT) AS n_tok, "
+            "source FROM w ORDER BY doc_id, win_idx"
         ),
         "dedup_spans": (
             f"WITH {_GRAMS_CTES}, "

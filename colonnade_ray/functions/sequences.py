@@ -198,3 +198,73 @@ def pack_sequences(ds, seq_len: int = 2048, eos_id: int = 0,
         concurrency=concurrency or (1, default_concurrency()),
         **kwargs,
     )
+
+
+def chunk_sequences_batch(batch: pa.Table, max_len: int = 512,
+                          stride: int | None = None,
+                          tokens_col: str = "tokens",
+                          id_col: str = "doc_id") -> pa.Table:
+    """Context-window chunking: split each token sequence into windows
+    of ``max_len`` starting every ``stride`` tokens (overlap =
+    max_len - stride for stride < max_len), the long-document prep
+    step upstream of packing.  Chunk-local and exchange-free: every
+    window is a pure function of its own row, so tasks are retry-safe
+    and the operator composes with any partitioning.
+
+    Windows per doc: ceil(n / stride); window w covers
+    [w*stride, min(w*stride + max_len, n)).  Empty docs emit nothing.
+    Output: (doc_id, win_idx, start, n_tok, tokens) + every other
+    input column repeated per window."""
+    if stride is None:
+        stride = max_len
+    if stride <= 0 or max_len <= 0:
+        raise ValueError("max_len and stride must be positive")
+    arr = batch[tokens_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lens, vals = _list_parts(arr)
+    starts_doc = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    nw = -(-lens // stride)  # ceil; 0 for empty docs
+    total_w = int(nw.sum())
+    woff = np.concatenate(([0], np.cumsum(nw)))[:-1]
+    # per-window doc index and in-doc window ordinal, fully vectorized
+    wdoc = np.repeat(np.arange(lens.size), nw)
+    widx = np.arange(total_w) - np.repeat(woff, nw)
+    wstart = widx * stride
+    wlen = np.minimum(lens[wdoc] - wstart, max_len)
+    # gather: flat output index -> source value index
+    out_total = int(wlen.sum())
+    ooff = np.concatenate(([0], np.cumsum(wlen)))[:-1]
+    within = np.arange(out_total) - np.repeat(ooff, wlen)
+    src = np.repeat(starts_doc[wdoc] + wstart, wlen) + within
+    offsets = np.concatenate(([0], np.cumsum(wlen))).astype(np.int64)
+    tokens = pa.LargeListArray.from_arrays(
+        pa.array(offsets, pa.int64()), pa.array(vals[src].astype(np.int32))
+    ) if out_total > (1 << 30) else pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32), pa.int32()),
+        pa.array(vals[src].astype(np.int32)),
+    )
+    cols = {}
+    for name in batch.column_names:
+        if name == tokens_col or name == "n_tok":
+            continue
+        col = batch[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        cols[name] = col.take(pa.array(wdoc, pa.int64()))
+    cols["win_idx"] = pa.array(widx.astype(np.int64))
+    cols["start"] = pa.array(wstart.astype(np.int64))
+    cols["n_tok"] = pa.array(wlen.astype(np.int64))
+    cols[tokens_col] = tokens
+    return pa.table(cols)
+
+
+def chunk_sequences(ds, max_len: int = 512, stride: int | None = None,
+                    tokens_col: str = "tokens", id_col: str = "doc_id"):
+    """Dataset form of ``chunk_sequences_batch`` (one stateless
+    map_batches — Ray fuses it into the read chain)."""
+    return ds.map_batches(
+        lambda b: chunk_sequences_batch(b, max_len, stride,
+                                        tokens_col, id_col),
+        batch_format="pyarrow",
+    )

@@ -1686,3 +1686,38 @@ def test_cap_source_share_balances_domains(ray_session):
     assert abs(n_big - 220) < 45                  # ~rate 0.22, binomial noise
     again = cap_source_share(ds, cap_fraction=0.2, seed=9).to_pandas()
     assert sorted(out["doc_id"]) == sorted(again["doc_id"])  # deterministic
+
+
+def test_chunk_sequences_windows_and_contents(ray_session):
+    """Window geometry (ceil(n/stride) windows, overlap = max_len -
+    stride) and token contents are exact slices; empty docs vanish;
+    carried columns repeat per window."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.sequences import chunk_sequences
+
+    toks = list(range(100))
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "tokens": pa.array([toks, [], [7, 8]], pa.list_(pa.int32())),
+        "source": pa.array(["web", "b", "web"]),
+    })
+    out = (chunk_sequences(rd.from_arrow(tbl), max_len=32, stride=24)
+           .to_pandas().sort_values(["doc_id", "win_idx"]).reset_index(drop=True))
+    d1 = out[out["doc_id"] == 1]
+    assert len(d1) == -(-100 // 24)  # ceil = 5 windows
+    for _, r in d1.iterrows():
+        s = int(r["start"])
+        assert list(r["tokens"]) == toks[s : s + 32]
+        assert r["n_tok"] == len(r["tokens"])
+        assert r["source"] == "web"
+    assert (out["doc_id"] == 2).sum() == 0
+    d3 = out[out["doc_id"] == 3]
+    assert len(d3) == 1 and list(d3.iloc[0]["tokens"]) == [7, 8]
+    # coverage conservation: window lengths sum to the exact formula
+    assert d1["n_tok"].sum() == sum(min(32, 100 - s) for s in range(0, 100, 24))
+    # and the windows cover every position
+    covered = set()
+    for _, r in d1.iterrows():
+        covered.update(range(int(r["start"]), int(r["start"]) + int(r["n_tok"])))
+    assert covered == set(range(100))
