@@ -198,6 +198,18 @@ def run_bench() -> dict:
         timings["orig_digest"] = round(time.time() - t0, 3)
         match = dec_digest == orig_digest
 
+        # query-shaped decode: 2-column projection + zone-map predicate
+        # (the "extract these columns where X" workload) — exercises
+        # projected payload reads and chunk pruning end to end
+        from colonnade_ray.pipelines import decode_corpus
+
+        t0 = time.time()
+        sel_rows = decode_corpus(
+            out_dir, columns=["doc_id", "n_tok"],
+            predicate=[("n_tok", ">=", 400)],
+        ).count()
+        timings["selective_decode"] = round(time.time() - t0, 3)
+
         comp = competitor_sizes(
             corpus_dir, f"/tmp/colonnade_bench/comp-sf{sf}-m{mult}.json"
         )
@@ -219,6 +231,7 @@ def run_bench() -> dict:
         "encode_repeats_sec": encode_reps,
         "decode_repeats_sec": [] if encode_only else dec_reps,
         "roundtrip_match": None if match is None else bool(match),
+        "selective_decode_rows": None if encode_only else int(sel_rows),
         "parquet_snappy_bytes": comp["parquet_snappy_bytes"],
         "parquet_zstd_bytes": comp["parquet_zstd_bytes"],
         "beats_snappy": summary["bytes_out"] < comp["parquet_snappy_bytes"],

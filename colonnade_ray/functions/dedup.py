@@ -1255,7 +1255,7 @@ def dedup_spans(ds, text_col: str = "text", id_col: str = "doc_id",
                 kept.append(" ".join(ws))
                 continue
             cov = np.zeros(nw, dtype=bool)
-            for p in np.fromstring(r, dtype=np.int64, sep=","):
+            for p in np.array(r.split(","), dtype=np.int64):
                 cov[p : p + k] = True
             n_words.append(nw)
             n_removed.append(int(cov.sum()))
