@@ -1063,6 +1063,17 @@ def q_cap_source_share(sf_dir: str):
     return cap_source_share(ds, cap_fraction=0.03, seed=9).sort("doc_id")
 
 
+def q_temperature_mix(sf_dir: str):
+    """Temperature source mixing at alpha=0.5: keep rate
+    sqrt(n_min/n_group) per source (rarest source untouched), md5-keyed
+    deterministic keep set; sqrt+division are IEEE-correctly-rounded
+    in both numpy and DuckDB so the twin is bit-identical."""
+    from colonnade_ray.functions.sampling import temperature_mix
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "source"])
+    return temperature_mix(ds, alpha=0.5, seed=11).sort("doc_id")
+
+
 def q_pack_sequences(sf_dir: str):
     """LLM data prep: tokenize -> pack into fixed 512-token training
     examples (EOS-separated).
@@ -1209,6 +1220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_moments": q_group_moments,
         "build_vocab": q_build_vocab,
         "cap_source_share": q_cap_source_share,
+        "temperature_mix": q_temperature_mix,
         "sessions": q_sessions,
         "asof_clicks": q_asof_clicks,
         "dedup_exact": q_dedup_exact,
@@ -1769,6 +1781,20 @@ def oracle_sql() -> dict[str, str]:
             "JOIN g USING (source) CROSS JOIN nq "
             "WHERE (0.03 * nq.total / g.ng) >= 1 "
             "OR hv < CAST(floor((0.03 * nq.total / g.ng) * "
+            "18446744073709551616.0) AS UBIGINT) "
+            "ORDER BY h.doc_id"
+        ),
+        "temperature_mix": (
+            "WITH g AS (SELECT source, COUNT(*) AS ng FROM documents "
+            "GROUP BY source), "
+            "m AS (SELECT MIN(ng) AS nmin FROM g), "
+            "h AS (SELECT doc_id, source, "
+            "('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 16))"
+            "::UBIGINT AS hv FROM documents) "
+            "SELECT h.doc_id, h.source FROM h "
+            "JOIN g USING (source) CROSS JOIN m "
+            "WHERE g.ng = m.nmin "
+            "OR hv < CAST(floor(sqrt(CAST(m.nmin AS DOUBLE) / g.ng) * "
             "18446744073709551616.0) AS UBIGINT) "
             "ORDER BY h.doc_id"
         ),

@@ -192,3 +192,54 @@ def cap_source_share(ds, group_col: str = "source", id_col: str = "doc_id",
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def temperature_mix(ds, group_col: str = "source", id_col: str = "doc_id",
+                    alpha: float = 0.5, seed: int = 11):
+    """Temperature-based source mixing (the multilingual-LM sampling
+    rule, Conneau et al. 2020 §3 / Devlin et al. 2019 exp. weighting,
+    public): target share of group i is q_i = p_i^alpha / sum_j
+    p_j^alpha with p_i its corpus share.  A filter can only
+    downsample, so keep rates are normalized to the most-upweighted
+    group: keep_i = (p_min / p_i)^(1-alpha) — the rarest group passes
+    untouched, dominant groups shrink toward the flattened mixture,
+    and the realized shares equal q_i exactly in expectation.
+
+    Determinism contract is ``cap_source_share``'s: keep iff
+    md5_key(seed:id) < floor(keep_i * 2^64), so retries, resumes and
+    cluster sizes select the same rows, and the threshold is an SQL
+    twin away from DuckDB.  For the oracle-checkable default
+    alpha=0.5 the rate is sqrt(n_min/n_i): one IEEE division plus a
+    correctly-rounded sqrt, bit-identical in numpy and SQL (general
+    alpha uses pow(), which is NOT guaranteed correctly rounded —
+    keep it for production, oracle at 0.5).
+
+    Scale shape: group counts are one groups-sized aggregate; the
+    filter is a pure vectorized row pass — no shuffle, no driver
+    loop over rows."""
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby(group_col).aggregate(Count(alias_name="ng")).to_pandas()
+    n_min = float(counts["ng"].min())
+    thresholds = {}
+    for g, ng in zip(counts[group_col], counts["ng"]):
+        if alpha == 0.5:
+            rate = float(np.sqrt(n_min / float(ng)))
+        else:
+            rate = float((n_min / float(ng)) ** (1.0 - alpha))
+        thr_f = np.floor(rate * 18446744073709551616.0)
+        thresholds[g] = None if thr_f >= 18446744073709551616.0 \
+            else np.uint64(thr_f)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        grp = batch[group_col].to_pandas().to_numpy(dtype=object)
+        ids = _key_numpy(batch, id_col)
+        h = _md5_id_keys(ids, seed)
+        mask = np.ones(len(batch), dtype=bool)
+        for g, thr in thresholds.items():
+            if thr is not None:
+                sel = grp == g
+                mask[sel] = h[sel] < thr
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

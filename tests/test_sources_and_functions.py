@@ -1688,6 +1688,30 @@ def test_cap_source_share_balances_domains(ray_session):
     assert sorted(out["doc_id"]) == sorted(again["doc_id"])  # deterministic
 
 
+def test_temperature_mix_flattens_shares(ray_session):
+    """alpha=0.5 keeps the rarest source whole and downsamples the
+    dominant one by ~sqrt(n_min/n_big); alpha=1 is a no-op; re-runs
+    keep identical rows (md5-keyed, not RNG)."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.sampling import temperature_mix
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(1700)), pa.int64()),
+        "source": pa.array(["big"] * 1600 + ["small"] * 100),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    out = temperature_mix(ds, alpha=0.5, seed=11).to_pandas()
+    n_big = (out["source"] == "big").sum()
+    assert (out["source"] == "small").sum() == 100   # rarest: untouched
+    # keep rate sqrt(100/1600) = 0.25 -> ~400 of 1600, binomial noise
+    assert abs(n_big - 400) < 60
+    again = temperature_mix(ds, alpha=0.5, seed=11).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+    noop = temperature_mix(ds, alpha=1.0, seed=11).to_pandas()
+    assert len(noop) == 1700                         # alpha=1: identity
+
+
 def test_chunk_sequences_windows_and_contents(ray_session):
     """Window geometry (ceil(n/stride) windows, overlap = max_len -
     stride) and token contents are exact slices; empty docs vanish;
