@@ -1053,6 +1053,28 @@ def q_build_vocab(sf_dir: str):
     return build_vocab(ds)
 
 
+def q_bpe_pair_counts(sf_dir: str):
+    """BPE iteration 0: adjacent character-pair frequencies over word
+    occurrences (overlap-counted, Sennrich get_stats semantics) —
+    per-batch (pair, n) partials, one small groupby exchange."""
+    from colonnade_ray.functions.bpe import char_pair_counts
+
+    ds = _tbl(sf_dir, "documents", ["text"])
+    return char_pair_counts(ds, k=100)
+
+
+def q_bpe_merges(sf_dir: str):
+    """Learned BPE merge table (50 greedy merges over the word-type
+    frequency table; deterministic lexicographic tie-break).  The
+    iterative merge loop is not SQL-expressible — declared rows-only;
+    iteration 0 is fully oracled as bpe_pair_counts and the trainer is
+    hand-check + replay-property tested (tests/test_bpe.py)."""
+    from colonnade_ray.functions.bpe import bpe_train_corpus
+
+    ds = _tbl(sf_dir, "documents", ["text"])
+    return bpe_train_corpus(ds, num_merges=50)
+
+
 def q_cap_source_share(sf_dir: str):
     """Domain balancing: deterministically downsample every source
     above 3% of the corpus to ~that share (md5-keyed keep set; exact
@@ -1219,6 +1241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_counts": q_rollup_counts,
         "group_moments": q_group_moments,
         "build_vocab": q_build_vocab,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_merges": q_bpe_merges,
         "cap_source_share": q_cap_source_share,
         "temperature_mix": q_temperature_mix,
         "sessions": q_sessions,
@@ -1770,6 +1794,16 @@ def oracle_sql() -> dict[str, str]:
             "AS word FROM documents) GROUP BY word) "
             "SELECT word, n, CAST(row_number() OVER "
             "(ORDER BY n DESC, word) - 1 AS BIGINT) AS token_id FROM f"
+        ),
+        "bpe_pair_counts": (
+            "WITH w AS (SELECT unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')) AS word FROM documents), "
+            "wf AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word), "
+            "e AS (SELECT word, n, unnest(range(1, length(word))) AS i "
+            "FROM wf) "
+            "SELECT substring(word, CAST(i AS INT), 2) AS pair, "
+            "CAST(SUM(n) AS BIGINT) AS n FROM e "
+            "GROUP BY pair ORDER BY n DESC, pair LIMIT 100"
         ),
         "cap_source_share": (
             "WITH nq AS (SELECT COUNT(*) AS total FROM documents), "

@@ -25,3 +25,4 @@ from .multimodal import (
 )
 from .relational import hopping_windows
 from .text import HashTokenizer, LanguageId, QualityScorer, token_count_batch, word_freq
+from .bpe import bpe_segment, bpe_train_corpus, char_pair_counts
