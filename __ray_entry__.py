@@ -957,6 +957,39 @@ def q_cms_word_counts(sf_dir: str):
     return cms_word_registers(ds).sort(["d", "j"])
 
 
+def q_bloom_bits(sf_dir: str):
+    """Bloom filter STATE (sorted set-bit positions) over the distinct
+    words of the doc_id % 97 == 0 reference slice — the membership
+    member of the sketch family; state is a pure function of the
+    md5-twin hash so the full bit set hash-matches DuckDB (the
+    no-false-negative / FPR guarantees are pytest-checked)."""
+    from colonnade_ray.functions.sketches import bloom_word_bits
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: b.filter(pa.array(
+            b["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0)),
+        batch_format="pyarrow")
+    return bloom_word_bits(ds)
+
+
+def q_bloom_probe(sf_dir: str):
+    """Probe every document against the bloom_bits filter: per doc,
+    distinct words and how many probe positive (the cheap membership
+    pre-filter ahead of exact contamination joins).  Probing is a
+    broadcast 512-byte mask + one vectorized row pass — no shuffle."""
+    from colonnade_ray.functions.sketches import (
+        bloom_bitmask, bloom_probe, bloom_word_bits,
+    )
+
+    seen = _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: b.filter(pa.array(
+            b["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0)),
+        batch_format="pyarrow")
+    mask = bloom_bitmask(bloom_word_bits(seen).to_pandas())
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    return bloom_probe(ds, mask).sort("doc_id")
+
+
 def q_posting_lists(sf_dir: str):
     """Inverted index build: word -> (df, sorted posting list).  The
     exchange ships DISTINCT (word, doc) pairs only; posting
@@ -1281,6 +1314,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_percentile_gate": q_quality_percentile_gate,
         "hll_vocab": q_hll_vocab,
         "cms_word_counts": q_cms_word_counts,
+        "bloom_bits": q_bloom_bits,
+        "bloom_probe": q_bloom_probe,
         "posting_lists": q_posting_lists,
         "lm_commonness": q_lm_commonness,
         "dedup_spans": q_dedup_spans,
@@ -1773,6 +1808,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(d AS BIGINT) AS d, CAST(j AS BIGINT) AS j, "
             "CAST(COUNT(*) AS BIGINT) AS c FROM cells "
             "GROUP BY d, j ORDER BY d, j"
+        ),
+        "bloom_bits": (
+            "WITH seen AS (SELECT DISTINCT unnest(regexp_extract_all("
+            "lower(text), '[a-z0-9]+')) AS w FROM documents "
+            "WHERE doc_id % 97 = 0) "
+            "SELECT DISTINCT CAST(('0x' || substr(md5(w), "
+            "CAST(1 + 8 * d AS INTEGER), 8))::UBIGINT % 4096 AS BIGINT) "
+            "AS bit FROM seen, (SELECT unnest(range(0, 3)) AS d) "
+            "ORDER BY bit"
+        ),
+        "bloom_probe": (
+            "WITH seen AS (SELECT DISTINCT unnest(regexp_extract_all("
+            "lower(text), '[a-z0-9]+')) AS w FROM documents "
+            "WHERE doc_id % 97 = 0), "
+            "bits AS (SELECT DISTINCT ('0x' || substr(md5(w), "
+            "CAST(1 + 8 * d AS INTEGER), 8))::UBIGINT % 4096 AS bit "
+            "FROM seen, (SELECT unnest(range(0, 3)) AS d)), "
+            "dw AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w "
+            "FROM documents)), "
+            "hit AS (SELECT dw.doc_id, dw.w FROM dw, "
+            "(SELECT unnest(range(0, 3)) AS d) t "
+            "JOIN bits ON bits.bit = ('0x' || substr(md5(dw.w), "
+            "CAST(1 + 8 * t.d AS INTEGER), 8))::UBIGINT % 4096 "
+            "GROUP BY dw.doc_id, dw.w HAVING COUNT(*) = 3) "
+            "SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct, "
+            "CAST(COUNT(hit.w) AS BIGINT) AS n_maybe_seen "
+            "FROM dw LEFT JOIN hit ON hit.doc_id = dw.doc_id "
+            "AND hit.w = dw.w "
+            "GROUP BY dw.doc_id ORDER BY dw.doc_id"
         ),
         "rollup_counts": (
             "SELECT COALESCE(source, '(all)') AS source, "

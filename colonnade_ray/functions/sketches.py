@@ -212,18 +212,23 @@ _CMS_D = 4       # hash rows
 _CMS_W = 512     # counters per row
 
 
-def _cms_cols(words: np.ndarray) -> np.ndarray:
-    """(len(words), D) counter columns: row d uses bytes [4d, 4d+4) of
-    the md5 digest, big-endian, mod W — byte-for-byte the DuckDB
-    ``('0x' || substr(md5(w), 1+8*d, 8))::UBIGINT % W`` twin."""
+def _md5_positions(words: np.ndarray, k: int, mod: int) -> np.ndarray:
+    """(len(words), k) positions: slot d uses bytes [4d, 4d+4) of the
+    md5 digest, big-endian, mod ``mod`` — byte-for-byte the DuckDB
+    ``('0x' || substr(md5(w), 1+8*d, 8))::UBIGINT % mod`` twin.
+    Shared by the Count-Min counters and the Bloom bit positions."""
     import hashlib
 
-    out = np.empty((len(words), _CMS_D), dtype=np.int64)
+    out = np.empty((len(words), k), dtype=np.int64)
     for i, w in enumerate(words):
         dg = hashlib.md5(w.encode()).digest()
-        for d in range(_CMS_D):
-            out[i, d] = int.from_bytes(dg[4 * d : 4 * d + 4], "big") % _CMS_W
+        for d in range(k):
+            out[i, d] = int.from_bytes(dg[4 * d : 4 * d + 4], "big") % mod
     return out
+
+
+def _cms_cols(words: np.ndarray) -> np.ndarray:
+    return _md5_positions(words, _CMS_D, _CMS_W)
 
 
 def cms_word_registers(ds, text_col: str = "text"):
@@ -261,6 +266,96 @@ def cms_word_registers(ds, text_col: str = "text"):
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     return parts.groupby(["d", "j"]).aggregate(Sum("c", alias_name="c"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970, public literature) — the membership member
+# of the sketch family (HLL = cardinality, CMS = frequency, Bloom =
+# membership).  State is the SET of set bit positions, which merges by
+# union — i.e. a distinct-rows Dataset — and, like HLL/CMS, is a pure
+# function of the md5 twin hash, so the full filter STATE hash-matches
+# a DuckDB twin; the probabilistic guarantee (no false negatives,
+# ~(1-e^(-kn/m))^k false-positive rate) is pytest-checked.
+
+_BLOOM_K = 3       # hash slots per key (md5 bytes [0,4) [4,8) [8,12))
+_BLOOM_M = 4096    # bits
+
+
+def bloom_word_bits(ds, text_col: str = "text"):
+    """Build the filter over the corpus's distinct words: a Dataset of
+    (bit,) rows, sorted.  Per-batch partials dedupe words before
+    hashing (md5 cost is O(batch vocab)) and emit <= min(K x vocab, M)
+    bit rows; the ONE groupby exchange is bounded by M = 4096 rows per
+    batch regardless of corpus size — union-merge is the Bloom
+    combine."""
+    from ray.data.aggregate import Count
+
+    empty = pa.table({"bit": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(pc.coalesce(batch[text_col], "")).to_pandas()
+        words = txt.str.findall(_WORD_LOWER_RE)
+        flat = [w for ws in words for w in ws]
+        if not flat:
+            return empty
+        uniq = np.unique(np.asarray(flat, dtype=object))
+        bits = np.unique(_md5_positions(uniq, _BLOOM_K, _BLOOM_M))
+        return pa.table({"bit": pa.array(bits)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    dedup = parts.groupby("bit").aggregate(Count(alias_name="__n"))
+    return dedup.map_batches(lambda b: b.select(["bit"]),
+                             batch_format="pyarrow").sort("bit")
+
+
+def bloom_bitmask(bits) -> np.ndarray:
+    """Dense boolean mask (length M) from a (bit,) frame/Dataset —
+    the broadcastable probe-side representation (512 bytes)."""
+    arr = bits["bit"].to_numpy() if hasattr(bits, "columns") else np.asarray(bits)
+    mask = np.zeros(_BLOOM_M, dtype=bool)
+    mask[arr.astype(np.int64)] = True
+    return mask
+
+
+def bloom_probe(ds, mask: np.ndarray, text_col: str = "text",
+                id_col: str = "doc_id"):
+    """Per-doc membership counts against a built filter: (id,
+    n_distinct, n_maybe_seen) where n_maybe_seen counts the doc's
+    distinct words whose K positions are ALL set.  The mask is 512
+    bytes — closure-broadcast, probing is a pure vectorized row pass,
+    no shuffle (the Bloom use-case: a cheap pre-filter ahead of exact
+    contamination/dedup joins).  Docs with no words are dropped (the
+    SQL-twin GROUP BY convention)."""
+    m = np.asarray(mask, dtype=bool)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(pc.coalesce(batch[text_col], "")).to_pandas()
+        words = txt.str.findall(_WORD_LOWER_RE)
+        lens = words.str.len().to_numpy().astype(np.int64)
+        keep = lens > 0
+        if not keep.any():
+            return pa.table({id_col: pa.array([], batch[id_col].type),
+                             "n_distinct": pa.array([], pa.int64()),
+                             "n_maybe_seen": pa.array([], pa.int64())})
+        ids = batch[id_col].to_pandas().to_numpy()
+        flat = np.concatenate(
+            [np.asarray(w, dtype=object) for w in words if len(w)])
+        doc_idx = np.repeat(np.flatnonzero(keep), lens[keep])
+        dw = pd.DataFrame({"i": doc_idx, "w": flat}).drop_duplicates()
+        uniq, inv = np.unique(dw["w"].to_numpy(dtype=object),
+                              return_inverse=True)
+        hit_u = m[_md5_positions(uniq, _BLOOM_K, _BLOOM_M)].all(axis=1)
+        hits = hit_u[inv]
+        n_distinct = np.bincount(dw["i"].to_numpy(), minlength=len(batch))
+        n_seen = np.bincount(dw["i"].to_numpy(), weights=hits,
+                             minlength=len(batch))
+        return pa.table({
+            id_col: pa.array(ids[keep]),
+            "n_distinct": pa.array(n_distinct[keep].astype(np.int64)),
+            "n_maybe_seen": pa.array(n_seen[keep].astype(np.int64)),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow")
 
 
 def cms_estimate(registers: pd.DataFrame, words) -> pd.DataFrame:

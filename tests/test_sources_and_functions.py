@@ -1599,6 +1599,40 @@ def test_cms_estimate_bounds_exact_counts(ray_session):
         assert est[w] <= c + total // 64, (w, est[w], c)
 
 
+def test_bloom_no_false_negatives_and_low_fpr(ray_session):
+    """Every inserted word probes positive (Bloom guarantee); unseen
+    words false-positive at ~(1-e^(-kn/m))^k; the union merge is
+    partition-invariant."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.sketches import (
+        _BLOOM_K, _BLOOM_M, bloom_bitmask, bloom_probe, bloom_word_bits,
+    )
+
+    seen_words = [f"in{i}" for i in range(300)]
+    texts = [" ".join(seen_words[i::10]) for i in range(10)]
+    tbl = pa.table({"text": pa.array(texts)})
+    bits4 = bloom_word_bits(rd.from_arrow(tbl).repartition(4)).to_pandas()
+    bits1 = bloom_word_bits(rd.from_arrow(tbl).repartition(1)).to_pandas()
+    assert bits4["bit"].tolist() == bits1["bit"].tolist()  # union merge
+    mask = bloom_bitmask(bits4)
+
+    probe_tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([" ".join(seen_words),          # all inserted
+                          " ".join(f"out{i}" for i in range(2000)),
+                          ""]),                          # wordless: dropped
+    })
+    out = bloom_probe(rd.from_arrow(probe_tbl), mask).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[1, "n_maybe_seen"] == 300              # no false negatives
+    n = len(seen_words)
+    fpr = (1 - np.exp(-_BLOOM_K * n / _BLOOM_M)) ** _BLOOM_K
+    got_fpr = out.loc[2, "n_maybe_seen"] / out.loc[2, "n_distinct"]
+    assert got_fpr <= 4 * fpr + 0.01                      # ~formula, slack
+    assert 3 not in out.index                             # wordless dropped
+
+
 def test_rollup_counts_levels_are_consistent(ray_session):
     import ray.data as rd
 
