@@ -1086,6 +1086,15 @@ def q_build_vocab(sf_dir: str):
     return build_vocab(ds)
 
 
+def q_vocab_coverage(sf_dir: str):
+    """Ranked-vocabulary prefix covering 90% of token occurrences
+    (the vocab-truncation costing pass): word, count, running cum."""
+    from colonnade_ray.functions.text import vocab_coverage
+
+    ds = _tbl(sf_dir, "documents", ["text"])
+    return vocab_coverage(ds, coverage=0.9)
+
+
 def q_bpe_pair_counts(sf_dir: str):
     """BPE iteration 0: adjacent character-pair frequencies over word
     occurrences (overlap-counted, Sennrich get_stats semantics) —
@@ -1274,6 +1283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_counts": q_rollup_counts,
         "group_moments": q_group_moments,
         "build_vocab": q_build_vocab,
+        "vocab_coverage": q_vocab_coverage,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
         "cap_source_share": q_cap_source_share,
@@ -1859,6 +1869,17 @@ def oracle_sql() -> dict[str, str]:
             "AS word FROM documents) GROUP BY word) "
             "SELECT word, n, CAST(row_number() OVER "
             "(ORDER BY n DESC, word) - 1 AS BIGINT) AS token_id FROM f"
+        ),
+        "vocab_coverage": (
+            "WITH f AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+            "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) "
+            "AS word FROM documents) GROUP BY word), "
+            "r AS (SELECT word, n, "
+            "SUM(n) OVER (ORDER BY n DESC, word "
+            "ROWS UNBOUNDED PRECEDING) AS cum, "
+            "SUM(n) OVER () AS tot FROM f) "
+            "SELECT word, n, CAST(cum AS BIGINT) AS cum FROM r "
+            "WHERE cum <= 0.9 * tot ORDER BY cum"
         ),
         "bpe_pair_counts": (
             "WITH w AS (SELECT unnest(regexp_extract_all(lower(text), "

@@ -347,6 +347,52 @@ def build_vocab(ds, text_col: str = "text", min_count: int = 1):
                .repartition(1).map_batches(rank, batch_format="pyarrow")
 
 
+def vocab_coverage(ds, text_col: str = "text", coverage: float = 0.9):
+    """The ranked-vocabulary prefix covering ``coverage`` of token
+    occurrences (word, n, cum): the vocab-truncation costing pass —
+    how small can the vocabulary be before the <unk> rate exceeds
+    1 - coverage.  Same partial-counts exchange as word_freq; the
+    cumsum + cut runs on ONE vocab-sized block (the build_vocab
+    convention).  The threshold compare is one IEEE multiply
+    (coverage * total), bit-identical in numpy and SQL."""
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({"word": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if pa.types.is_null(col.type):
+            return empty
+        txt = pc.utf8_lower(pc.coalesce(col, ""))
+        words = txt.to_pandas().str.findall(_WORD_LOWER_RE)
+        if not words.str.len().sum():
+            return empty
+        flat = np.concatenate(
+            [np.asarray(w, dtype=object) for w in words if len(w)])
+        vc = pd.Series(flat).value_counts()
+        return pa.table(
+            {"word": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+             "n": pa.array(vc.to_numpy().astype(np.int64))})
+
+    freq = ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby("word").aggregate(Sum("n", alias_name="n"))
+
+    def cut(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(["n", "word"],
+                                       ascending=[False, True],
+                                       kind="mergesort")
+        cum = df["n"].to_numpy().cumsum()
+        keep = cum <= coverage * float(cum[-1]) if len(df) else \
+            np.zeros(0, dtype=bool)
+        df = df.iloc[: int(keep.sum())]
+        df["cum"] = cum[: len(df)].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return freq.sort(["n", "word"], descending=[True, False]) \
+               .repartition(1).map_batches(cut, batch_format="pyarrow")
+
+
 def posting_lists(ds, text_col: str = "text", id_col: str = "doc_id",
                   min_df: int = 1):
     """Inverted index over the corpus: one row per distinct word with

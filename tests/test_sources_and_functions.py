@@ -1701,6 +1701,26 @@ def test_build_vocab_then_remap_roundtrip(ray_session):
     assert v2["word"].tolist() == ["b", "a"]
 
 
+def test_vocab_coverage_prefix(ray_session):
+    """The kept prefix is the smallest ranked vocabulary with
+    cumulative share <= coverage; cum is the running total."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.text import vocab_coverage
+
+    ds = rd.from_arrow(pa.table({
+        "text": pa.array(["a a a a b b c", "a a b d"]),
+    })).repartition(2)
+    out = vocab_coverage(ds, coverage=0.80).to_pandas()
+    # counts: a=6 b=3 c=1 d=1, total 11; cum: 6, 9, 10, 11
+    # 0.8*11 = 8.8 -> keep a only (cum 6); b at 9 > 8.8
+    assert out["word"].tolist() == ["a"]
+    assert out["cum"].tolist() == [6]
+    out2 = vocab_coverage(ds, coverage=0.95).to_pandas()
+    assert out2["word"].tolist() == ["a", "b", "c"]   # cum 10 <= 10.45
+    assert out2["cum"].tolist() == [6, 9, 10]
+
+
 def test_cap_source_share_balances_domains(ray_session):
     """The over-represented source is cut to ~the cap share; small
     sources pass through untouched; re-runs keep identical rows."""
