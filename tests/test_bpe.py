@@ -92,6 +92,30 @@ def test_bpe_corpus_train_and_segment(ray_session):
     assert first["n_subwords"] == 2 * direct["low"] + direct["lower"]
 
 
+def test_bpe_roundtrip_property():
+    """Hypothesis: for any small corpus, (a) every trained merge has
+    pair_n >= min_pair_count, (b) replaying merges over any word list
+    round-trips the words, (c) segment counts are within [1, len]."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=8)
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.dictionaries(word, st.integers(1, 9), min_size=1,
+                           max_size=12),
+           st.lists(word, min_size=1, max_size=6))
+    def prop(vocab, probe_words):
+        m = bpe_train(_wc(vocab), num_merges=8, min_pair_count=1)
+        assert all(c >= 1 for c in m["pair_n"].to_pylist())
+        for w, segs in zip(probe_words,
+                           encode_word_types(probe_words, m)):
+            assert "".join(segs) == w
+            assert 1 <= len(segs) <= len(w)
+
+    prop()
+
+
 def test_bpe_segment_cache_is_per_actor():
     """The word->n_subwords cache fills once per unique word."""
     m = bpe_train(_wc({"ab": 3}), num_merges=1, min_pair_count=1)
