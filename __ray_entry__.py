@@ -1086,6 +1086,17 @@ def q_build_vocab(sf_dir: str):
     return build_vocab(ds)
 
 
+def q_collocations(sf_dir: str):
+    """Top collocations by lift (monotone PMI): two vocab-bounded
+    count exchanges + two keyed_attach joins; score = two exact int64
+    products and ONE IEEE division, so ranking AND score hash-match
+    SQL (the tfidf linear-idf convention)."""
+    from colonnade_ray.functions.text import collocations_topk
+
+    ds = _tbl(sf_dir, "documents", ["text"])
+    return collocations_topk(ds, k=50, min_count=5)
+
+
 def q_vocab_coverage(sf_dir: str):
     """Ranked-vocabulary prefix covering 90% of token occurrences
     (the vocab-truncation costing pass): word, count, running cum."""
@@ -1284,6 +1295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_moments": q_group_moments,
         "build_vocab": q_build_vocab,
         "vocab_coverage": q_vocab_coverage,
+        "collocations": q_collocations,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
         "cap_source_share": q_cap_source_share,
@@ -1869,6 +1881,26 @@ def oracle_sql() -> dict[str, str]:
             "AS word FROM documents) GROUP BY word) "
             "SELECT word, n, CAST(row_number() OVER "
             "(ORDER BY n DESC, word) - 1 AS BIGINT) AS token_id FROM f"
+        ),
+        "collocations": (
+            "WITH a AS (SELECT regexp_extract_all(lower(text), "
+            "'[a-z0-9]+') AS ws FROM documents), "
+            "b AS (SELECT ws, unnest(range(1, len(ws))) AS i FROM a), "
+            "bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM b), "
+            "bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab "
+            "FROM bg GROUP BY w1, w2), "
+            "tq AS (SELECT COUNT(*) AS t FROM bg), "
+            "uc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+            "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) "
+            "AS word FROM documents) GROUP BY word) "
+            "SELECT bc.w1, bc.w2, bc.n_ab, "
+            "CAST(tq.t * bc.n_ab AS DOUBLE) / "
+            "CAST(u1.n * u2.n AS DOUBLE) AS lift "
+            "FROM bc CROSS JOIN tq "
+            "JOIN uc u1 ON u1.word = bc.w1 "
+            "JOIN uc u2 ON u2.word = bc.w2 "
+            "WHERE bc.n_ab >= 5 "
+            "ORDER BY lift DESC, bc.w1, bc.w2 LIMIT 50"
         ),
         "vocab_coverage": (
             "WITH f AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM ("

@@ -347,14 +347,10 @@ def build_vocab(ds, text_col: str = "text", min_count: int = 1):
                .repartition(1).map_batches(rank, batch_format="pyarrow")
 
 
-def vocab_coverage(ds, text_col: str = "text", coverage: float = 0.9):
-    """The ranked-vocabulary prefix covering ``coverage`` of token
-    occurrences (word, n, cum): the vocab-truncation costing pass —
-    how small can the vocabulary be before the <unk> rate exceeds
-    1 - coverage.  Same partial-counts exchange as word_freq; the
-    cumsum + cut runs on ONE vocab-sized block (the build_vocab
-    convention).  The threshold compare is one IEEE multiply
-    (coverage * total), bit-identical in numpy and SQL."""
+def word_count_table(ds, text_col: str = "text"):
+    """Full (word, n) occurrence counts — the shared distributed pass
+    under build_vocab / vocab_coverage / collocations: per-batch
+    value_counts partials, ONE vocab-bounded groupby exchange."""
     from ray.data.aggregate import Sum
 
     empty = pa.table({"word": pa.array([], pa.string()),
@@ -375,8 +371,110 @@ def vocab_coverage(ds, text_col: str = "text", coverage: float = 0.9):
             {"word": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
              "n": pa.array(vc.to_numpy().astype(np.int64))})
 
-    freq = ds.map_batches(partial, batch_format="pyarrow") \
+    return ds.map_batches(partial, batch_format="pyarrow") \
              .groupby("word").aggregate(Sum("n", alias_name="n"))
+
+
+def collocations_topk(ds, text_col: str = "text", k: int = 50,
+                      min_count: int = 5):
+    """Top-k word collocations by LIFT — lift(a,b) = (T * c_ab) /
+    (c_a * c_b) with T the total bigram occurrences (PMI = log(lift);
+    log is monotone, so ranking by lift gives the PMI ranking while
+    avoiding the not-correctly-rounded transcendental — the tfidf
+    linear-idf convention, making both the ranking AND the stored
+    score hash-match SQL: two exact int64 products, one IEEE
+    division).
+
+    Scale shape: the corpus-sized work is two partial-count exchanges
+    (unigram + bigram tables, both vocabulary-bounded); unigram counts
+    attach to the min_count-filtered bigram rows via two keyed_attach
+    hash joins (nothing corpus-sized moves, no broadcast of the
+    vocabulary); the final sort is k-limited.  Counts convert exactly
+    to float64 below 2^53 — past ~9e15 tokens the lift twin needs
+    big-int arithmetic."""
+    from ray.data.aggregate import Sum
+
+    from .relational import keyed_attach
+
+    empty = pa.table({"w1": pa.array([], pa.string()),
+                      "w2": pa.array([], pa.string()),
+                      "n_ab": pa.array([], pa.int64())})
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if pa.types.is_null(col.type):
+            return empty
+        txt = pc.utf8_lower(pc.coalesce(col, ""))
+        words = txt.to_pandas().str.findall(_WORD_LOWER_RE)
+        lens = words.str.len().to_numpy().astype(np.int64)
+        total = int(lens.sum())
+        if total < 2:
+            return empty
+        flat = np.concatenate(
+            [np.asarray(w, dtype=object) for w in words if len(w)])
+        doc_of = np.repeat(np.arange(lens.size), lens)
+        valid = doc_of[:-1] == doc_of[1:]
+        if not valid.any():
+            return empty
+        d = pd.DataFrame({"w1": flat[:-1][valid], "w2": flat[1:][valid]})
+        g = d.groupby(["w1", "w2"], sort=False).size().reset_index(name="n_ab")
+        return pa.table({"w1": pa.array(g["w1"].to_numpy(dtype=object),
+                                        pa.string()),
+                         "w2": pa.array(g["w2"].to_numpy(dtype=object),
+                                        pa.string()),
+                         "n_ab": pa.array(g["n_ab"].to_numpy()
+                                          .astype(np.int64))})
+
+    big = ds.map_batches(bigram_partial, batch_format="pyarrow") \
+            .groupby(["w1", "w2"]).aggregate(Sum("n_ab", alias_name="n_ab")) \
+            .materialize()
+    total_bigrams = int(big.sum("n_ab") or 0)
+    if total_bigrams == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+            "n_ab": pa.array([], pa.int64()),
+            "lift": pa.array([], pa.float64())}))
+    big = big.filter(expr=f"n_ab >= {min_count}")
+    uni = word_count_table(ds, text_col)
+
+    with_a = keyed_attach(
+        big, uni, key_from="w1", out_col="n_a",
+        carry=[("w1", pa.string()), ("w2", pa.string()),
+               ("n_ab", pa.int64())],
+        id_col="word", text_col="n")
+    with_ab = keyed_attach(
+        with_a, uni, key_from="w2", out_col="n_b",
+        carry=[("w1", pa.string()), ("w2", pa.string()),
+               ("n_ab", pa.int64()), ("n_a", pa.int64())],
+        id_col="word", text_col="n")
+
+    T = total_bigrams
+
+    def score(b: pa.Table) -> pa.Table:
+        n_ab = b["n_ab"].to_numpy()
+        n_a = b["n_a"].to_numpy()
+        n_b = b["n_b"].to_numpy()
+        lift = (T * n_ab).astype(np.float64) / \
+            (n_a * n_b).astype(np.float64)
+        return pa.table({"w1": b["w1"], "w2": b["w2"],
+                         "n_ab": b["n_ab"],
+                         "lift": pa.array(lift)})
+
+    scored = with_ab.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["lift", "w1", "w2"],
+                       descending=[True, False, False]).limit(k)
+
+
+def vocab_coverage(ds, text_col: str = "text", coverage: float = 0.9):
+    """The ranked-vocabulary prefix covering ``coverage`` of token
+    occurrences (word, n, cum): the vocab-truncation costing pass —
+    how small can the vocabulary be before the <unk> rate exceeds
+    1 - coverage.  Same partial-counts exchange as word_freq; the
+    cumsum + cut runs on ONE vocab-sized block (the build_vocab
+    convention).  The threshold compare is one IEEE multiply
+    (coverage * total), bit-identical in numpy and SQL."""
+    freq = word_count_table(ds, text_col)
 
     def cut(b: pa.Table) -> pa.Table:
         df = b.to_pandas().sort_values(["n", "word"],

@@ -1701,6 +1701,33 @@ def test_build_vocab_then_remap_roundtrip(ray_session):
     assert v2["word"].tolist() == ["b", "a"]
 
 
+def test_collocations_lift_ranking(ray_session):
+    """lift = T*c_ab / (c_a*c_b): an exclusive pair ("san francisco")
+    outranks a frequent-but-promiscuous pair; values match the direct
+    formula; min_count prunes rare pairs."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.text import collocations_topk
+
+    docs = (["san francisco"] * 5
+            + ["the cat", "the dog", "the end", "the cat the dog",
+               "the fox"]
+            + ["rare pair"])  # n_ab=1: pruned at min_count=2
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs)})).repartition(3)
+    out = collocations_topk(ds, k=10, min_count=2).to_pandas()
+    assert list(out.itertuples(index=False))[0][:2] == ("san", "francisco")
+    assert "rare" not in set(out["w1"])
+    # direct-formula check: T = 5 + 1+1+1+3+1 + 1 = 13 bigrams total
+    T = 13
+    sf = out[(out["w1"] == "san")].iloc[0]
+    assert sf["n_ab"] == 5
+    assert sf["lift"] == T * 5 / (5 * 5)
+    thecat = out[(out["w1"] == "the") & (out["w2"] == "cat")].iloc[0]
+    assert thecat["n_ab"] == 2
+    assert thecat["lift"] == T * 2 / (6 * 2)  # "the" occurs 6 times
+    assert sf["lift"] > thecat["lift"]
+
+
 def test_vocab_coverage_prefix(ray_session):
     """The kept prefix is the smallest ranked vocabulary with
     cumulative share <= coverage; cum is the running total."""
