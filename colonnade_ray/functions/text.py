@@ -385,13 +385,16 @@ def collocations_topk(ds, text_col: str = "text", k: int = 50,
     score hash-match SQL: two exact int64 products, one IEEE
     division).
 
-    Scale shape: the corpus-sized work is two partial-count exchanges
-    (unigram + bigram tables, both vocabulary-bounded); unigram counts
-    attach to the min_count-filtered bigram rows via two keyed_attach
-    hash joins (nothing corpus-sized moves, no broadcast of the
-    vocabulary); the final sort is k-limited.  Counts convert exactly
-    to float64 below 2^53 — past ~9e15 tokens the lift twin needs
-    big-int arithmetic."""
+    Scale shape: ONE corpus pass emits both the unigram and bigram
+    partials (unigram rows tagged w2 = '' — the word regex never
+    yields an empty word), one vocabulary-bounded groupby merges them,
+    and the result is pinned once (it's aggregate-sized, the
+    dup_groups lesson); unigram counts attach to the
+    min_count-filtered bigram rows via two keyed_attach hash joins
+    (nothing corpus-sized moves, no broadcast of the vocabulary); the
+    final sort is k-limited.  Counts convert exactly to float64 below
+    2^53 — past ~9e15 tokens the lift twin needs big-int
+    arithmetic."""
     from ray.data.aggregate import Sum
 
     from .relational import keyed_attach
@@ -400,24 +403,27 @@ def collocations_topk(ds, text_col: str = "text", k: int = 50,
                       "w2": pa.array([], pa.string()),
                       "n_ab": pa.array([], pa.int64())})
 
-    def bigram_partial(batch: pa.Table) -> pa.Table:
+    def gram_partial(batch: pa.Table) -> pa.Table:
         col = batch[text_col]
         if pa.types.is_null(col.type):
             return empty
         txt = pc.utf8_lower(pc.coalesce(col, ""))
         words = txt.to_pandas().str.findall(_WORD_LOWER_RE)
         lens = words.str.len().to_numpy().astype(np.int64)
-        total = int(lens.sum())
-        if total < 2:
+        if not lens.sum():
             return empty
         flat = np.concatenate(
             [np.asarray(w, dtype=object) for w in words if len(w)])
+        vc = pd.Series(flat).value_counts()
+        parts = [pd.DataFrame({"w1": vc.index.to_numpy(dtype=object),
+                               "w2": "", "n_ab": vc.to_numpy()})]
         doc_of = np.repeat(np.arange(lens.size), lens)
         valid = doc_of[:-1] == doc_of[1:]
-        if not valid.any():
-            return empty
-        d = pd.DataFrame({"w1": flat[:-1][valid], "w2": flat[1:][valid]})
-        g = d.groupby(["w1", "w2"], sort=False).size().reset_index(name="n_ab")
+        if valid.any():
+            d = pd.DataFrame({"w1": flat[:-1][valid], "w2": flat[1:][valid]})
+            parts.append(d.groupby(["w1", "w2"], sort=False).size()
+                          .reset_index(name="n_ab"))
+        g = pd.concat(parts, ignore_index=True)
         return pa.table({"w1": pa.array(g["w1"].to_numpy(dtype=object),
                                         pa.string()),
                          "w2": pa.array(g["w2"].to_numpy(dtype=object),
@@ -425,18 +431,27 @@ def collocations_topk(ds, text_col: str = "text", k: int = 50,
                          "n_ab": pa.array(g["n_ab"].to_numpy()
                                           .astype(np.int64))})
 
-    big = ds.map_batches(bigram_partial, batch_format="pyarrow") \
-            .groupby(["w1", "w2"]).aggregate(Sum("n_ab", alias_name="n_ab")) \
-            .materialize()
-    total_bigrams = int(big.sum("n_ab") or 0)
+    comb = ds.map_batches(gram_partial, batch_format="pyarrow") \
+             .groupby(["w1", "w2"]).aggregate(Sum("n_ab", alias_name="n_ab")) \
+             .materialize()
+
+    def bigram_rows(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(pc.equal(b["w2"], "")))
+
+    def unigram_rows(b: pa.Table) -> pa.Table:
+        u = b.filter(pc.equal(b["w2"], ""))
+        return pa.table({"word": u["w1"], "n": u["n_ab"]})
+
+    big_all = comb.map_batches(bigram_rows, batch_format="pyarrow")
+    total_bigrams = int(big_all.sum("n_ab") or 0)
     if total_bigrams == 0:
         import ray.data as rd
         return rd.from_arrow(pa.table({
             "w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
             "n_ab": pa.array([], pa.int64()),
             "lift": pa.array([], pa.float64())}))
-    big = big.filter(expr=f"n_ab >= {min_count}")
-    uni = word_count_table(ds, text_col)
+    big = big_all.filter(expr=f"n_ab >= {min_count}")
+    uni = comb.map_batches(unigram_rows, batch_format="pyarrow")
 
     with_a = keyed_attach(
         big, uni, key_from="w1", out_col="n_a",
