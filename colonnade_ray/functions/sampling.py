@@ -220,13 +220,18 @@ def temperature_mix(ds, group_col: str = "source", id_col: str = "doc_id",
     from ray.data.aggregate import Count
 
     counts = ds.groupby(group_col).aggregate(Count(alias_name="ng")).to_pandas()
-    n_min = float(counts["ng"].min())
+    # normalize keep rates to the most-UPWEIGHTED group (keep = 1):
+    # alpha < 1 flattens (rarest passes whole, dominants shrink);
+    # alpha > 1 sharpens (largest passes whole, rare groups shrink)
+    n_ref = float(counts["ng"].min() if alpha <= 1.0 else counts["ng"].max())
     thresholds = {}
     for g, ng in zip(counts[group_col], counts["ng"]):
         if alpha == 0.5:
-            rate = float(np.sqrt(n_min / float(ng)))
+            rate = float(np.sqrt(n_ref / float(ng)))
+        elif alpha <= 1.0:
+            rate = float((n_ref / float(ng)) ** (1.0 - alpha))
         else:
-            rate = float((n_min / float(ng)) ** (1.0 - alpha))
+            rate = float((float(ng) / n_ref) ** (alpha - 1.0))
         thr_f = np.floor(rate * 18446744073709551616.0)
         thresholds[g] = None if thr_f >= 18446744073709551616.0 \
             else np.uint64(thr_f)

@@ -1791,6 +1791,11 @@ def test_temperature_mix_flattens_shares(ray_session):
     assert sorted(out["doc_id"]) == sorted(again["doc_id"])
     noop = temperature_mix(ds, alpha=1.0, seed=11).to_pandas()
     assert len(noop) == 1700                         # alpha=1: identity
+    sharp = temperature_mix(ds, alpha=2.0, seed=11).to_pandas()
+    # alpha>1 sharpens: the LARGEST source passes whole, the rare one
+    # shrinks by (100/1600)^1 = 1/16 -> ~6 of 100
+    assert (sharp["source"] == "big").sum() == 1600
+    assert (sharp["source"] == "small").sum() < 30
 
 
 def test_chunk_sequences_windows_and_contents(ray_session):
