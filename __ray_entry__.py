@@ -1086,6 +1086,29 @@ def q_build_vocab(sf_dir: str):
     return build_vocab(ds)
 
 
+def q_json_props_stats(sf_dir: str):
+    """Typed extraction from the events JSON props bag (vectorized
+    regex, regexp_extract twin semantics) folded into per-type sums."""
+    from ray.data.aggregate import Count, Sum
+
+    from colonnade_ray.functions.structured import extract_json_int
+
+    ds = _tbl(sf_dir, "events", ["event_type", "props"])
+    withk = extract_json_int(ds, col="props", field="k", out_col="k")
+    return withk.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("k", alias_name="sum_k"),
+    ).sort("event_type")
+
+
+def q_pivot_lang_counts(sf_dir: str):
+    """Long->wide pivot: source x lang document-count matrix (one
+    bounded groupby exchange + a groups-sized reshape block)."""
+    from colonnade_ray.functions.structured import pivot_counts
+
+    ds = _tbl(sf_dir, "documents", ["source", "lang"])
+    return pivot_counts(ds, "source", "lang")
+
+
 def q_collocations(sf_dir: str):
     """Top collocations by lift (monotone PMI): two vocab-bounded
     count exchanges + two keyed_attach joins; score = two exact int64
@@ -1296,6 +1319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "build_vocab": q_build_vocab,
         "vocab_coverage": q_vocab_coverage,
         "collocations": q_collocations,
+        "json_props_stats": q_json_props_stats,
+        "pivot_lang_counts": q_pivot_lang_counts,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
         "cap_source_share": q_cap_source_share,
@@ -1881,6 +1906,21 @@ def oracle_sql() -> dict[str, str]:
             "AS word FROM documents) GROUP BY word) "
             "SELECT word, n, CAST(row_number() OVER "
             "(ORDER BY n DESC, word) - 1 AS BIGINT) AS token_id FROM f"
+        ),
+        "json_props_stats": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(regexp_extract(props, "
+            "'\"k\"\\s*:\\s*(-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "pivot_lang_counts": (
+            "SELECT source, "
+            "CAST(COUNT(*) FILTER (lang = 'de') AS BIGINT) AS de, "
+            "CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS en, "
+            "CAST(COUNT(*) FILTER (lang = 'es') AS BIGINT) AS es, "
+            "CAST(COUNT(*) FILTER (lang = 'fr') AS BIGINT) AS fr, "
+            "CAST(COUNT(*) FILTER (lang = 'zh') AS BIGINT) AS zh "
+            "FROM documents GROUP BY source ORDER BY source"
         ),
         "collocations": (
             "WITH a AS (SELECT regexp_extract_all(lower(text), "

@@ -1701,6 +1701,30 @@ def test_build_vocab_then_remap_roundtrip(ray_session):
     assert v2["word"].tolist() == ["b", "a"]
 
 
+def test_extract_json_int_and_pivot(ray_session):
+    """JSON int extraction handles negatives, missing fields (null)
+    and non-integer values; pivot fills absent cells with 0 and
+    orders columns by value name."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.structured import extract_json_int, pivot_counts
+
+    t = pa.table({
+        "props": pa.array(['{"k": 87}', '{"k": -3}', '{"j": 1}',
+                           '{"k": "x"}', None]),
+        "grp": pa.array(["a", "a", "b", "b", "b"]),
+        "cat": pa.array(["x", "y", "x", "x", "x"]),
+    })
+    ds = rd.from_arrow(t).repartition(2)
+    out = extract_json_int(ds, col="props", field="k").to_pandas()
+    assert out["k"].tolist() == [87, -3, None, None, None] or \
+        sorted(v for v in out["k"] if pd.notna(v)) == [-3, 87]
+    wide = pivot_counts(ds, "grp", "cat").to_pandas()
+    assert list(wide.columns) == ["grp", "x", "y"]
+    assert wide.set_index("grp").loc["a"].tolist() == [1, 1]
+    assert wide.set_index("grp").loc["b"].tolist() == [3, 0]  # 0-filled
+
+
 def test_collocations_lift_ranking(ray_session):
     """lift = T*c_ab / (c_a*c_b): an exclusive pair ("san francisco")
     outranks a frequent-but-promiscuous pair; values match the direct
