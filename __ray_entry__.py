@@ -1053,6 +1053,16 @@ def q_rollup_counts(sf_dir: str):
     return rollup_counts(ds, ["source", "lang"])
 
 
+def q_cube_counts(sf_dir: str):
+    """GROUP BY CUBE(source, lang): every dim subset derived from the
+    same one distributed fine aggregate (rollup_counts' optimization
+    over the full 2^|dims| lattice)."""
+    from colonnade_ray.functions.relational import cube_counts
+
+    ds = _tbl(sf_dir, "documents", ["source", "lang"])
+    return cube_counts(ds, ["source", "lang"])
+
+
 def q_group_moments(sf_dir: str):
     """Algebraic aggregate partials: per-flag lineitem quantity moments
     (n, sum, sum of squares) — the mergeable-statistics shape behind
@@ -1315,6 +1325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join": q_hash_join,
         "left_join_histogram": q_left_join_histogram,
         "rollup_counts": q_rollup_counts,
+        "cube_counts": q_cube_counts,
         "group_moments": q_group_moments,
         "build_vocab": q_build_vocab,
         "vocab_coverage": q_vocab_coverage,
@@ -1891,6 +1902,13 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(lang, '(all)') AS lang, "
             "CAST(COUNT(*) AS BIGINT) AS n "
             "FROM documents GROUP BY ROLLUP(source, lang) "
+            "ORDER BY source, lang"
+        ),
+        "cube_counts": (
+            "SELECT COALESCE(source, '(all)') AS source, "
+            "COALESCE(lang, '(all)') AS lang, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY CUBE(source, lang) "
             "ORDER BY source, lang"
         ),
         "group_moments": (

@@ -591,3 +591,32 @@ def rollup_counts(ds, dims: Sequence[str], sentinel: str = "(all)"):
     out = pd.concat(frames, ignore_index=True)[dims + ["n"]]
     out["n"] = out["n"].astype("int64")
     return out.sort_values(dims, kind="mergesort").reset_index(drop=True)
+
+
+def cube_counts(ds, dims: Sequence[str], sentinel: str = "(all)"):
+    """GROUP BY CUBE(dims...) row counts: the same one-distributed-
+    fine-pass optimization as ``rollup_counts``, but EVERY subset of
+    dims is derived from the groups-sized fine result (2^|dims|
+    subsets — dims lists are short by construction)."""
+    from itertools import combinations
+
+    from ray.data.aggregate import Count
+
+    dims = list(dims)
+    fine = ds.groupby(dims).aggregate(Count(alias_name="n")).to_pandas()
+    frames = []
+    for r in range(len(dims), -1, -1):
+        for keep in combinations(dims, r):
+            if len(keep) == len(dims):
+                g = fine.copy()
+            elif keep:
+                g = fine.groupby(list(keep), as_index=False)["n"].sum()
+            else:
+                g = pd.DataFrame({"n": [int(fine["n"].sum())]})
+            for d in dims:
+                if d not in keep:
+                    g[d] = sentinel
+            frames.append(g[dims + ["n"]])
+    out = pd.concat(frames, ignore_index=True)[dims + ["n"]]
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(dims, kind="mergesort").reset_index(drop=True)

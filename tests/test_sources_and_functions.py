@@ -1650,6 +1650,24 @@ def test_rollup_counts_levels_are_consistent(ray_session):
     assert len(out) == 4 + 2 + 1
 
 
+def test_cube_counts_full_lattice(ray_session):
+    """CUBE adds the lang-only marginal to rollup's lattice; every
+    marginal sums to the grand total."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.relational import cube_counts
+
+    docs = rd.from_arrow(pa.table({
+        "source": pa.array(["a", "a", "a", "b", "b"]),
+        "lang": pa.array(["en", "en", "de", "en", "fr"]),
+    }))
+    out = cube_counts(docs, ["source", "lang"])
+    m = {(r.source, r.lang): r.n for r in out.itertuples()}
+    assert m[("(all)", "en")] == 3 and m[("(all)", "de")] == 1
+    assert m[("a", "(all)")] == 3 and m[("(all)", "(all)")] == 5
+    assert len(out) == 4 + 2 + 3 + 1  # fine + source + lang + grand
+
+
 def test_tdigest_tracks_exact_quantiles(ray_session):
     """Mergeable t-digest partials: estimates within ~2% of the exact
     quantile on a skewed distribution, robust to partitioning, and the
