@@ -1053,6 +1053,16 @@ def q_rollup_counts(sf_dir: str):
     return rollup_counts(ds, ["source", "lang"])
 
 
+def q_funnel(sf_dir: str):
+    """Sequential view->click->purchase funnel over events: rows are
+    type-filtered + 3-column-projected before the one user-bucketed
+    exchange; per-stage thresholds are vectorized merges in-bucket."""
+    from colonnade_ray.functions.relational import funnel_counts
+
+    ds = _tbl(sf_dir, "events", ["user_id", "event_type", "ts"])
+    return funnel_counts(ds, ["view", "click", "purchase"])
+
+
 def q_cube_counts(sf_dir: str):
     """GROUP BY CUBE(source, lang): every dim subset derived from the
     same one distributed fine aggregate (rollup_counts' optimization
@@ -1326,6 +1336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join_histogram": q_left_join_histogram,
         "rollup_counts": q_rollup_counts,
         "cube_counts": q_cube_counts,
+        "funnel": q_funnel,
         "group_moments": q_group_moments,
         "build_vocab": q_build_vocab,
         "vocab_coverage": q_vocab_coverage,
@@ -1910,6 +1921,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n "
             "FROM documents GROUP BY CUBE(source, lang) "
             "ORDER BY source, lang"
+        ),
+        "funnel": (
+            "WITH t1 AS (SELECT user_id, MIN(ts) AS t FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "t2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            "JOIN t1 ON e.user_id = t1.user_id AND e.ts >= t1.t "
+            "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+            "t3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            "JOIN t2 ON e.user_id = t2.user_id AND e.ts >= t2.t "
+            "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+            "SELECT * FROM (VALUES "
+            "(CAST(0 AS BIGINT), 'view', "
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM t1)), "
+            "(CAST(1 AS BIGINT), 'click', "
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM t2)), "
+            "(CAST(2 AS BIGINT), 'purchase', "
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM t3))"
+            ") AS f(stage_idx, stage, n_users) ORDER BY stage_idx"
         ),
         "group_moments": (
             "SELECT l_returnflag, COUNT(*) AS n, "

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -591,6 +592,60 @@ def rollup_counts(ds, dims: Sequence[str], sentinel: str = "(all)"):
     out = pd.concat(frames, ignore_index=True)[dims + ["n"]]
     out["n"] = out["n"].astype("int64")
     return out.sort_values(dims, kind="mergesort").reset_index(drop=True)
+
+
+def funnel_counts(ds, stages: Sequence[str],
+                  user_col: str = "user_id", type_col: str = "event_type",
+                  ts_col: str = "ts") -> pd.DataFrame:
+    """Sequential funnel: how many users reached stage k — i.e. have
+    events matching stages[0..k] at non-decreasing timestamps (each
+    stage's clock starts at the user's earliest qualifying time for
+    the previous stage).  Returns (stage_idx, stage, n_users).
+
+    Scale shape: rows are pre-filtered to funnel event types and
+    projected to 3 columns before the ONE user-bucketed exchange;
+    inside each bucket the per-stage thresholds are pure vectorized
+    merges (no per-user Python); only |stages| count rows per bucket
+    come back."""
+    stages = list(stages)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = batch[type_col].to_pandas().to_numpy(dtype=object)
+        mask = np.isin(t, stages)
+        return pa.table({
+            user_col: batch[user_col].filter(pa.array(mask)),
+            type_col: batch[type_col].filter(pa.array(mask)),
+            ts_col: batch[ts_col].filter(pa.array(mask)),
+        })
+
+    slim = ds.map_batches(keep, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        reached = None  # DataFrame(user, t): earliest time stage k met
+        counts = []
+        for s in stages:
+            ev = g[g[type_col] == s][[user_col, ts_col]]
+            if reached is None:
+                reached = ev.groupby(user_col, as_index=False)[ts_col].min()
+            else:
+                m = ev.merge(reached.rename(columns={ts_col: "__prev"}),
+                             on=user_col, how="inner")
+                m = m[m[ts_col] >= m["__prev"]]
+                reached = m.groupby(user_col, as_index=False)[ts_col].min()
+            counts.append(len(reached))
+        return pd.DataFrame({"stage_idx": np.arange(len(stages),
+                                                    dtype=np.int64),
+                             "stage": stages,
+                             "n_users": np.asarray(counts, dtype=np.int64)})
+
+    from .bucketing import bucketed_group_apply
+
+    parts = bucketed_group_apply(slim, user_col, per_bucket).to_pandas()
+    out = parts.groupby(["stage_idx", "stage"], as_index=False)["n_users"] \
+               .sum()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("stage_idx", kind="mergesort") \
+              .reset_index(drop=True)
 
 
 def cube_counts(ds, dims: Sequence[str], sentinel: str = "(all)"):

@@ -1668,6 +1668,36 @@ def test_cube_counts_full_lattice(ray_session):
     assert len(out) == 4 + 2 + 3 + 1  # fine + source + lang + grand
 
 
+def test_funnel_counts_respects_order(ray_session):
+    """A user only advances when the later stage happens at or after
+    the earliest qualifying time of the previous one."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.relational import funnel_counts
+
+    rows = [
+        # u1: full ordered funnel
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # u2: click BEFORE view -> stops at view
+        (2, "click", 5), (2, "view", 10),
+        # u3: purchase before click -> stops at click
+        (3, "view", 1), (3, "click", 8), (3, "purchase", 4),
+        # u4: never viewed
+        (4, "click", 2), (4, "purchase", 3),
+        # u5: equal timestamps count (>= semantics)
+        (5, "view", 7), (5, "click", 7), (5, "purchase", 7),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    out = funnel_counts(rd.from_arrow(t).repartition(3),
+                        ["view", "click", "purchase"])
+    assert out["stage"].tolist() == ["view", "click", "purchase"]
+    assert out["n_users"].tolist() == [4, 3, 2]  # u1,u2,u3,u5 / u1,u3,u5 / u1,u5
+
+
 def test_tdigest_tracks_exact_quantiles(ray_session):
     """Mergeable t-digest partials: estimates within ~2% of the exact
     quantile on a skewed distribution, robust to partitioning, and the
