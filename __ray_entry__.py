@@ -1063,6 +1063,15 @@ def q_funnel(sf_dir: str):
     return funnel_counts(ds, ["view", "click", "purchase"])
 
 
+def q_retention(sf_dir: str):
+    """Weekly retention triangle: signup-week cohorts x week offsets,
+    integer epoch-week arithmetic (bit-identical in numpy and SQL)."""
+    from colonnade_ray.functions.relational import retention_counts
+
+    ds = _tbl(sf_dir, "events", ["user_id", "event_type", "ts"])
+    return retention_counts(ds)
+
+
 def q_cube_counts(sf_dir: str):
     """GROUP BY CUBE(source, lang): every dim subset derived from the
     same one distributed fine aggregate (rollup_counts' optimization
@@ -1337,6 +1346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_counts": q_rollup_counts,
         "cube_counts": q_cube_counts,
         "funnel": q_funnel,
+        "retention": q_retention,
         "group_moments": q_group_moments,
         "build_vocab": q_build_vocab,
         "vocab_coverage": q_vocab_coverage,
@@ -1921,6 +1931,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n "
             "FROM documents GROUP BY CUBE(source, lang) "
             "ORDER BY source, lang"
+        ),
+        "retention": (
+            "WITH ev AS (SELECT user_id, event_type, "
+            "epoch_us(ts) // 604800000000 AS week FROM events), "
+            "c AS (SELECT user_id, MIN(week) AS cweek FROM ev "
+            "WHERE event_type = 'signup' GROUP BY user_id), "
+            "uw AS (SELECT DISTINCT user_id, week FROM ev), "
+            "cells AS (SELECT DISTINCT uw.user_id, c.cweek AS cohort_week, "
+            "uw.week - c.cweek AS week_offset "
+            "FROM uw JOIN c USING (user_id) WHERE uw.week >= c.cweek) "
+            "SELECT CAST(cohort_week AS BIGINT) AS cohort_week, "
+            "CAST(week_offset AS BIGINT) AS week_offset, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users FROM cells "
+            "GROUP BY cohort_week, week_offset "
+            "ORDER BY cohort_week, week_offset"
         ),
         "funnel": (
             "WITH t1 AS (SELECT user_id, MIN(ts) AS t FROM events "

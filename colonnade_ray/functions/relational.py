@@ -648,6 +648,77 @@ def funnel_counts(ds, stages: Sequence[str],
               .reset_index(drop=True)
 
 
+_WEEK_US = 604_800_000_000  # 7 * 86400 * 1e6
+
+
+def retention_counts(ds, cohort_type: str = "signup",
+                     user_col: str = "user_id",
+                     type_col: str = "event_type", ts_col: str = "ts"):
+    """Cohort retention: users bucketed by the epoch-week of their
+    FIRST ``cohort_type`` event; a user is retained in week-offset k
+    if ANY event of theirs lands k weeks after the cohort week.
+    Returns (cohort_week, week_offset, n_users) — the classic
+    retention triangle.  Weeks are integer epoch-microsecond floor
+    divisions (no calendar/timezone arithmetic), bit-identical in
+    numpy and SQL.
+
+    Scale shape: (1) cohort table = one Min aggregate over
+    cohort-type rows only; (2) activity = per-batch DISTINCT
+    (user, week) partials, deduped again in the one user-keyed
+    keyed_attach exchange that pins the cohort week on; (3) the
+    triangle count is a (cohorts x offsets)-bounded groupby.  Nothing
+    user-sized is broadcast or driver-held."""
+    from ray.data.aggregate import Count, Min
+
+    def weeks(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.int64()).to_numpy()
+        return pa.table({
+            user_col: batch[user_col],
+            type_col: batch[type_col],
+            "week": pa.array(ts // _WEEK_US),
+        })
+
+    slim = ds.map_batches(weeks, batch_format="pyarrow")
+
+    def only_cohort(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.equal(b[type_col], cohort_type))
+
+    cohort = slim.map_batches(only_cohort, batch_format="pyarrow") \
+        .groupby(user_col).aggregate(Min("week", alias_name="cweek"))
+
+    def distinct_user_week(b: pa.Table) -> pa.Table:
+        df = pa.table({user_col: b[user_col],
+                       "week": b["week"]}).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    active = slim.map_batches(distinct_user_week, batch_format="pyarrow")
+    joined = keyed_attach(
+        active, cohort, key_from=user_col, out_col="cweek",
+        carry=[(user_col, pa.int64()), ("week", pa.int64())],
+        id_col=user_col, text_col="cweek", fill=-1)
+
+    def offsets(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df["cweek"] >= 0]  # users with no cohort event drop
+        df["week_offset"] = (df["week"] - df["cweek"]).astype("int64")
+        df = df[df["week_offset"] >= 0]
+        return pa.Table.from_pandas(
+            df[[user_col, "cweek", "week_offset"]].rename(
+                columns={"cweek": "cohort_week"}),
+            preserve_index=False)
+
+    cells = joined.map_batches(offsets, batch_format="pyarrow")
+    # per-batch distinct above is only a pre-shrink: the same
+    # (user, week) survives in several batches, so the user-level
+    # dedup must be the first global groupby
+    dedup = cells.groupby([user_col, "cohort_week", "week_offset"]) \
+        .aggregate(Count(alias_name="__d"))
+    out = dedup.groupby(["cohort_week", "week_offset"]).aggregate(
+        Count(alias_name="n_users"))
+    return out.sort(["cohort_week", "week_offset"])
+
+
 def cube_counts(ds, dims: Sequence[str], sentinel: str = "(all)"):
     """GROUP BY CUBE(dims...) row counts: the same one-distributed-
     fine-pass optimization as ``rollup_counts``, but EVERY subset of

@@ -1698,6 +1698,34 @@ def test_funnel_counts_respects_order(ray_session):
     assert out["n_users"].tolist() == [4, 3, 2]  # u1,u2,u3,u5 / u1,u3,u5 / u1,u5
 
 
+def test_retention_counts_triangle(ray_session):
+    """Cohort = week of FIRST signup; retained-in-offset-k = any event
+    k weeks later; pre-cohort activity and signup-less users drop;
+    duplicate user-weeks across partitions count once."""
+    import ray.data as rd
+
+    W = 604_800_000_000
+    rows = [
+        (1, "signup", 10 * W), (1, "view", 10 * W + 5),   # offset 0
+        (1, "click", 11 * W + 1),                          # offset 1
+        (1, "view", 11 * W + 2),                           # dup week: once
+        (2, "signup", 10 * W + 9), (2, "view", 12 * W),    # offsets 0, 2
+        (3, "view", 9 * W), (3, "signup", 11 * W),         # pre-cohort drops
+        (4, "view", 10 * W),                               # no signup: drops
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    })
+    from colonnade_ray.functions.relational import retention_counts
+
+    out = retention_counts(rd.from_arrow(t).repartition(3)).to_pandas()
+    got = {(r.cohort_week, r.week_offset): r.n_users
+           for r in out.itertuples()}
+    assert got == {(10, 0): 2, (10, 1): 1, (10, 2): 1, (11, 0): 1}
+
+
 def test_tdigest_tracks_exact_quantiles(ray_session):
     """Mergeable t-digest partials: estimates within ~2% of the exact
     quantile on a skewed distribution, robust to partitioning, and the
