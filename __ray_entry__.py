@@ -530,6 +530,92 @@ def q_shipping_priority(sf_dir: str):
     return agg.sort(["revenue_cents", "o_orderkey"], descending=[True, False]).limit(10)
 
 
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5-shaped macro pipeline (local supplier volume, ASIA,
+    1995): region/nation resolved driver-side (rows-bounded tiny),
+    supplier nation BROADCAST into lineitem (ray.put once), customer
+    nation attached to the date-pruned orders via the keyed_attach
+    hash join, one large-large orderkey join, and the c_nat == s_nat
+    locality filter before a nations-sized aggregate — the 5-table
+    join chain mixing every join strategy the engine has, revenue in
+    integer cents (the shipping_priority convention) so the twin
+    hashes exactly."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from colonnade_ray.functions.relational import broadcast_join, keyed_attach
+
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rkey = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"][0].as_py()
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nat = nation.filter(pc.equal(nation["n_regionkey"], rkey))
+    asia_keys = set(nat["n_nationkey"].to_pylist())
+    nat_names = dict(zip(nat["n_nationkey"].to_pylist(),
+                         nat["n_name"].to_pylist()))
+
+    lo = np.datetime64("1995-01-01", "us")
+    hi = np.datetime64("1996-01-01", "us")
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pds.field("o_orderdate") >= lo) & (pds.field("o_orderdate") < hi),
+    ).map_batches(lambda b: b.select(["o_orderkey", "o_custkey"]),
+                  batch_format="pyarrow")
+    cust = _tbl(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    o_nat = keyed_attach(
+        orders, cust, key_from="o_custkey", out_col="c_nat",
+        carry=[("o_orderkey", pa.int64())],
+        id_col="c_custkey", text_col="c_nationkey", fill=-1)
+
+    def keep_asia_cust(b: pa.Table) -> pa.Table:
+        mask = np.isin(b["c_nat"].to_numpy(), list(asia_keys))
+        return b.filter(pa.array(mask))
+
+    o_nat = o_nat.map_batches(keep_asia_cust, batch_format="pyarrow")
+
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"]) \
+        .rename_columns(["l_suppkey", "s_nat"])
+    li = _lineitem(sf_dir, ["l_orderkey", "l_suppkey",
+                            "l_extendedprice", "l_discount"])
+    li = broadcast_join(li, supp, on="l_suppkey")
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        mask = np.isin(b["s_nat"].to_numpy(), list(asia_keys))
+        b = b.filter(pa.array(mask))
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(rev, pa.scalar(100.0)),
+                            pa.scalar(0.5))), pa.int64())
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "s_nat": pc.cast(b["s_nat"], pa.int64()),
+                         "rev_cents": cents})
+
+    li = li.map_batches(li_prep, batch_format="pyarrow")
+    joined = keyed_attach(
+        li, o_nat, key_from="l_orderkey", out_col="c_nat",
+        carry=[("s_nat", pa.int64()), ("rev_cents", pa.int64())],
+        id_col="o_orderkey", text_col="c_nat", fill=-1)
+
+    def local_only(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        b = b.filter(pc.equal(b["s_nat"], b["c_nat"]))
+        names = pd.Series(b["s_nat"].to_numpy()).map(nat_names) \
+            .to_numpy(dtype=object)
+        return pa.table({"n_name": pa.array(names, pa.string()),
+                         "rev_cents": b["rev_cents"]})
+
+    agg = joined.map_batches(local_only, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(Sum("rev_cents",
+                                         alias_name="revenue_cents"))
+    return agg.sort(["revenue_cents", "n_name"], descending=[True, False])
+
+
 def q_user_event_seq(sf_dir: str):
     """Per-key running sequence number (row_number window): bucketed
     per-user cumcount over ts-ordered events."""
@@ -1347,6 +1433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_counts": q_cube_counts,
         "funnel": q_funnel,
         "retention": q_retention,
+        "local_supplier_volume": q_local_supplier_volume,
         "group_moments": q_group_moments,
         "build_vocab": q_build_vocab,
         "vocab_coverage": q_vocab_coverage,
@@ -1931,6 +2018,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n "
             "FROM documents GROUP BY CUBE(source, lang) "
             "ORDER BY source, lang"
+        ),
+        "local_supplier_volume": (
+            "SELECT n.n_name AS n_name, "
+            "CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) "
+            "* 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "WHERE r.r_name = 'ASIA' "
+            "AND c.c_nationkey = s.s_nationkey "
+            "AND o.o_orderdate >= TIMESTAMP '1995-01-01' "
+            "AND o.o_orderdate < TIMESTAMP '1996-01-01' "
+            "GROUP BY n.n_name ORDER BY revenue_cents DESC, n_name"
         ),
         "retention": (
             "WITH ev AS (SELECT user_id, event_type, "
