@@ -1409,8 +1409,11 @@ def q_codec_selection_report(sf_dir: str):
 
 
 def entry() -> Any:
-    """Flagship pipeline on sf0.001 (driver smoke check)."""
-    return q_encode_roundtrip("/root/testdata/sf0.001")
+    """Flagship pipeline on sf0.001 (driver smoke check).  The
+    contract allows Dataset | DataFrame here (queries() may also
+    return pyarrow) — convert the arrow result to pandas."""
+    out = q_encode_roundtrip("/root/testdata/sf0.001")
+    return out.to_pandas() if isinstance(out, pa.Table) else out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
