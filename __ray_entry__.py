@@ -616,6 +616,44 @@ def q_local_supplier_volume(sf_dir: str):
     return agg.sort(["revenue_cents", "n_name"], descending=[True, False])
 
 
+def q_curation_v2(sf_dir: str):
+    """Second composed curation flow, chaining the final-wave ops:
+    length gate -> temperature_mix (alpha=.5, md5-deterministic) ->
+    exact dedup keeping the ARG-MIN doc per fingerprint (row_number
+    twin) -> per-source doc + token totals.  Only (fingerprint, id,
+    source, token_count) rows cross the one dedup exchange."""
+    from ray.data.aggregate import Count, Sum
+
+    from colonnade_ray.functions.bucketing import bucketed_group_apply
+    from colonnade_ray.functions.sampling import temperature_mix
+    from colonnade_ray.functions.text import fingerprint_batch, token_count_batch
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def gate(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(pc.utf8_length(b["text"]),
+                                         pa.scalar(200)))
+
+    gated = ds.map_batches(gate, batch_format="pyarrow")
+    mixed = temperature_mix(gated, group_col="source", alpha=0.5, seed=13)
+
+    def fp(b: pa.Table) -> pa.Table:
+        b = token_count_batch(fingerprint_batch(b))
+        return b.select(["doc_id", "source", "fingerprint", "token_count"])
+
+    keyed = mixed.map_batches(fp, batch_format="pyarrow")
+
+    def argmin_doc(g):
+        g = g.sort_values(["fingerprint", "doc_id"], kind="mergesort")
+        return g.drop_duplicates("fingerprint")
+
+    kept = bucketed_group_apply(keyed, "fingerprint", argmin_doc)
+    agg = kept.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("token_count", alias_name="sum_tokens"))
+    return agg.sort("source")
+
+
 def q_user_event_seq(sf_dir: str):
     """Per-key running sequence number (row_number window): bucketed
     per-user cumcount over ts-ordered events."""
@@ -1437,6 +1475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": q_funnel,
         "retention": q_retention,
         "local_supplier_volume": q_local_supplier_volume,
+        "curation_v2": q_curation_v2,
         "group_moments": q_group_moments,
         "build_vocab": q_build_vocab,
         "vocab_coverage": q_vocab_coverage,
@@ -2021,6 +2060,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n "
             "FROM documents GROUP BY CUBE(source, lang) "
             "ORDER BY source, lang"
+        ),
+        "curation_v2": (
+            "WITH gated AS (SELECT doc_id, text, source FROM documents "
+            "WHERE length(text) >= 200), "
+            "g AS (SELECT source, COUNT(*) AS ng FROM gated GROUP BY source), "
+            "m AS (SELECT MIN(ng) AS nmin FROM g), "
+            "mix AS (SELECT d.doc_id, d.text, d.source FROM gated d "
+            "JOIN g USING (source) CROSS JOIN m "
+            "WHERE g.ng = m.nmin OR "
+            "('0x' || substr(md5('13:' || CAST(d.doc_id AS VARCHAR)), 1, 16))"
+            "::UBIGINT < CAST(floor(sqrt(CAST(m.nmin AS DOUBLE) / g.ng) * "
+            "18446744073709551616.0) AS UBIGINT)), "
+            "dd AS (SELECT doc_id, text, source FROM mix "
+            "QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) "
+            "AS sum_tokens FROM dd GROUP BY source ORDER BY source"
         ),
         "local_supplier_volume": (
             "SELECT n.n_name AS n_name, "
