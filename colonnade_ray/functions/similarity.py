@@ -561,3 +561,80 @@ def lsh_verified_near_dups(ds, threshold: float, bands: int = 8,
         attached, ["id_a", "id_b"],
         lambda g: _verify_pair_bucket(g, threshold),
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (the 4x memory cut for ANN shards)
+
+def quantize_embeddings(ds, emb_col: str = "embedding",
+                        id_col: str = "vec_id"):
+    """Per-vector symmetric int8 quantization: q = round(v / s), s =
+    max|v| / 127 (s = 1 for all-zero vectors).  Output rows carry
+    (id, q: list<int8>, scale: float32) — 4x smaller ANN shards with
+    the scale as a per-row sidecar; one vectorized pass, offsets
+    preserved (no per-row Python)."""
+
+    def quant(batch: pa.Table) -> pa.Table:
+        arr = batch[emb_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offsets = arr.offsets.to_numpy()
+        flat = arr.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float32)
+        n = len(arr)
+        absmax = np.maximum.reduceat(np.abs(flat), offsets[:-1]) \
+            if flat.size else np.zeros(0, np.float32)
+        absmax = np.where(np.diff(offsets) == 0, 0.0, absmax)
+        scale = np.where(absmax > 0, absmax / 127.0, 1.0) \
+            .astype(np.float32)
+        per_val = np.repeat(scale, np.diff(offsets))
+        q = np.clip(np.rint(flat / per_val), -127, 127).astype(np.int8)
+        qarr = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                        pa.array(q, pa.int8()))
+        return pa.table({id_col: batch[id_col], "q": qarr,
+                         "scale": pa.array(scale)})
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def quantized_topk(qds, queries: np.ndarray, k: int = 5,
+                   id_col: str = "vec_id"):
+    """Brute-force cosine top-k over an int8-quantized corpus: the
+    per-batch kernel is ONE int-to-float matmul of the dequantized
+    block (q * scale broadcast) against the ray.put query matrix —
+    same partial-merge shape as brute_force_topk, 1/4 the bytes read
+    per shard."""
+    import ray
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qref = ray.put(qn)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        arr = batch["q"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        dim = len(arr[0]) if len(arr) else 0
+        if dim == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        flat = arr.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(len(arr), dim)
+        m = flat * batch["scale"].to_numpy()[:, None]
+        m = _normalize(m)
+        sims = q @ m.T  # (nq, rows)
+        ids = batch[id_col].to_numpy()
+        kk = min(k, sims.shape[1])
+        qq, vv, ss = [], [], []
+        for qi in range(sims.shape[0]):
+            order = np.lexsort((ids, -sims[qi]))[:kk]  # score desc, id asc
+            qq.extend([qi] * kk)
+            vv.extend(ids[order].tolist())
+            ss.extend(sims[qi][order].tolist())
+        return pa.table({"query_id": pa.array(qq, pa.int64()),
+                         id_col: pa.array(vv, pa.int64()),
+                         "score": pa.array(ss, pa.float64())})
+
+    partials = qds.map_batches(partial, batch_format="pyarrow").take_all()
+    return _merge_topk(partials, k, id_col)

@@ -307,6 +307,43 @@ def test_brute_force_topk_exact(ray_session):
     assert list(df[df["query_id"] == 0]["vec_id"]) == list(expect)
 
 
+def test_quantize_embeddings_roundtrip_and_recall(ray_session):
+    """int8 quantization: per-value error <= scale/2, all-zero vectors
+    survive, and quantized brute-force top-10 recalls >= 0.9 of the
+    fp32 top-10."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.similarity import (
+        brute_force_topk, quantize_embeddings, quantized_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    emb = rng.normal(size=(200, 32)).astype(np.float32)
+    emb[7] = 0.0                                        # all-zero vector
+    t = pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array([list(map(float, e)) for e in emb],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    qds = quantize_embeddings(ds)
+    qdf = qds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    # roundtrip error bound: |v - q*s| <= s/2 per value
+    for i in (0, 7, 199):
+        q = np.asarray(qdf.loc[i, "q"], dtype=np.float64)
+        s = float(qdf.loc[i, "scale"])
+        assert np.abs(q * s - emb[i].astype(np.float64)).max() <= s / 2 + 1e-7
+    assert float(qdf.loc[7, "scale"]) == 1.0            # zero vector: s=1, q=0
+
+    queries = emb[:3].astype(np.float64)
+    exact = brute_force_topk(ds, queries, k=10).to_pandas()
+    approx = quantized_topk(qds, queries, k=10).to_pandas()
+    for qi in range(3):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        assert len(e & a) >= 9, (qi, e, a)              # recall@10 >= 0.9
+
+
 def test_ivf_index_build_and_probe(ray_session, tmp_path):
     """Materialized IVF (round-2 verdict #9): build writes one
     Hive-partitioned cell=K/ dir per populated cell; an exhaustive
