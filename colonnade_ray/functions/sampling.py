@@ -157,6 +157,47 @@ def shuffle_export(ds, id_col: str = "doc_id", seed: int = 7,
     )
 
 
+def export_shards(ds, out_dir: str, id_col: str = "doc_id", seed: int = 7,
+                  num_shards: int = 8, carry: tuple = ("text",)):
+    """Materialize shuffle_export's deterministic permutation as REAL
+    training shard files: `shard=K/part.parquet` per shard, rows in
+    ascending `pos` order (the read order a trainer consumes).
+
+    Scale shape: the (shard, pos) assignment is shuffle_export's one
+    exchange; the write adds NO second shuffle — each shard bucket is
+    already co-located after the rank pass, so the per-group sort is
+    bucket-local and `write_parquet(partition_cols=["shard"])` streams
+    one directory per shard (the resumable-output convention: a failed
+    run re-writes only missing shard directories).  Returns the shard
+    manifest (shard, n_rows, min_pos, max_pos) for verification."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    assigned = shuffle_export(ds, id_col=id_col, seed=seed,
+                              num_shards=num_shards, carry=carry)
+
+    def order(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("pos", kind="mergesort")
+
+    from .bucketing import bucketed_group_apply
+
+    ordered = bucketed_group_apply(assigned, "shard", order)
+    ordered.write_parquet(out_dir, partition_cols=["shard"])
+
+    rows = []
+    for name in sorted(os.listdir(out_dir)):
+        if not name.startswith("shard="):
+            continue
+        t = pq.read_table(os.path.join(out_dir, name), columns=["pos"])
+        p = t["pos"].to_numpy()
+        rows.append({"shard": int(name.split("=")[1]),
+                     "n_rows": len(p),
+                     "min_pos": int(p.min()) if len(p) else -1,
+                     "max_pos": int(p.max()) if len(p) else -1})
+    return pd.DataFrame(rows).sort_values("shard").reset_index(drop=True)
+
+
 def cap_source_share(ds, group_col: str = "source", id_col: str = "doc_id",
                      cap_fraction: float = 0.3, seed: int = 9):
     """Domain balancing: downsample every group whose share of the

@@ -1885,6 +1885,31 @@ def test_vocab_coverage_prefix(ray_session):
     assert out2["cum"].tolist() == [6, 9, 10]
 
 
+def test_export_shards_writes_contiguous_shards(ray_session, tmp_path):
+    """Every shard directory exists, positions are exactly 0..n-1 per
+    shard, totals conserve rows, and the carried column survives."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from colonnade_ray.functions.sampling import export_shards
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(257)), pa.int64()),
+        "text": pa.array([f"doc {i}" for i in range(257)]),
+    })
+    out = str(tmp_path / "shards")
+    man = export_shards(rd.from_arrow(t).repartition(3), out,
+                        num_shards=4, seed=7)
+    assert man["shard"].tolist() == [0, 1, 2, 3]
+    assert man["n_rows"].sum() == 257
+    assert (man["min_pos"] == 0).all()
+    assert (man["max_pos"] == man["n_rows"] - 1).all()
+    back = pq.read_table(out)
+    assert back.num_rows == 257
+    assert set(back.column_names) >= {"doc_id", "text", "pos"}
+    assert sorted(back["doc_id"].to_pylist()) == list(range(257))
+
+
 def test_cap_source_share_balances_domains(ray_session):
     """The over-represented source is cut to ~the cap share; small
     sources pass through untouched; re-runs keep identical rows."""
