@@ -616,6 +616,18 @@ def q_local_supplier_volume(sf_dir: str):
     return agg.sort(["revenue_cents", "n_name"], descending=[True, False])
 
 
+def q_winsorize(sf_dir: str):
+    """Per-type winsorization of event values into the exact
+    [p5, p95] percentile_disc band (thresholds broadcast, clamp is a
+    pure row pass — bit-exact against LEAST/GREATEST in SQL)."""
+    from colonnade_ray.functions.curation import winsorize
+
+    ds = _tbl(sf_dir, "events", ["event_id", "event_type", "value"])
+    return winsorize(ds, "event_type", "value",
+                     q_lo=0.05, q_hi=0.95, out_col="value_w") \
+        .sort("event_id")
+
+
 def q_curation_v2(sf_dir: str):
     """Second composed curation flow, chaining the final-wave ops:
     length gate -> temperature_mix (alpha=.5, md5-deterministic) ->
@@ -1476,6 +1488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention": q_retention,
         "local_supplier_volume": q_local_supplier_volume,
         "curation_v2": q_curation_v2,
+        "winsorize": q_winsorize,
         "group_moments": q_group_moments,
         "build_vocab": q_build_vocab,
         "vocab_coverage": q_vocab_coverage,
@@ -2060,6 +2073,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n "
             "FROM documents GROUP BY CUBE(source, lang) "
             "ORDER BY source, lang"
+        ),
+        "winsorize": (
+            "WITH t AS (SELECT event_type, "
+            "percentile_disc(0.05) WITHIN GROUP (ORDER BY value) AS lo, "
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS hi "
+            "FROM events GROUP BY event_type) "
+            "SELECT e.event_id, e.event_type, e.value, "
+            "LEAST(GREATEST(e.value, t.lo), t.hi) AS value_w "
+            "FROM events e JOIN t USING (event_type) ORDER BY e.event_id"
         ),
         "curation_v2": (
             "WITH gated AS (SELECT doc_id, text, source FROM documents "

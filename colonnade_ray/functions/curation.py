@@ -197,3 +197,39 @@ def percentile_gate(ds, group_col: str, value_col: str, q: float = 0.5,
         return b.filter(pa.array(mask.astype(bool)))
 
     return ds.map_batches(gate, batch_format="pyarrow")
+
+
+def winsorize(ds, group_col: str, value_col: str,
+              q_lo: float = 0.05, q_hi: float = 0.95,
+              out_col: str | None = None):
+    """Per-group winsorization: clamp ``value_col`` into its group's
+    [q_lo, q_hi] percentile band — the outlier-taming pass ahead of
+    scale-sensitive statistics.  Thresholds are exact percentile_disc
+    values (``grouped_quantiles``: an existing value at the rank, so
+    the clamp is BIT-EXACT against SQL — no interpolation float).
+    Like percentile_gate, the two-rows-per-group threshold table
+    broadcasts; the clamp is one vectorized row pass, no shuffle."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .relational import grouped_quantiles
+
+    out = out_col or f"{value_col}_w"
+    qt = grouped_quantiles(
+        ds.select_columns([group_col, value_col]), [group_col], value_col,
+        qs=(q_lo, q_hi),
+    ).to_pandas()
+    lo = dict(zip(qt[qt["q"] == q_lo][group_col],
+                  qt[qt["q"] == q_lo][value_col]))
+    hi = dict(zip(qt[qt["q"] == q_hi][group_col],
+                  qt[qt["q"] == q_hi][value_col]))
+
+    def clamp(b: pa.Table) -> pa.Table:
+        g = b[group_col].to_pandas()
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        lo_t = g.map(lo).to_numpy(dtype=np.float64)
+        hi_t = g.map(hi).to_numpy(dtype=np.float64)
+        w = np.minimum(np.maximum(v, lo_t), hi_t)
+        return b.append_column(out, pa.array(w.astype(v.dtype)))
+
+    return ds.map_batches(clamp, batch_format="pyarrow")

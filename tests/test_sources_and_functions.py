@@ -1814,6 +1814,29 @@ def test_build_vocab_then_remap_roundtrip(ray_session):
     assert v2["word"].tolist() == ["b", "a"]
 
 
+def test_winsorize_clamps_to_group_band(ray_session):
+    """Values clamp to their OWN group's [p_lo, p_hi] band; thresholds
+    are existing values (percentile_disc); in-band rows unchanged."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.curation import winsorize
+
+    t = pa.table({
+        "event_id": pa.array(list(range(12)), pa.int64()),
+        "grp": pa.array(["a"] * 10 + ["b"] * 2),
+        "v": pa.array([1.0, 2, 3, 4, 5, 6, 7, 8, 9, 100.0, -5.0, 50.0]),
+    })
+    out = winsorize(rd.from_arrow(t).repartition(3), "grp", "v",
+                    q_lo=0.1, q_hi=0.9, out_col="w").to_pandas() \
+        .sort_values("event_id")
+    a = out[out["grp"] == "a"]["w"].tolist()
+    # group a: p10 = rank ceil(.1*10)=1 -> 1.0; p90 = rank 9 -> 9.0
+    assert a == [1.0, 2, 3, 4, 5, 6, 7, 8, 9, 9.0]
+    b = out[out["grp"] == "b"]["w"].tolist()
+    # group b (n=2): p10 -> rank 1 = -5, p90 -> rank 2 = 50
+    assert b == [-5.0, 50.0]
+
+
 def test_extract_json_int_and_pivot(ray_session):
     """JSON int extraction handles negatives, missing fields (null)
     and non-integer values; pivot fills absent cells with 0 and
