@@ -616,6 +616,15 @@ def q_local_supplier_volume(sf_dir: str):
     return agg.sort(["revenue_cents", "n_name"], descending=[True, False])
 
 
+def q_mode_lang(sf_dir: str):
+    """Most frequent lang per source (ties -> smallest lang): one
+    bounded count exchange + bucketed arg-max."""
+    from colonnade_ray.functions.relational import grouped_mode
+
+    ds = _tbl(sf_dir, "documents", ["source", "lang"])
+    return grouped_mode(ds, "source", "lang").sort("source")
+
+
 def q_winsorize(sf_dir: str):
     """Per-type winsorization of event values into the exact
     [p5, p95] percentile_disc band (thresholds broadcast, clamp is a
@@ -1489,6 +1498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": q_local_supplier_volume,
         "curation_v2": q_curation_v2,
         "winsorize": q_winsorize,
+        "mode_lang": q_mode_lang,
         "group_moments": q_group_moments,
         "build_vocab": q_build_vocab,
         "vocab_coverage": q_vocab_coverage,
@@ -2073,6 +2083,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n "
             "FROM documents GROUP BY CUBE(source, lang) "
             "ORDER BY source, lang"
+        ),
+        "mode_lang": (
+            "SELECT source, lang, n FROM ("
+            "SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n, "
+            "row_number() OVER (PARTITION BY source "
+            "ORDER BY COUNT(*) DESC, lang) AS rn "
+            "FROM documents GROUP BY source, lang) WHERE rn = 1 "
+            "ORDER BY source"
         ),
         "winsorize": (
             "WITH t AS (SELECT event_type, "

@@ -648,6 +648,26 @@ def funnel_counts(ds, stages: Sequence[str],
               .reset_index(drop=True)
 
 
+def grouped_mode(ds, group_col: str, value_col: str):
+    """Most frequent ``value_col`` per group (ties -> smallest value):
+    one (group, value)-bounded count exchange, then a bucketed
+    arg-max (sort + drop_duplicates per bucket, no per-group Python).
+    Returns (group, mode value, n)."""
+    from ray.data.aggregate import Count
+
+    from .bucketing import bucketed_group_apply
+
+    counts = ds.groupby([group_col, value_col]).aggregate(
+        Count(alias_name="n"))
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, "n", value_col],
+                          ascending=[True, False, True], kind="mergesort")
+        return g.drop_duplicates(group_col)
+
+    return bucketed_group_apply(counts, group_col, argmax)
+
+
 _WEEK_US = 604_800_000_000  # 7 * 86400 * 1e6
 
 

@@ -1814,6 +1814,21 @@ def test_build_vocab_then_remap_roundtrip(ray_session):
     assert v2["word"].tolist() == ["b", "a"]
 
 
+def test_grouped_mode_tiebreak(ray_session):
+    import ray.data as rd
+
+    from colonnade_ray.functions.relational import grouped_mode
+
+    t = pa.table({
+        "g": pa.array(["a", "a", "a", "b", "b", "b", "b"]),
+        "v": pa.array(["x", "y", "y", "q", "p", "q", "p"]),
+    })
+    out = grouped_mode(rd.from_arrow(t).repartition(2), "g", "v") \
+        .to_pandas().sort_values("g")
+    assert out["v"].tolist() == ["y", "p"]  # b ties 2-2 -> smallest "p"
+    assert out["n"].tolist() == [2, 2]
+
+
 def test_winsorize_clamps_to_group_band(ray_session):
     """Values clamp to their OWN group's [p_lo, p_hi] band; thresholds
     are existing values (percentile_disc); in-band rows unchanged."""
