@@ -210,6 +210,15 @@ def run_bench() -> dict:
         ).count()
         timings["selective_decode"] = round(time.time() - t0, 3)
 
+        # COUNT(*) pushdown: same predicate answered from zone maps +
+        # boundary-chunk decodes only — no row ever materializes
+        from colonnade_ray.pipelines import count_where
+
+        t0 = time.time()
+        cw_rows = count_where(out_dir, ("n_tok", ">=", 400))
+        timings["count_where"] = round(time.time() - t0, 3)
+        assert cw_rows == sel_rows, (cw_rows, sel_rows)
+
         comp = competitor_sizes(
             corpus_dir, f"/tmp/colonnade_bench/comp-sf{sf}-m{mult}.json"
         )

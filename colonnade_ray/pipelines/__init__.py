@@ -3,6 +3,7 @@ from .encode_pipeline import (
     compact_corpus,
     completed_groups,
     corpus_summary,
+    count_where,
     decode_corpus,
     decode_dataset,
     decode_digest_corpus,

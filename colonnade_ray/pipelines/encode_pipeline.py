@@ -672,6 +672,54 @@ def decode_digest_corpus(out_dir: str, columns: Sequence[str],
     return s, x, n
 
 
+def count_where(out_dir: str, predicate, concurrency=None) -> int:
+    """COUNT(*) pushdown over the encoded corpus: chunks whose zone
+    map proves NO row matches cost nothing, chunks proven ALL-match
+    (min/max band inside the predicate + proven-zero null count, the
+    `__nulls__` stats entry) contribute n_rows with ZERO payload
+    decode, and only boundary chunks decode — and then only the
+    predicate columns.  The aggregate answer ("how many docs pass
+    this gate") never materializes a row."""
+    from ..stages.decode import (
+        _exact_filter,
+        chunk_all_match,
+        chunk_may_match,
+        decode_chunk_row,
+        normalize_predicates,
+    )
+    from ..util import default_concurrency
+
+    preds = normalize_predicates(predicate)
+    if not preds:
+        raise ValueError("count_where needs at least one predicate; "
+                         "use corpus_summary()['rows'] for the total")
+    cols = sorted({p[0] for p in preds})
+    enc, cpt = _read_encoded(out_dir, cols, concurrency,
+                             predicate=predicate)
+
+    def part(batch: pa.Table) -> pa.Table:
+        total = 0
+        names = batch.column_names
+        for r in range(len(batch)):
+            sj = batch["stats_json"][r].as_py()
+            if not all(chunk_may_match(sj, p) for p in preds):
+                continue
+            if all(chunk_all_match(sj, p) for p in preds):
+                total += int(batch["n_rows"][r].as_py())
+                continue
+            row = {c: batch[c][r].as_py() for c in names}
+            t = decode_chunk_row(row, verify_checksum=False, columns=cols)
+            for p in preds:
+                t = _exact_filter(t, p)
+            total += t.num_rows
+        return pa.table({"c": pa.array([total], pa.int64())})
+
+    ds = enc.map_batches(part, batch_format="pyarrow",
+                         batch_size=max(1, cpt), zero_copy_batch=True,
+                         concurrency=concurrency or default_concurrency())
+    return int(ds.sum("c") or 0)
+
+
 def roundtrip_verify(original_ds, decoded_ds, columns: Sequence[str]) -> dict:
     """Order-insensitive multiset equality of per-row fingerprints
     (the propIsoStream graft at dataset scale)."""

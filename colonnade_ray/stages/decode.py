@@ -174,6 +174,52 @@ def decode_chunk_row(row: dict, verify_checksum: bool = True,
     return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
 
 
+def chunk_all_match(stats_json: Optional[str],
+                    predicate: Tuple[str, str, object]) -> bool:
+    """True only when the chunk's [min, max] PROVES every row matches
+    — the COUNT-pushdown fast path (count n_rows without touching the
+    payload).  Requires a zone entry, a comparable bound, and a
+    proven-zero null count (nulls never satisfy a comparison, and
+    [min, max] is computed over non-nulls; chunks encoded before the
+    `__nulls__` side table simply never prove all-match)."""
+    if not stats_json:
+        return False
+    col, op, val = predicate
+    stats = json.loads(stats_json)
+    if col not in stats:
+        return False
+    if "__nulls__" not in stats:
+        return False  # pre-__nulls__ chunk: zero nulls unprovable
+    if stats["__nulls__"].get(col):
+        return False
+    lo, hi = stats[col]
+    numeric = isinstance(lo, (int, float)) and isinstance(hi, (int, float))
+    if isinstance(lo, str) and isinstance(hi, str):
+        vals = val if op == "in" else [val]
+        if not all(isinstance(v, str) for v in vals):
+            return False
+        # a truncated string MIN is a lower bound, not the true min —
+        # good enough for ">=" proofs only when strictly above
+    elif not numeric:
+        return False
+    if op == "in":
+        return lo == hi and any(_predicate_value(x) == lo for x in val)
+    v = _predicate_value(val)
+    if op == "==":
+        return lo == v == hi
+    if op == "!=":
+        return hi < v or lo > v
+    if op == ">":
+        return lo > v
+    if op == ">=":
+        return lo >= v
+    if op == "<":
+        return hi < v
+    if op == "<=":
+        return hi <= v
+    return False
+
+
 def _exact_filter(t: pa.Table, predicate: Tuple[str, str, object]) -> pa.Table:
     import pyarrow.compute as pc
 

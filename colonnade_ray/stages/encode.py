@@ -130,7 +130,11 @@ def encode_chunk(
     out: dict = {}
     payload_parts: list = []
     codec_summary: list = []
-    stats: dict = {}
+    # "__nulls__" is ALWAYS present in new chunks (even when empty):
+    # its presence marks the stats format that can PROVE a zero null
+    # count, which chunk_all_match's COUNT-pushdown fast path needs —
+    # absence means an old chunk where all-match is unprovable.
+    stats: dict = {"__nulls__": {}}
     bytes_in = 0
     zcodec = pa.Codec(post_compress) if post_compress else None
     for i, bc in enumerate(bound.columns):
@@ -150,6 +154,8 @@ def encode_chunk(
         zs = _zone_stat(arr)  # pc.min_max accepts chunked arrays
         if zs is not None:
             stats[bc.field.name] = zs
+            if arr.null_count:
+                stats["__nulls__"][bc.field.name] = int(arr.null_count)
         mjson = json.dumps(meta, separators=(",", ":"))
         out[f"col{i}_payload"] = [payload]
         out[f"col{i}_meta"] = [mjson]

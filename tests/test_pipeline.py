@@ -614,3 +614,47 @@ def test_group_level_zone_pruning(ray_session, tmp_path):
     empty = decode_corpus(out, columns=["doc_id", "n_tok"],
                           predicate=[("n_tok", ">", 5000)]).to_pandas()
     assert len(empty) == 0
+
+
+def test_count_where_pushdown_matches_decode(corpus_dir, tmp_path, ray_session):
+    """count_where == the decoded-filter count for every operator, and
+    the metadata-only fast path (all-match chunks contribute n_rows
+    without decode) is exercised: a predicate the WHOLE corpus
+    satisfies must touch zero payloads."""
+    from colonnade_ray.pipelines import count_where, decode_corpus
+    from colonnade_ray.stages.decode import chunk_all_match
+
+    out = str(tmp_path / "enc")
+    encode_corpus(corpus_dir, out, batch_size=256)
+    full = decode_corpus(out, columns=["n_tok"]).to_pandas()["n_tok"]
+
+    for pred in [("n_tok", ">=", int(full.median())),
+                 ("n_tok", "<", 100),
+                 ("n_tok", "==", int(full.iloc[0])),
+                 ("n_tok", ">=", -1)]:          # everything matches
+        assert count_where(out, pred) == int(
+            (_exact_mask(full, pred)).sum()), pred
+    # AND of two clauses
+    two = [("n_tok", ">=", 10), ("n_tok", "<", 400)]
+    assert count_where(out, two) == int(
+        (_exact_mask(full, two[0]) & _exact_mask(full, two[1])).sum())
+
+    # the everything-matches predicate must be provable from stats
+    # alone on every chunk (all values >= -1, column has no nulls)
+    import pyarrow.parquet as pq2
+    lin_dir = os.path.join(out, "_lineage")
+    sj = []
+    for f in os.listdir(lin_dir):
+        if f.endswith(".parquet"):
+            sj += pq2.read_table(
+                os.path.join(lin_dir, f), columns=["stats_json"]
+            )["stats_json"].to_pylist()
+    assert sj and all(chunk_all_match(s, ("n_tok", ">=", -1)) for s in sj)
+
+
+def _exact_mask(s, pred):
+    col, op, v = pred
+    import operator as _op
+
+    return {"==": _op.eq, "!=": _op.ne, ">": _op.gt, ">=": _op.ge,
+            "<": _op.lt, "<=": _op.le}[op](s, v)
