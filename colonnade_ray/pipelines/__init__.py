@@ -2,6 +2,7 @@ from .encode_pipeline import (
     active_groups,
     compact_corpus,
     completed_groups,
+    aggregate_where,
     corpus_summary,
     count_where,
     decode_corpus,

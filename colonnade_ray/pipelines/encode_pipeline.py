@@ -720,6 +720,104 @@ def count_where(out_dir: str, predicate, concurrency=None) -> int:
     return int(ds.sum("c") or 0)
 
 
+def aggregate_where(out_dir: str, agg: str, col: str,
+                    predicate=None, concurrency=None):
+    """MIN / MAX / SUM pushdown over one encoded column, optionally
+    under a predicate — the same three-way chunk classification as
+    ``count_where``:
+
+    - no-match chunks cost nothing;
+    - proven chunks answer from METADATA: min/max read the zone
+      bounds (valid with nulls — MIN/MAX ignore nulls, and the bounds
+      are computed over non-nulls), SUM reads the exact per-chunk
+      ``__sums__`` entry (integer columns; needs the proven-zero null
+      count so no null row is inside the matched band);
+    - only boundary chunks decode, and only ``col``.
+
+    With no predicate every chunk answers from metadata (old-format
+    or float chunks fall back to decode).  Returns None on an empty
+    match set.  SQL null semantics throughout (aggregates skip
+    nulls)."""
+    import pyarrow.compute as pc2
+
+    from ..stages.decode import (
+        _exact_filter,
+        chunk_all_match,
+        chunk_may_match,
+        decode_chunk_row,
+        normalize_predicates,
+    )
+    from ..util import default_concurrency
+
+    if agg not in ("min", "max", "sum"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    preds = normalize_predicates(predicate)
+    cols = sorted({p[0] for p in preds} | {col})
+    enc, cpt = _read_encoded(out_dir, cols, concurrency,
+                             predicate=predicate)
+
+    def _meta_answer(stats: dict):
+        """Metadata answer for a chunk where ALL rows are in scope, or
+        None when this chunk must decode."""
+        if col not in stats:
+            return None
+        lo, hi = stats[col]
+        if agg == "min":
+            return lo
+        if agg == "max":
+            return hi
+        s = stats.get("__sums__", {}).get(col)
+        return s  # None -> decode (old format / non-integer column)
+
+    def part(batch: pa.Table) -> pa.Table:
+        import json as _json
+
+        vals = []
+        names = batch.column_names
+        for r in range(len(batch)):
+            sj = batch["stats_json"][r].as_py()
+            if preds and not all(chunk_may_match(sj, p) for p in preds):
+                continue
+            proven = (not preds) or all(
+                chunk_all_match(sj, p) for p in preds)
+            if proven and sj:
+                stats = _json.loads(sj)
+                if preds and agg == "sum" and \
+                        stats.get("__nulls__", {}).get(col):
+                    stats = None  # a null row may sit inside the band
+                if stats is not None:
+                    a = _meta_answer(stats)
+                    if a is not None:
+                        vals.append(a)
+                        continue
+            row = {c: batch[c][r].as_py() for c in names}
+            t = decode_chunk_row(row, verify_checksum=False, columns=cols)
+            for p in preds:
+                t = _exact_filter(t, p)
+            if t.num_rows:
+                fn = {"min": pc2.min, "max": pc2.max, "sum": pc2.sum}[agg]
+                v = fn(t[col]).as_py()
+                if v is not None:
+                    vals.append(v)
+        # per-chunk partials travel as JSON strings: int sums stay
+        # exact (no float64 round-trip past 2^53)
+        return pa.table({"v": pa.array([_json.dumps(x) for x in vals],
+                                       pa.string())})
+
+    ds = enc.map_batches(part, batch_format="pyarrow",
+                         batch_size=max(1, cpt), zero_copy_batch=True,
+                         concurrency=concurrency or default_concurrency())
+    rows = ds.take_all()
+    vals = [json.loads(r["v"]) for r in rows]
+    if not vals:
+        return None
+    if agg == "min":
+        return min(vals)
+    if agg == "max":
+        return max(vals)
+    return sum(vals)
+
+
 def roundtrip_verify(original_ds, decoded_ds, columns: Sequence[str]) -> dict:
     """Order-insensitive multiset equality of per-row fingerprints
     (the propIsoStream graft at dataset scale)."""

@@ -134,7 +134,7 @@ def encode_chunk(
     # its presence marks the stats format that can PROVE a zero null
     # count, which chunk_all_match's COUNT-pushdown fast path needs —
     # absence means an old chunk where all-match is unprovable.
-    stats: dict = {"__nulls__": {}}
+    stats: dict = {"__nulls__": {}, "__sums__": {}}
     bytes_in = 0
     zcodec = pa.Codec(post_compress) if post_compress else None
     for i, bc in enumerate(bound.columns):
@@ -156,6 +156,13 @@ def encode_chunk(
             stats[bc.field.name] = zs
             if arr.null_count:
                 stats["__nulls__"][bc.field.name] = int(arr.null_count)
+            if pa.types.is_integer(arr.type):
+                # exact chunk sums (JSON ints are arbitrary precision)
+                # -> SUM pushdown never decodes an all-match chunk
+                import pyarrow.compute as pc
+
+                stats["__sums__"][bc.field.name] = int(
+                    pc.sum(arr).as_py() or 0)
         mjson = json.dumps(meta, separators=(",", ":"))
         out[f"col{i}_payload"] = [payload]
         out[f"col{i}_meta"] = [mjson]

@@ -658,3 +658,27 @@ def _exact_mask(s, pred):
 
     return {"==": _op.eq, "!=": _op.ne, ">": _op.gt, ">=": _op.ge,
             "<": _op.lt, "<=": _op.le}[op](s, v)
+
+
+def test_aggregate_where_pushdown(corpus_dir, tmp_path, ray_session):
+    """min/max/sum pushdown equals the decoded ground truth, with and
+    without predicates; the no-predicate path answers min/max purely
+    from zone bounds and sum from stored chunk sums."""
+    from colonnade_ray.pipelines import aggregate_where, decode_corpus
+
+    out = str(tmp_path / "enc")
+    encode_corpus(corpus_dir, out, batch_size=256)
+    full = decode_corpus(out, columns=["n_tok"]).to_pandas()["n_tok"]
+
+    assert aggregate_where(out, "min", "n_tok") == int(full.min())
+    assert aggregate_where(out, "max", "n_tok") == int(full.max())
+    assert aggregate_where(out, "sum", "n_tok") == int(full.sum())
+
+    med = int(full.median())
+    sel = full[full >= med]
+    pred = ("n_tok", ">=", med)
+    assert aggregate_where(out, "min", "n_tok", pred) == int(sel.min())
+    assert aggregate_where(out, "max", "n_tok", pred) == int(sel.max())
+    assert aggregate_where(out, "sum", "n_tok", pred) == int(sel.sum())
+    # empty match set
+    assert aggregate_where(out, "sum", "n_tok", ("n_tok", "<", -5)) is None
