@@ -682,3 +682,49 @@ def test_aggregate_where_pushdown(corpus_dir, tmp_path, ray_session):
     assert aggregate_where(out, "sum", "n_tok", pred) == int(sel.sum())
     # empty match set
     assert aggregate_where(out, "sum", "n_tok", ("n_tok", "<", -5)) is None
+
+
+def test_zone_proof_properties():
+    """Hypothesis: for any int column (with nulls) and any predicate,
+    chunk_all_match=True implies EVERY non-null row matches and zero
+    nulls; chunk_may_match=False implies NO row matches.  The
+    metadata proofs must never mis-count."""
+    import json as _json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from colonnade_ray.stages.decode import chunk_all_match, chunk_may_match
+
+    vals_s = st.lists(st.one_of(st.integers(-50, 50), st.none()),
+                      min_size=1, max_size=30)
+    op_s = st.sampled_from(["==", "!=", ">", ">=", "<", "<=", "in"])
+
+    @settings(max_examples=300, deadline=None)
+    @given(vals_s, op_s, st.integers(-55, 55),
+           st.lists(st.integers(-55, 55), min_size=1, max_size=4))
+    def prop(vals, op, v, vset):
+        nn = [x for x in vals if x is not None]
+        if not nn:
+            return
+        stats = {"__nulls__": {}, "__sums__": {"c": sum(nn)},
+                 "c": [min(nn), max(nn)]}
+        n_null = len(vals) - len(nn)
+        if n_null:
+            stats["__nulls__"]["c"] = n_null
+        sj = _json.dumps(stats)
+        pred = ("c", "in", vset) if op == "in" else ("c", op, v)
+
+        def row_match(x):
+            if op == "in":
+                return x in vset
+            return {"==": x == v, "!=": x != v, ">": x > v,
+                    ">=": x >= v, "<": x < v, "<=": x <= v}[op]
+
+        matches = [row_match(x) for x in nn]
+        if chunk_all_match(sj, pred):
+            assert all(matches) and n_null == 0, (vals, pred)
+        if not chunk_may_match(sj, pred):
+            assert not any(matches), (vals, pred)
+
+    prop()
