@@ -238,6 +238,7 @@ def encode_corpus(
     stateless: Optional[bool] = None,
     append: bool = False,
     post_compress: Optional[str] = None,
+    cluster_by: Optional[str] = None,
 ) -> dict:
     """Encode a parquet corpus to out_dir with lineage + exact resume.
 
@@ -328,6 +329,21 @@ def encode_corpus(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+        if cluster_by is not None:
+            # Block-local clustering: sort each READ BLOCK by the
+            # column before batch_size slices it into chunks — zero
+            # exchange (the sort fuses into the read task), but every
+            # chunk's zone band narrows to a block-local value range,
+            # which is what makes count_where / aggregate_where /
+            # selective decode prove most chunks from metadata.  The
+            # classic zone-map layout lever (file-local ORDER BY);
+            # a GLOBAL sort would be an all-to-all — deliberately not
+            # this knob.
+            ds = ds.map_batches(
+                lambda b: b.sort_by(cluster_by),
+                batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True,
+            )
         if partition_by == "source":
             totals = source_token_totals(g)
             ds = partition_by_source(ds, salt_counts(totals, token_budget))

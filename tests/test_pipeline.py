@@ -728,3 +728,46 @@ def test_zone_proof_properties():
             assert not any(matches), (vals, pred)
 
     prop()
+
+
+def test_cluster_by_narrows_zone_bands(corpus_dir, tmp_path, ray_session):
+    """cluster_by sorts each read block before chunking: round-trip
+    stays bit-identical (multiset), and a band predicate becomes
+    provable from metadata for most chunks — vs almost none on the
+    unclustered layout."""
+    import ray.data as rd
+
+    from colonnade_ray.pipelines import count_where, decode_corpus
+    from colonnade_ray.stages.decode import chunk_all_match, chunk_may_match
+
+    plain = str(tmp_path / "plain")
+    clus = str(tmp_path / "clustered")
+    encode_corpus(corpus_dir, plain, batch_size=128)
+    encode_corpus(corpus_dir, clus, batch_size=128, cluster_by="n_tok")
+
+    original = rd.read_parquet(corpus_dir)
+    res = roundtrip_verify(original, decode_corpus(clus), F1_COLS)
+    assert res["match"], res
+
+    full = decode_corpus(plain, columns=["n_tok"]).to_pandas()["n_tok"]
+    med = int(full.median())
+    pred = ("n_tok", ">=", med)
+    assert count_where(clus, pred) == int((full >= med).sum())
+
+    def proof_rate(out):
+        lin = os.path.join(out, "_lineage")
+        sj = []
+        for f in os.listdir(lin):
+            if f.endswith(".parquet"):
+                sj += pq.read_table(os.path.join(lin, f),
+                                    columns=["stats_json"]
+                                    )["stats_json"].to_pylist()
+        proven = sum(1 for s in sj
+                     if chunk_all_match(s, pred) or not chunk_may_match(s, pred))
+        return proven / len(sj), len(sj)
+
+    r_clus, n_clus = proof_rate(clus)
+    r_plain, _ = proof_rate(plain)
+    assert n_clus >= 8                      # enough chunks to mean anything
+    assert r_clus >= 0.6, (r_clus, n_clus)  # most chunks metadata-provable
+    assert r_clus > r_plain                 # clustering strictly helps
