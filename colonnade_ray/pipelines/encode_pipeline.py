@@ -834,6 +834,89 @@ def aggregate_where(out_dir: str, agg: str, col: str,
     return sum(vals)
 
 
+def group_counts(out_dir: str, group_col: str,
+                 value_col: Optional[str] = None, concurrency=None):
+    """Per-group row counts (and optional integer-column sums) over
+    the encoded corpus, metadata-first: a chunk whose ``group_col``
+    zone band has lo == hi provably holds ONE group — its n_rows (and
+    exact ``__sums__`` entry) contribute without any payload decode.
+    Only mixed-group chunks decode, and only the needed columns.
+
+    On a ``partition_by``/``cluster_by``-aligned corpus every chunk is
+    single-group and the whole answer is a lineage scan — the
+    partition-aligned aggregate story at 100 TB.  Returns a pandas
+    frame (group, n_rows[, sum_<value_col>]) sorted by group; group
+    keys are returned as strings (zone bands and decoded values
+    unify there), and null-group rows follow the zone convention
+    (only non-null groups are counted)."""
+    import json as _json
+
+    import pandas as pd
+
+    from ..stages.decode import decode_chunk_row
+    from ..util import default_concurrency
+
+    cols = [group_col] + ([value_col] if value_col else [])
+    enc, cpt = _read_encoded(out_dir, cols, concurrency)
+
+    def part(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        agg: dict = {}
+        names = batch.column_names
+        for r in range(len(batch)):
+            sj = batch["stats_json"][r].as_py()
+            stats = _json.loads(sj) if sj else {}
+            band = stats.get(group_col)
+            proven = (
+                band is not None and band[0] == band[1]
+                and "__nulls__" in stats
+                and not stats["__nulls__"].get(group_col)
+            )
+            ssum = stats.get("__sums__", {}).get(value_col) \
+                if value_col else None
+            if proven and (value_col is None or ssum is not None):
+                g = band[0]
+                cur = agg.setdefault(g, [0, 0])
+                cur[0] += int(batch["n_rows"][r].as_py())
+                if value_col:
+                    cur[1] += int(ssum)
+                continue
+            row = {c: batch[c][r].as_py() for c in names}
+            t = decode_chunk_row(row, verify_checksum=False, columns=cols)
+            gv = t[group_col].to_pandas()
+            if value_col:
+                vv = pd.Series(t[value_col].to_pandas()).fillna(0)
+                sums = vv.groupby(gv).sum()
+                counts = gv.groupby(gv).size()
+                for g in counts.index:
+                    cur = agg.setdefault(g, [0, 0])
+                    cur[0] += int(counts[g])
+                    cur[1] += int(sums[g])
+            else:
+                for g, n in gv.value_counts().items():
+                    agg.setdefault(g, [0, 0])[0] += int(n)
+        ks = sorted(agg)
+        return pa.table({
+            "g": pa.array([str(k) for k in ks], pa.string()),
+            "n": pa.array([agg[k][0] for k in ks], pa.int64()),
+            "s": pa.array([agg[k][1] for k in ks], pa.int64()),
+        })
+
+    ds = enc.map_batches(part, batch_format="pyarrow",
+                         batch_size=max(1, cpt), zero_copy_batch=True,
+                         concurrency=concurrency or default_concurrency())
+    df = ds.to_pandas()
+    out = df.groupby("g", as_index=False).agg(n_rows=("n", "sum"),
+                                              s=("s", "sum"))
+    out = out.rename(columns={"g": group_col})
+    if value_col:
+        out = out.rename(columns={"s": f"sum_{value_col}"})
+    else:
+        out = out.drop(columns=["s"])
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
 def roundtrip_verify(original_ds, decoded_ds, columns: Sequence[str]) -> dict:
     """Order-insensitive multiset equality of per-row fingerprints
     (the propIsoStream graft at dataset scale)."""

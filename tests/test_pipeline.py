@@ -771,3 +771,26 @@ def test_cluster_by_narrows_zone_bands(corpus_dir, tmp_path, ray_session):
     assert n_clus >= 8                      # enough chunks to mean anything
     assert r_clus >= 0.6, (r_clus, n_clus)  # most chunks metadata-provable
     assert r_clus > r_plain                 # clustering strictly helps
+
+
+def test_group_counts_metadata_first(corpus_dir, tmp_path, ray_session):
+    """group_counts equals the decoded ground truth on both layouts;
+    on the source-partitioned corpus the per-source chunks are
+    single-group, so counts and sums come from metadata."""
+    from colonnade_ray.pipelines import decode_corpus, group_counts
+
+    plain = str(tmp_path / "p")
+    part = str(tmp_path / "s")
+    encode_corpus(corpus_dir, plain, batch_size=256)
+    encode_corpus(corpus_dir, part, batch_size=256, partition_by="source")
+
+    truth = decode_corpus(plain, columns=["source", "n_tok"]).to_pandas()
+    want = truth.groupby("source").agg(n_rows=("n_tok", "size"),
+                                       sum_n_tok=("n_tok", "sum"))
+    for out in (plain, part):
+        got = group_counts(out, "source", "n_tok").set_index("source")
+        assert got["n_rows"].to_dict() == want["n_rows"].to_dict(), out
+        assert got["sum_n_tok"].to_dict() == want["sum_n_tok"].to_dict(), out
+    counts_only = group_counts(plain, "source")
+    assert counts_only["n_rows"].sum() == len(truth)
+    assert "sum_n_tok" not in counts_only.columns
