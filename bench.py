@@ -342,8 +342,53 @@ def run_scaling() -> dict:
     }
 
 
+def run_ops() -> dict:
+    """Wall seconds for the heavyweight driver queries over
+    $GRAFT_SF_DIR — the reproducible source of BASELINE.md's operator
+    table (one warm Ray session, queries in a fixed order)."""
+    import importlib.util
+
+    import pandas as pd
+    import ray
+
+    ray.init(address="local",
+             num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, ignore_reinit_error=True)
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "re_", os.path.join(here, "__ray_entry__.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    q = m.queries()
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = [n for n in (
+        "near_dup_pairs", "jaccard_pairs_exact", "dup_groups", "dedup_keep",
+        "dup_gram_stats", "dedup_spans", "embedding_near_dups_lsh",
+        "similarity_topk", "tfidf_topk", "lm_commonness", "shuffle_export",
+        "chunk_sequences", "collocations", "temperature_mix", "bloom_probe",
+        "local_supplier_volume", "retention", "funnel", "curation_v2",
+        "winsorize", "bpe_merges",
+    ) if n in q]
+    out = {}
+    for name in names:
+        t0 = time.time()
+        r = q[name](sf_dir)
+        if isinstance(r, pd.DataFrame):
+            n = len(r)
+        elif hasattr(r, "count"):
+            n = r.count()
+        else:
+            n = r.num_rows
+        out[name] = {"sec": round(time.time() - t0, 1), "rows": int(n)}
+    ray.shutdown()
+    return {"metric": "operator wall sec", "unit": "sec",
+            "sf": _sf_of(sf_dir), "ops": out}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--ops" in sys.argv:
+        print(json.dumps(run_ops()))
     else:
         print(json.dumps(run_bench()))
