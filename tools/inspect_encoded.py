@@ -33,7 +33,14 @@ def main(argv=None) -> int:
         for cid, sj in zip(t["chunk_id"].to_pylist(), t["stats_json"].to_pylist()):
             stats = json.loads(sj) if sj else {}
             if args.column in stats:
-                print(f"  {cid}: {stats[args.column]}")
+                extra = ""
+                nn = stats.get("__nulls__", {}).get(args.column)
+                ss = stats.get("__sums__", {}).get(args.column)
+                if nn:
+                    extra += f"  nulls={nn}"
+                if ss is not None:
+                    extra += f"  sum={ss}"
+                print(f"  {cid}: {stats[args.column]}{extra}")
                 shown += 1
                 if shown >= args.limit:
                     print(f"  ... ({t.num_rows - shown} more chunks)")
