@@ -637,6 +637,33 @@ def q_winsorize(sf_dir: str):
         .sort("event_id")
 
 
+def q_active_customers(sf_dir: str):
+    """EXISTS / semi-join: BUILDING customers with at least one 1995
+    order — keyed_semijoin's tag-union + one bucketed exchange, the
+    date filter pushed into the orders read."""
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from colonnade_ray.functions.relational import keyed_semijoin
+
+    cust = _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda b: b.filter(
+            pc.equal(b["c_mktsegment"], "BUILDING")),
+            batch_format="pyarrow")
+    lo = np.datetime64("1995-01-01", "us")
+    hi = np.datetime64("1996-01-01", "us")
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+        filter=(pds.field("o_orderdate") >= lo) & (pds.field("o_orderdate") < hi),
+    ).map_batches(
+        lambda b: pa.table({"c_custkey": b["o_custkey"]}),
+        batch_format="pyarrow")
+    out = keyed_semijoin(cust, orders, on="c_custkey",
+                         carry=[("c_mktsegment", pa.string())])
+    return out.sort("c_custkey")
+
+
 def q_curation_v2(sf_dir: str):
     """Second composed curation flow, chaining the final-wave ops:
     length gate -> temperature_mix (alpha=.5, md5-deterministic) ->
@@ -1497,6 +1524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention": q_retention,
         "local_supplier_volume": q_local_supplier_volume,
         "curation_v2": q_curation_v2,
+        "active_customers": q_active_customers,
         "winsorize": q_winsorize,
         "mode_lang": q_mode_lang,
         "group_moments": q_group_moments,
@@ -2091,6 +2119,14 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY COUNT(*) DESC, lang) AS rn "
             "FROM documents GROUP BY source, lang) WHERE rn = 1 "
             "ORDER BY source"
+        ),
+        "active_customers": (
+            "SELECT c_custkey, c_mktsegment FROM customer c "
+            "WHERE c_mktsegment = 'BUILDING' AND EXISTS ("
+            "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderdate >= TIMESTAMP '1995-01-01' "
+            "AND o.o_orderdate < TIMESTAMP '1996-01-01') "
+            "ORDER BY c_custkey"
         ),
         "winsorize": (
             "WITH t AS (SELECT event_type, "

@@ -171,9 +171,29 @@ def keyed_antijoin(left_ds, drop_ds, on: str, carry: Sequence[tuple]):
     size (up to half the corpus for a heavily duplicated crawl) moves
     through the exchange exactly once.  ``carry`` lists
     (name, arrow_type) of left columns to keep in the output."""
+    return _keyed_membership(left_ds, drop_ds, on, carry,
+                             keep_if_present=False)
+
+
+def keyed_semijoin(left_ds, probe_ds, on: str, carry: Sequence[tuple]):
+    """Rows of ``left_ds`` whose ``on`` key DOES appear in
+    ``probe_ds[on]`` — the EXISTS / semi-join shape (e.g. customers
+    with at least one qualifying order), same exchange contract as
+    ``keyed_antijoin``."""
+    return _keyed_membership(left_ds, probe_ds, on, carry,
+                             keep_if_present=True)
+
+
+def _keyed_membership(left_ds, right_ds, on: str, carry: Sequence[tuple],
+                      keep_if_present: bool):
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
+
+    if any(c == on for c, _ in carry):
+        # the key returns as ``on``; carrying it too would duplicate
+        # the column label (downstream Arrow blocks reject that)
+        raise ValueError(f"carry must not repeat the key column {on!r}")
 
     carry = list(carry)
     carry_names = [c for c, _ in carry]
@@ -194,7 +214,7 @@ def keyed_antijoin(left_ds, drop_ds, on: str, carry: Sequence[tuple]):
         return pa.table(cols)
 
     tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
-        drop_ds.map_batches(tag_drop, batch_format="pyarrow")
+        right_ds.map_batches(tag_drop, batch_format="pyarrow")
     )
     int_cols = [c for c, t in carry if pa.types.is_integer(t)]
     out_cols = [on] + [c for c in carry_names if c != on]
@@ -204,8 +224,9 @@ def keyed_antijoin(left_ds, drop_ds, on: str, carry: Sequence[tuple]):
             # empty inputs can reach the group pass schema-less
             return pd.DataFrame({c: pd.Series([], dtype=object)
                                  for c in out_cols})
-        dropped = g.loc[~g["__is_left"], "__key"]
-        keep = g[g["__is_left"] & ~g["__key"].isin(dropped)]
+        present = g.loc[~g["__is_left"], "__key"]
+        member = g["__key"].isin(present)
+        keep = g[g["__is_left"] & (member if keep_if_present else ~member)]
         out = keep.rename(columns={"__key": on})[out_cols]
         for c in int_cols:
             out[c] = out[c].astype("int64")

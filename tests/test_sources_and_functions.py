@@ -1814,6 +1814,30 @@ def test_build_vocab_then_remap_roundtrip(ray_session):
     assert v2["word"].tolist() == ["b", "a"]
 
 
+def test_keyed_semijoin_membership(ray_session):
+    """Semi-join keeps exactly the left rows whose key exists in the
+    probe side; anti-join is its complement; carrying the key raises."""
+    import pytest as _pytest
+    import ray.data as rd
+
+    from colonnade_ray.functions.relational import keyed_antijoin, keyed_semijoin
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array(["a", "b", "c", "d"]),
+    })).repartition(2)
+    probe = rd.from_arrow(pa.table({"k": pa.array([2, 4, 9], pa.int64())}))
+    semi = keyed_semijoin(left, probe, on="k",
+                          carry=[("v", pa.string())]).to_pandas()
+    anti = keyed_antijoin(left, probe, on="k",
+                          carry=[("v", pa.string())]).to_pandas()
+    assert sorted(semi["k"]) == [2, 4]
+    assert sorted(anti["k"]) == [1, 3]
+    assert sorted(list(semi["v"]) + list(anti["v"])) == ["a", "b", "c", "d"]
+    with _pytest.raises(ValueError, match="repeat the key"):
+        keyed_semijoin(left, probe, on="k", carry=[("k", pa.int64())])
+
+
 def test_grouped_mode_tiebreak(ray_session):
     import ray.data as rd
 
