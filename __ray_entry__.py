@@ -702,6 +702,30 @@ def q_curation_v2(sf_dir: str):
     return agg.sort("source")
 
 
+def q_encoded_count_where(sf_dir: str):
+    """Pushdown correctness IN the gate: encode the documents table
+    (clustered on n_chars so most chunks prove from metadata), then
+    answer COUNT(n_chars >= 600) via count_where and the per-source
+    rollup via group_counts — both compared against plain SQL over
+    the RAW table.  The encoded corpus is an implementation detail;
+    the answers must be invariant to it."""
+    from colonnade_ray.pipelines import count_where, encode_corpus, group_counts
+
+    work = _run_dir(sf_dir, "pushdown")
+    inp = os.path.join(work, "input")
+    out = os.path.join(work, "out")
+    _tbl(sf_dir, "documents", ["doc_id", "n_chars", "source"]) \
+        .write_parquet(inp)
+    encode_corpus(inp, out, batch_size=512, resume=False,
+                  cluster_by="n_chars")
+    n = count_where(out, ("n_chars", ">=", 600))
+    gc = group_counts(out, "source")
+    gc = gc.rename(columns={"n_rows": "n_docs"})
+    gc.insert(0, "n_ge_600", np.int64(n))
+    return pa.Table.from_pandas(gc[["source", "n_docs", "n_ge_600"]],
+                                preserve_index=False)
+
+
 def q_user_event_seq(sf_dir: str):
     """Per-key running sequence number (row_number window): bucketed
     per-user cumcount over ts-ordered events."""
@@ -1525,6 +1549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": q_local_supplier_volume,
         "curation_v2": q_curation_v2,
         "active_customers": q_active_customers,
+        "encoded_count_where": q_encoded_count_where,
         "winsorize": q_winsorize,
         "mode_lang": q_mode_lang,
         "group_moments": q_group_moments,
@@ -2119,6 +2144,12 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY COUNT(*) DESC, lang) AS rn "
             "FROM documents GROUP BY source, lang) WHERE rn = 1 "
             "ORDER BY source"
+        ),
+        "encoded_count_where": (
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents "
+            "WHERE n_chars >= 600) AS n_ge_600 "
+            "FROM documents GROUP BY source ORDER BY source"
         ),
         "active_customers": (
             "SELECT c_custkey, c_mktsegment FROM customer c "
