@@ -80,6 +80,27 @@ def test_typed_csv_ray_path(tmp_path, ray_session):
     assert t.num_rows == 3
 
 
+def test_typed_jsonl_feeds_encode_pipeline(tmp_path, ray_session):
+    """NDJSON source -> encode -> decode round-trip (the JSONL twin of
+    the CSV integration below)."""
+    import ray.data as rd
+
+    from colonnade_ray.pipelines import decode_dataset, encode_dataset
+    from colonnade_ray.sources.jsonl import read_typed_jsonl
+    from colonnade_ray.sources.typed_csv import CsvColumn
+
+    p = tmp_path / "rows.jsonl"
+    p.write_text("\n".join(
+        f'{{"name": "row{i}", "n": {i * 3}}}' for i in range(300)) + "\n")
+    cols = [CsvColumn("name", pa.string()), CsvColumn("n", pa.int32())]
+    ds = read_typed_jsonl(str(p), cols)
+    enc = encode_dataset(ds, batch_size=64, stateless=True)
+    back = decode_dataset(rd.from_arrow(pa.Table.from_pylist(
+        enc.take_all()))).to_pandas().sort_values("n").reset_index(drop=True)
+    assert back["name"].tolist() == [f"row{i}" for i in range(300)]
+    assert back["n"].tolist() == [i * 3 for i in range(300)]
+
+
 def test_typed_csv_feeds_encode_pipeline(tmp_path, ray_session):
     """End-to-end source integration: typed CSV -> encode_dataset ->
     decode_dataset round-trips bit-identically (the reference's whole
