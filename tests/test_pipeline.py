@@ -794,3 +794,21 @@ def test_group_counts_metadata_first(corpus_dir, tmp_path, ray_session):
     counts_only = group_counts(plain, "source")
     assert counts_only["n_rows"].sum() == len(truth)
     assert "sum_n_tok" not in counts_only.columns
+
+
+def test_aggregate_where_string_and_in_predicate(corpus_dir, tmp_path, ray_session):
+    """min/max over a STRING column and count under an 'in' predicate
+    both match decoded ground truth through the pushdown path."""
+    from colonnade_ray.pipelines import aggregate_where, count_where, decode_corpus
+
+    out = str(tmp_path / "enc")
+    encode_corpus(corpus_dir, out, batch_size=256)
+    full = decode_corpus(out, columns=["source", "n_tok"]).to_pandas()
+
+    assert aggregate_where(out, "min", "source") == full["source"].min()
+    assert aggregate_where(out, "max", "source") == full["source"].max()
+    srcs = sorted(full["source"].unique())[:2]
+    pred = ("source", "in", srcs)
+    assert count_where(out, pred) == int(full["source"].isin(srcs).sum())
+    assert aggregate_where(out, "sum", "n_tok", pred) == int(
+        full.loc[full["source"].isin(srcs), "n_tok"].sum())
