@@ -1334,6 +1334,16 @@ def q_pivot_lang_counts(sf_dir: str):
     return pivot_counts(ds, "source", "lang")
 
 
+def q_vocab_drift(sf_dir: str):
+    """Keyness between the src0 slice and the rest of the corpus:
+    integer cross-product score |n_a*N_b - n_b*N_a| — exact int64,
+    ranking AND score hash-match SQL."""
+    from colonnade_ray.functions.text import vocab_drift
+
+    ds = _tbl(sf_dir, "documents", ["text", "source"])
+    return vocab_drift(ds, "source", "src0", k=50, min_count=5)
+
+
 def q_collocations(sf_dir: str):
     """Top collocations by lift (monotone PMI): two vocab-bounded
     count exchanges + two keyed_attach joins; score = two exact int64
@@ -1556,6 +1566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "build_vocab": q_build_vocab,
         "vocab_coverage": q_vocab_coverage,
         "collocations": q_collocations,
+        "vocab_drift": q_vocab_drift,
         "json_props_stats": q_json_props_stats,
         "pivot_lang_counts": q_pivot_lang_counts,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -2261,6 +2272,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) FILTER (lang = 'fr') AS BIGINT) AS fr, "
             "CAST(COUNT(*) FILTER (lang = 'zh') AS BIGINT) AS zh "
             "FROM documents GROUP BY source ORDER BY source"
+        ),
+        "vocab_drift": (
+            "WITH w AS (SELECT unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')) AS word, source = 'src0' AS a FROM documents), "
+            "f AS (SELECT word, "
+            "CAST(COUNT(*) FILTER (a) AS BIGINT) AS n_a, "
+            "CAST(COUNT(*) FILTER (NOT a) AS BIGINT) AS n_b "
+            "FROM w GROUP BY word), "
+            "t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM f) "
+            "SELECT word, n_a, n_b, "
+            "CAST(abs(n_a * t.tb - n_b * t.ta) AS BIGINT) AS d "
+            "FROM f CROSS JOIN t WHERE n_a + n_b >= 5 "
+            "ORDER BY d DESC, word LIMIT 50"
         ),
         "collocations": (
             "WITH a AS (SELECT regexp_extract_all(lower(text), "

@@ -375,6 +375,77 @@ def word_count_table(ds, text_col: str = "text"):
              .groupby("word").aggregate(Sum("n", alias_name="n"))
 
 
+def vocab_drift(ds, split_col: str, split_value, text_col: str = "text",
+                k: int = 50, min_count: int = 5):
+    """Keyness / vocabulary drift between two corpus slices (slice A =
+    rows where split_col == split_value, slice B = the rest): the
+    corpus-comparison pass that flags which words over/under-index in
+    a new crawl vs the old one.
+
+    Score d = |n_a * N_b - n_b * N_a| (N_* = slice token totals) —
+    the cross-product difference is |relfreq_a - relfreq_b| scaled by
+    N_a * N_b, a monotone keyness ranking that stays in EXACT int64
+    arithmetic (counts x totals ~ 1e11 at sf0.1), so ranking AND
+    score hash-match SQL with zero float ops.  (Dunning's LLR ranks
+    near-identically but needs logs — not hash-exact; swap in where
+    checkability is not required.)
+
+    Scale shape: ONE corpus pass emits (word, n_a, n_b) partials
+    (two value_counts per batch), one vocab-bounded groupby merges,
+    totals are two scalars broadcast into the vocab-sized score pass;
+    the final sort is k-limited."""
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({"word": pa.array([], pa.string()),
+                      "n_a": pa.array([], pa.int64()),
+                      "n_b": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if pa.types.is_null(col.type):
+            return empty
+        in_a = pc.equal(batch[split_col], split_value)
+        txt = pc.utf8_lower(pc.coalesce(col, ""))
+        words = txt.to_pandas().str.findall(_WORD_LOWER_RE)
+        lens = words.str.len().to_numpy().astype(np.int64)
+        if not lens.sum():
+            return empty
+        flat = np.concatenate(
+            [np.asarray(w, dtype=object) for w in words if len(w)])
+        a_mask = np.repeat(in_a.to_pandas().fillna(False).to_numpy(), lens)
+        d = pd.DataFrame({"w": flat, "a": a_mask})
+        g = d.groupby(["w", "a"], sort=False).size().unstack(fill_value=0)
+        return pa.table({
+            "word": pa.array(g.index.to_numpy(dtype=object), pa.string()),
+            "n_a": pa.array(g[True].to_numpy().astype(np.int64)
+                            if True in g.columns else
+                            np.zeros(len(g), np.int64)),
+            "n_b": pa.array(g[False].to_numpy().astype(np.int64)
+                            if False in g.columns else
+                            np.zeros(len(g), np.int64)),
+        })
+
+    freq = ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby("word").aggregate(Sum("n_a", alias_name="n_a"),
+                                        Sum("n_b", alias_name="n_b")) \
+             .materialize()
+    tot_a = int(freq.sum("n_a") or 0)
+    tot_b = int(freq.sum("n_b") or 0)
+
+    def score(b: pa.Table) -> pa.Table:
+        n_a = b["n_a"].to_numpy()
+        n_b = b["n_b"].to_numpy()
+        keep = (n_a + n_b) >= min_count
+        d = np.abs(n_a * tot_b - n_b * tot_a)
+        return pa.table({"word": b["word"], "n_a": b["n_a"],
+                         "n_b": b["n_b"],
+                         "d": pa.array(d.astype(np.int64))}) \
+            .filter(pa.array(keep))
+
+    return freq.map_batches(score, batch_format="pyarrow") \
+               .sort(["d", "word"], descending=[True, False]).limit(k)
+
+
 def collocations_topk(ds, text_col: str = "text", k: int = 50,
                       min_count: int = 5):
     """Top-k word collocations by LIFT — lift(a,b) = (T * c_ab) /

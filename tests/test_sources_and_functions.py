@@ -1948,6 +1948,32 @@ def test_extract_json_int_and_pivot(ray_session):
     assert wide.set_index("grp").loc["b"].tolist() == [3, 0]  # 0-filled
 
 
+def test_vocab_drift_keyness(ray_session):
+    """A word exclusive to slice A tops the drift ranking; a word with
+    identical relative frequency in both slices scores d = 0; the
+    score equals the direct cross-product formula."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({
+        # slice A: 8 tokens; slice B: 16 tokens — "same" appears at
+        # identical relative frequency (2/8 vs 4/16)
+        "text": pa.array(["only same same alpha beta gamma delta eps",
+                          "same same same same common common common common "
+                          "common common common common common common "
+                          "common common"]),
+        "source": pa.array(["a", "b"]),
+    })).repartition(2)
+    from colonnade_ray.functions.text import vocab_drift
+
+    out = vocab_drift(ds, "source", "a", k=10, min_count=1).to_pandas()
+    row = out.set_index("word")
+    ta, tb = 8, 16
+    assert row.loc["only", "d"] == abs(1 * tb - 0 * ta)      # A-exclusive
+    assert row.loc["same", "d"] == 0                         # no drift
+    assert row.loc["common", "d"] == abs(0 * tb - 12 * ta)   # B-exclusive
+    assert out.iloc[0]["word"] == "common"                   # top |drift|
+
+
 def test_collocations_lift_ranking(ray_session):
     """lift = T*c_ab / (c_a*c_b): an exclusive pair ("san francisco")
     outranks a frequent-but-promiscuous pair; values match the direct
