@@ -367,7 +367,8 @@ def run_ops() -> dict:
         "similarity_topk", "tfidf_topk", "lm_commonness", "shuffle_export",
         "chunk_sequences", "collocations", "temperature_mix", "bloom_probe",
         "local_supplier_volume", "retention", "funnel", "curation_v2",
-        "winsorize", "bpe_merges",
+        "winsorize", "bpe_merges", "vocab_drift", "mode_lang",
+        "active_customers", "encoded_count_where",
     ) if n in q]
     out = {}
     for name in names:
