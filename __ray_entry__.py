@@ -552,7 +552,7 @@ def q_local_supplier_volume(sf_dir: str):
     rkey = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"][0].as_py()
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
     nat = nation.filter(pc.equal(nation["n_regionkey"], rkey))
-    asia_keys = set(nat["n_nationkey"].to_pylist())
+    asia_keys = np.fromiter(set(nat["n_nationkey"].to_pylist()), np.int64)
     nat_names = dict(zip(nat["n_nationkey"].to_pylist(),
                          nat["n_name"].to_pylist()))
 
@@ -571,7 +571,7 @@ def q_local_supplier_volume(sf_dir: str):
         id_col="c_custkey", text_col="c_nationkey", fill=-1)
 
     def keep_asia_cust(b: pa.Table) -> pa.Table:
-        mask = np.isin(b["c_nat"].to_numpy(), list(asia_keys))
+        mask = np.isin(b["c_nat"].to_numpy(), asia_keys)
         return b.filter(pa.array(mask))
 
     o_nat = o_nat.map_batches(keep_asia_cust, batch_format="pyarrow")
@@ -584,7 +584,7 @@ def q_local_supplier_volume(sf_dir: str):
     li = broadcast_join(li, supp, on="l_suppkey")
 
     def li_prep(b: pa.Table) -> pa.Table:
-        mask = np.isin(b["s_nat"].to_numpy(), list(asia_keys))
+        mask = np.isin(b["s_nat"].to_numpy(), asia_keys)
         b = b.filter(pa.array(mask))
         rev = pc.multiply(b["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), b["l_discount"]))
@@ -1376,10 +1376,11 @@ def q_bpe_pair_counts(sf_dir: str):
 
 def q_bpe_merges(sf_dir: str):
     """Learned BPE merge table (50 greedy merges over the word-type
-    frequency table; deterministic lexicographic tie-break).  The
-    iterative merge loop is not SQL-expressible — declared rows-only;
-    iteration 0 is fully oracled as bpe_pair_counts and the trainer is
-    hand-check + replay-property tested (tests/test_bpe.py)."""
+    frequency table; deterministic lexicographic tie-break).  Fully
+    oracled: the merge loop has a DuckDB recursive-CTE twin (weighted
+    pair counting + leftmost-first replace over a doubled-delimiter
+    segmentation rendering); the trainer is additionally hand-check +
+    replay-property tested (tests/test_bpe.py)."""
     from colonnade_ray.functions.bpe import bpe_train_corpus
 
     ds = _tbl(sf_dir, "documents", ["text"])
@@ -2326,6 +2327,58 @@ def oracle_sql() -> dict[str, str]:
             "SELECT substring(word, CAST(i AS INT), 2) AS pair, "
             "CAST(SUM(n) AS BIGINT) AS n FROM e "
             "GROUP BY pair ORDER BY n DESC, pair LIMIT 100"
+        ),
+        # Iterative greedy BPE as a recursive CTE.  State rows carry the
+        # per-word-type segmentation (space-joined symbols); each step
+        # counts weighted adjacent pairs, picks the (count DESC, left,
+        # right) winner, and applies it leftmost-first-non-overlapping
+        # via plain string replace over a DOUBLED-delimiter rendering
+        # (' a  a ' -> ' aa '): doubling leaves one space on each side
+        # after a match is consumed, so adjacent matches in a same-symbol
+        # run still fire with exactly the floor(n/2) leftmost parity the
+        # engine's _collapse computes.  Merge rows ride along (kind='m')
+        # and the final SELECT takes them from the deepest iteration.
+        "bpe_merges": (
+            "WITH RECURSIVE "
+            "wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+            "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) "
+            "AS word FROM documents) GROUP BY word), "
+            "st AS ("
+            "SELECT 0 AS iter, 'w' AS kind, "
+            "trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seg, n, "
+            "CAST(NULL AS BIGINT) AS rank, CAST(NULL AS VARCHAR) AS l_s, "
+            "CAST(NULL AS VARCHAR) AS r_s, CAST(NULL AS VARCHAR) AS m_s, "
+            "CAST(NULL AS BIGINT) AS pn FROM wf "
+            "UNION ALL ("
+            "WITH cur AS (SELECT * FROM st), "
+            "best AS (SELECT l[CAST(i AS INT)] AS ls, "
+            "l[CAST(i AS INT) + 1] AS rs, CAST(SUM(n) AS BIGINT) AS cnt "
+            "FROM (SELECT string_split(seg, ' ') AS l, n, "
+            "unnest(range(1, len(string_split(seg, ' ')))) AS i "
+            "FROM cur WHERE kind = 'w') GROUP BY ls, rs "
+            "ORDER BY cnt DESC, ls, rs LIMIT 1) "
+            "SELECT c.iter + 1 AS iter, c.kind, "
+            "CASE WHEN c.kind = 'w' THEN trim(replace(replace("
+            "' ' || replace(c.seg, ' ', '  ') || ' ', "
+            "' ' || b.ls || '  ' || b.rs || ' ', "
+            "' ' || b.ls || b.rs || ' '), '  ', ' ')) ELSE c.seg END AS seg, "
+            "c.n, c.rank, c.l_s, c.r_s, c.m_s, c.pn "
+            "FROM cur c CROSS JOIN best b WHERE c.iter < 50 AND b.cnt >= 2 "
+            "UNION ALL "
+            "SELECT c.iter + 1, 'm', NULL, NULL, c.iter, b.ls, b.rs, "
+            "b.ls || b.rs, b.cnt "
+            "FROM (SELECT DISTINCT iter FROM st) c CROSS JOIN ("
+            "SELECT l[CAST(i AS INT)] AS ls, l[CAST(i AS INT) + 1] AS rs, "
+            "CAST(SUM(n) AS BIGINT) AS cnt "
+            "FROM (SELECT string_split(seg, ' ') AS l, n, "
+            "unnest(range(1, len(string_split(seg, ' ')))) AS i "
+            "FROM st WHERE kind = 'w') GROUP BY ls, rs "
+            "ORDER BY cnt DESC, ls, rs LIMIT 1) b "
+            "WHERE c.iter < 50 AND b.cnt >= 2)) "
+            "SELECT rank, l_s AS \"left\", r_s AS \"right\", m_s AS merged, "
+            "pn AS pair_n FROM st "
+            "WHERE kind = 'm' AND iter = (SELECT MAX(iter) FROM st) "
+            "ORDER BY rank"
         ),
         "cap_source_share": (
             "WITH nq AS (SELECT COUNT(*) AS total FROM documents), "
