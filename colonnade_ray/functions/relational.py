@@ -18,6 +18,7 @@ from typing import Optional, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 class BroadcastJoin:
@@ -588,18 +589,73 @@ def rolling_in_bucket(df: pd.DataFrame, key_col: str, order: list,
     return df
 
 
-def rollup_counts(ds, dims: Sequence[str], sentinel: str = "(all)"):
+def _lattice_levels_distributed(fine_ds, dims: list, level_keeps: list,
+                                sentinel: str):
+    """Shared distributed lattice derivation for rollup/cube above the
+    driver-size guard: ``fine_ds`` is the MATERIALIZED finest-level
+    (dims, n) aggregate; each coarser level is its own distributed
+    re-aggregate of that groups-sized Dataset (never the corpus), the
+    sentinel columns are stamped in map_batches, and the union is
+    sorted distributed.  Nothing lattice-sized ever lands on the
+    driver — the global-total level is the one scalar that does."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def stamp(keep: tuple):
+        rolled = [d for d in dims if d not in keep]
+
+        def fn(b: pa.Table) -> pa.Table:
+            n = pc.cast(b["n"], pa.int64())
+            cols = {d: (b[d] if d in keep
+                        else pa.array([sentinel] * len(b), pa.string()))
+                    for d in dims}
+            cols["n"] = n
+            return pa.table(cols)
+
+        return fn
+
+    parts = []
+    for keep in level_keeps:
+        if len(keep) == len(dims):
+            lvl = fine_ds
+        elif keep:
+            lvl = fine_ds.groupby(list(keep)).aggregate(
+                Sum("n", alias_name="n"))
+        else:
+            total = int(fine_ds.sum("n"))
+            parts.append(rd.from_arrow(pa.table(
+                {**{d: pa.array([sentinel], pa.string()) for d in dims},
+                 "n": pa.array([total], pa.int64())})))
+            continue
+        parts.append(lvl.map_batches(stamp(tuple(keep)),
+                                     batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.sort(dims)
+
+
+def rollup_counts(ds, dims: Sequence[str], sentinel: str = "(all)",
+                  max_driver_groups: int = 100_000):
     """GROUP BY ROLLUP(dims...) row counts: one DISTRIBUTED aggregate
     at the finest level, then every coarser level derived from that
-    group-level result on the driver — the standard rollup optimization
-    (the corpus is read once; the fine result is groups-sized, i.e.
-    driver-small by the same argument as broadcast-join small sides).
-    Rolled-up dimensions carry ``sentinel`` (dims are assumed non-null;
-    a null-bearing dim would need a distinguishing marker)."""
+    group-level result — on the driver while the fine result is
+    provably driver-small (≤ ``max_driver_groups`` groups, the same
+    argument as broadcast-join small sides; returns pandas), else via
+    a second round of DISTRIBUTED aggregates over the materialized
+    fine Dataset (returns a sorted Dataset — an unbounded-cardinality
+    dims list never materializes driver-side).  Rolled-up dimensions
+    carry ``sentinel`` (dims are assumed non-null; a null-bearing dim
+    would need a distinguishing marker)."""
     from ray.data.aggregate import Count
 
     dims = list(dims)
-    fine = ds.groupby(dims).aggregate(Count(alias_name="n")).to_pandas()
+    fine_ds = ds.groupby(dims).aggregate(Count(alias_name="n")).materialize()
+    level_keeps = [tuple(dims[:lvl]) for lvl in range(len(dims), -1, -1)]
+    if fine_ds.count() > max_driver_groups:
+        return _lattice_levels_distributed(fine_ds, dims, level_keeps,
+                                           sentinel)
+    fine = fine_ds.to_pandas()
     frames = [fine]
     for lvl in range(len(dims) - 1, -1, -1):
         keep = dims[:lvl]
@@ -760,17 +816,27 @@ def retention_counts(ds, cohort_type: str = "signup",
     return out.sort(["cohort_week", "week_offset"])
 
 
-def cube_counts(ds, dims: Sequence[str], sentinel: str = "(all)"):
+def cube_counts(ds, dims: Sequence[str], sentinel: str = "(all)",
+                max_driver_groups: int = 100_000):
     """GROUP BY CUBE(dims...) row counts: the same one-distributed-
     fine-pass optimization as ``rollup_counts``, but EVERY subset of
     dims is derived from the groups-sized fine result (2^|dims|
-    subsets — dims lists are short by construction)."""
+    subsets — dims lists are short by construction).  Above
+    ``max_driver_groups`` fine groups the subsets are derived as
+    distributed aggregates and a sorted Dataset is returned (same
+    guard as rollup_counts)."""
     from itertools import combinations
 
     from ray.data.aggregate import Count
 
     dims = list(dims)
-    fine = ds.groupby(dims).aggregate(Count(alias_name="n")).to_pandas()
+    fine_ds = ds.groupby(dims).aggregate(Count(alias_name="n")).materialize()
+    if fine_ds.count() > max_driver_groups:
+        level_keeps = [keep for r in range(len(dims), -1, -1)
+                       for keep in combinations(dims, r)]
+        return _lattice_levels_distributed(fine_ds, dims, level_keeps,
+                                           sentinel)
+    fine = fine_ds.to_pandas()
     frames = []
     for r in range(len(dims), -1, -1):
         for keep in combinations(dims, r):

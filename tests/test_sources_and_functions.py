@@ -1753,6 +1753,36 @@ def test_cube_counts_full_lattice(ray_session):
     assert len(out) == 4 + 2 + 3 + 1  # fine + source + lang + grand
 
 
+def test_rollup_cube_distributed_lattice_guard(ray_session):
+    """Above max_driver_groups the lattice is derived by a second
+    round of DISTRIBUTED aggregates over the materialized fine result
+    (a Dataset comes back, nothing lattice-sized lands on the driver)
+    and the rows are identical to the driver path."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.relational import cube_counts, rollup_counts
+
+    rng = np.random.default_rng(7)
+    n = 400
+    docs = rd.from_arrow(pa.table({
+        "source": pa.array([f"s{int(v)}" for v in rng.integers(0, 37, n)]),
+        "lang": pa.array([f"l{int(v)}" for v in rng.integers(0, 11, n)]),
+    })).repartition(4)
+
+    for fn in (rollup_counts, cube_counts):
+        small = fn(docs, ["source", "lang"])          # driver path
+        assert isinstance(small, pd.DataFrame)
+        big = fn(docs, ["source", "lang"], max_driver_groups=10)
+        assert not isinstance(big, pd.DataFrame)      # distributed path
+        got = big.to_pandas().sort_values(["source", "lang", "n"],
+                                          kind="mergesort") \
+                 .reset_index(drop=True)
+        want = small.sort_values(["source", "lang", "n"],
+                                 kind="mergesort").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["source", "lang", "n"]], want[["source", "lang", "n"]])
+
+
 def test_funnel_counts_respects_order(ray_session):
     """A user only advances when the later stage happens at or after
     the earliest qualifying time of the previous one."""
