@@ -87,8 +87,43 @@ def fixed_e4_parser(arr: pa.Array, target: pa.DataType):
     return vals, pc.is_valid(vals)
 
 
+IPV4_RANGE_TYPE = pa.struct([("base", pa.uint32()), ("prefix", pa.uint8())])
+
+_IPV4_RANGE_RE = (
+    r"^([0-9]{1,3})\.([0-9]{1,3})\.([0-9]{1,3})\.([0-9]{1,3})/([0-9]{1,2})$"
+)
+
+
+def ipv4_range_parser(arr: pa.Array, target: pa.DataType):
+    """CIDR ``a.b.c.d/p`` -> struct(base:uint32, prefix:uint8) with
+    per-cell validation (octets <= 255, prefix <= 32) — graft of the
+    reference's ``IPv4Range`` domain decoder
+    (geolite-csv/src/Geolite/Types.hs:15-42 ``blockNetwork ::
+    IPv4Range``; Geolite/Csv.hs:43 ``IPv4RangeText.decodeEither``).
+    One vectorized regex extract + numpy arithmetic, no per-row
+    Python."""
+    import numpy as np
+
+    s = arr.to_pandas()
+    present = s.notna().to_numpy()
+    m = s.str.extract(_IPV4_RANGE_RE)
+    g = m.to_numpy(dtype=object)
+    nums = np.where(m.isna().to_numpy(), "0", g).astype(np.int64)
+    shaped = m.notna().all(axis=1).to_numpy()
+    ok = shaped & (nums[:, :4] <= 255).all(axis=1) & (nums[:, 4] <= 32)
+    base = ((nums[:, 0] << 24) | (nums[:, 1] << 16)
+            | (nums[:, 2] << 8) | nums[:, 3])
+    valid = ok & present
+    vals = pa.StructArray.from_arrays(
+        [pa.array(base.astype(np.uint32), pa.uint32()),
+         pa.array(nums[:, 4].astype(np.uint8), pa.uint8())],
+        ["base", "prefix"],
+        mask=pa.array(~valid))
+    return vals, pa.array(ok)
+
+
 GEOLITE_BLOCK_COLUMNS = [
-    CsvColumn("network", pa.string()),
+    CsvColumn("network", IPV4_RANGE_TYPE, parser=ipv4_range_parser),
     CsvColumn("geoname_id", pa.int64(), nullable=True),
     CsvColumn("is_anonymous_proxy", pa.bool_(), parser=bool_10_parser),
     CsvColumn("postal_code", pa.string(), nullable=True),

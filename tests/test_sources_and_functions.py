@@ -63,6 +63,31 @@ def test_typed_csv_missing_column_diagnostic():
     assert "postal_code" in missing and "latitude" in missing
 
 
+def test_typed_csv_ipv4_range_parses_to_struct():
+    """D8 IPv4Range domain parser (geolite-csv/src/Geolite/Types.hs:15-42,
+    Geolite/Csv.hs:43): CIDR -> (base:uint32, prefix:uint8)."""
+    out = _decode_csv_text(CSV_GOOD)
+    nets = out["network"].to_pylist()
+    assert nets[0] == {"base": (1 << 24), "prefix": 24}           # 1.0.0.0/24
+    assert nets[1] == {"base": (1 << 24) | (4 << 8), "prefix": 22}
+    assert nets[2] == {"base": (1 << 24) | (16 << 8), "prefix": 23}
+
+
+@pytest.mark.parametrize("bad_cidr", [
+    "1.0.256.0/24",     # octet out of range
+    "1.0.0.0/33",       # prefix out of range
+    "1.0.0/24",         # three octets
+    "1.0.0.0",          # no prefix
+    "a.b.c.d/24",       # not numeric
+])
+def test_typed_csv_ipv4_range_malformed_has_coordinates(bad_cidr):
+    bad = CSV_GOOD.replace("1.0.4.0/22", bad_cidr)
+    with pytest.raises(ChunkDecodeError) as e:
+        _decode_csv_text(bad)
+    assert any(c.column == "network" and c.row == 1
+               for c in e.value.cell_errors)
+
+
 def test_typed_csv_bool_parse_failure():
     bad = CSV_GOOD.replace("1.0.4.0/22,2065740,1", "1.0.4.0/22,2065740,yes")
     with pytest.raises(ChunkDecodeError) as e:
