@@ -85,7 +85,8 @@ def _html_escape(s: str) -> str:
 
 
 def html_table(data, limit: int = 20, sections: Optional[str] = None,
-               table_attrs: str = "") -> str:
+               table_attrs: str = "", row_attrs=None, cell_attrs=None,
+               thead_attrs: str = "", tbody_attrs: str = "") -> str:
     """Render a small table/Dataset as an HTML <table> — the S6/S7
     sink twin of ``ascii_table``.
 
@@ -98,6 +99,15 @@ def html_table(data, limit: int = 20, sections: Optional[str] = None,
     (lucid-colonnade/src/Lucid/Colonnade.hs:269-292); colspan counts
     come from the flat column list exactly as ``annotate`` counts
     leaves (colonnade/src/Colonnade/Encode.hs:301-315).
+
+    ``row_attrs`` is a ``row_dict -> str`` hook stamping attributes on
+    each ``<tr>`` — the ``(a -> Attribute)`` argument of
+    ``encodeTable``/``encodeBody`` (blaze-colonnade:400-434);
+    ``cell_attrs`` is a ``(col_name, row_dict) -> str`` hook stamping
+    attributes on each ``<td>`` — the ``Cell`` content+attribute pair
+    of ``encodeCellTable``/``htmlFromCell`` (blaze-colonnade:263-300,
+    414-439).  ``thead_attrs``/``tbody_attrs`` complete
+    ``encodeTable``'s attribute surface.
     """
     if not isinstance(data, (pa.Table, dict)) and hasattr(data, "take"):  # ray Dataset
         rows = data.take(limit)
@@ -111,17 +121,22 @@ def html_table(data, limit: int = 20, sections: Optional[str] = None,
     if sections and sections in names:
         names = [n for n in names if n != sections]
 
-    attrs = f" {table_attrs}" if table_attrs else ""
-    out = [f"<table{attrs}>", "  <thead>", "    <tr>"]
+    def _sp(a: str) -> str:
+        return f" {a}" if a else ""
+
+    out = [f"<table{_sp(table_attrs)}>", f"  <thead{_sp(thead_attrs)}>",
+           "    <tr>"]
     for n in names:
         out.append(f"      <th>{_html_escape(str(n))}</th>")
-    out += ["    </tr>", "  </thead>", "  <tbody>"]
+    out += ["    </tr>", "  </thead>", f"  <tbody{_sp(tbody_attrs)}>"]
 
     def tr(r) -> list:
         cells = [
-            f"      <td>{_html_escape(_cell(r.get(n)))}</td>" for n in names
+            f"      <td{_sp(cell_attrs(n, r) if cell_attrs else '')}>"
+            f"{_html_escape(_cell(r.get(n)))}</td>" for n in names
         ]
-        return ["    <tr>"] + cells + ["    </tr>"]
+        return [f"    <tr{_sp(row_attrs(r) if row_attrs else '')}>"] \
+            + cells + ["    </tr>"]
 
     if sections and rows and sections in rows[0]:
         current = object()
@@ -216,3 +231,84 @@ def very_compact_html(html: str) -> str:
     for t in _COMPACT_TAGS + ("tr",):
         html = _remove_whitespace_after_tag(html, t)
     return html.rstrip("\n")
+
+
+# ------------------------------------------------------- S10 row-explode
+
+def explode_definitions(ds, id_col: str, columns: Optional[list] = None):
+    """Row-explode a Dataset into (id, ord, key, value) definition
+    records — the Dataset-level graft of the reference's
+    one-row-to-many-items encoders ``encodeDefinitionTable`` /
+    ``encodeListItems`` (yesod-colonnade/src/Yesod/Colonnade.hs:99-131):
+    each input row becomes one record per exploded column, key = the
+    column header, value = the rendered cell content, ``ord`` = the
+    column's position so a renderer can reassemble header order.
+
+    Vectorized melt: per Arrow batch, k column-cast passes + one
+    row-major ravel (numpy), no per-row Python except the ``_cell``
+    fallback for binary/list debug renders.  Streams — nothing
+    materializes; feed the result to write_parquet / a renderer."""
+    import numpy as np
+
+    def melt(batch: pa.Table) -> pa.Table:
+        cols = list(columns) if columns else \
+            [c for c in batch.column_names if c != id_col]
+        n, k = batch.num_rows, len(cols)
+        vals = np.empty((n, k), dtype=object)
+        for j, c in enumerate(cols):
+            col = batch[c]
+            try:
+                import pyarrow.compute as pc
+                vals[:, j] = np.asarray(
+                    pc.cast(col, pa.string()).to_pylist(), dtype=object)
+            except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+                vals[:, j] = np.asarray(
+                    [_cell(v) for v in col.to_pylist()], dtype=object)
+        ids = np.repeat(
+            np.asarray(batch[id_col].to_pylist(), dtype=object), k)
+        return pa.table({
+            id_col: pa.array(ids),
+            "ord": pa.array(np.tile(np.arange(k, dtype=np.int32), n)),
+            "key": pa.array(np.tile(np.asarray(cols, dtype=object), n),
+                            pa.string()),
+            "value": pa.array(vals.ravel(), pa.string()),
+        })
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def definition_table(row: dict, table_attrs: str = "",
+                     columns: Optional[list] = None) -> str:
+    """Two-column (header, value) HTML table for ONE row, no <thead> —
+    the literal graft of ``encodeDefinitionTable``
+    (yesod-colonnade/src/Yesod/Colonnade.hs:116-131)."""
+    cols = list(columns) if columns else list(row.keys())
+    attrs = f" {table_attrs}" if table_attrs else ""
+    out = [f"<table{attrs}>", "  <tbody>"]
+    for c in cols:
+        out += ["    <tr>",
+                f"      <td>{_html_escape(str(c))}</td>",
+                f"      <td>{_html_escape(_cell(row.get(c)))}</td>",
+                "    </tr>"]
+    out += ["  </tbody>", "</table>"]
+    return "\n".join(out)
+
+
+def list_items(row: dict, columns: Optional[list] = None,
+               ul_attrs: str = "", li_attrs=None,
+               combine=lambda h, v: f"{h}: {v}") -> str:
+    """<ul><li>header: value</li>...</ul> for ONE row — graft of
+    ``encodeListItems`` (yesod-colonnade/src/Yesod/Colonnade.hs:99-114);
+    ``li_attrs`` is a per-item ``(col, row) -> str`` hook (the
+    header<>data attribute concatenation) and ``combine`` merges header
+    and cell content exactly as the reference's combiner argument."""
+    cols = list(columns) if columns else list(row.keys())
+    attrs = f" {ul_attrs}" if ul_attrs else ""
+    out = [f"<ul{attrs}>"]
+    for c in cols:
+        la = li_attrs(c, row) if li_attrs else ""
+        la = f" {la}" if la else ""
+        body = combine(_html_escape(str(c)), _html_escape(_cell(row.get(c))))
+        out.append(f"  <li{la}>{body}</li>")
+    out.append("</ul>")
+    return "\n".join(out)

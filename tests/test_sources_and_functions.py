@@ -816,6 +816,32 @@ def test_html_table_golden():
     assert out.index("<thead>") < out.index("<tbody>")
 
 
+def test_html_table_row_and_cell_attrs():
+    """S6/S11 graft: per-<tr> attributes from the row value
+    (encodeTable's ``a -> Attribute``, blaze-colonnade:400-434) and
+    per-<td> attributes (Cell pair, blaze-colonnade:263-300), plus
+    thead/tbody attrs."""
+    from colonnade_ray.render import html_table
+
+    t = pa.table({"name": ["hi", "lo"], "n": [9, 1]})
+    out = html_table(
+        t,
+        table_attrs='class="tbl"',
+        thead_attrs='class="hdr"',
+        tbody_attrs='class="bdy"',
+        row_attrs=lambda r: f'data-n="{r["n"]}"',
+        cell_attrs=lambda col, r: ('class="num"' if col == "n" else ""),
+    )
+    lines = [ln.strip() for ln in out.splitlines()]
+    assert lines[0] == '<table class="tbl">'
+    assert '<thead class="hdr">' in lines and '<tbody class="bdy">' in lines
+    assert '<tr data-n="9">' in lines and '<tr data-n="1">' in lines
+    assert '<td class="num">9</td>' in lines
+    assert "<td>hi</td>" in lines  # empty cell_attrs -> bare td
+    # attr-less call still renders the plain golden layout
+    assert "<tr>" in html_table(t)
+
+
 def test_html_table_sectioned_colspan():
     """S7 graft: grouped render emits a full-width colspan divider per
     section (encodeCappedTable colspan semantics)."""
@@ -828,6 +854,47 @@ def test_html_table_sectioned_colspan():
     assert "<th>g</th>" not in out  # section column lifted out
     # dividers appear before their member rows
     assert out.index('g: x') < out.index("<td>1</td>") < out.index('g: y')
+
+
+def test_definition_table_and_list_items_golden():
+    """S10 graft: one row exploded into (header, value) items —
+    encodeDefinitionTable (two-column table, no thead) and
+    encodeListItems (yesod-colonnade/src/Yesod/Colonnade.hs:99-131)."""
+    from colonnade_ray.render import definition_table, list_items
+
+    row = {"name": "a<b", "n": 7}
+    out = definition_table(row, table_attrs='class="def"')
+    lines = [ln.strip() for ln in out.splitlines()]
+    assert lines[0] == '<table class="def">'
+    assert "<thead>" not in out
+    assert "<td>name</td>" in lines and "<td>a&lt;b</td>" in lines
+    assert "<td>n</td>" in lines and "<td>7</td>" in lines
+    assert out.index("<td>name</td>") < out.index("<td>a&lt;b</td>")
+
+    ul = list_items(row, ul_attrs='class="kv"',
+                    li_attrs=lambda c, r: f'data-k="{c}"')
+    assert ul.splitlines()[0] == '<ul class="kv">'
+    assert '<li data-k="name">name: a&lt;b</li>' in ul
+    assert '<li data-k="n">n: 7</li>' in ul
+
+
+def test_explode_definitions_dataset(ray_session):
+    """S10 Dataset-level row-explode: every row melts into one
+    (id, ord, key, value) record per column, streamed via map_batches."""
+    import ray.data as rd
+
+    from colonnade_ray.render import explode_definitions
+
+    t = pa.table({"doc_id": ["d1", "d2"], "n": [1, 2],
+                  "tag": ["x", None]})
+    out = explode_definitions(rd.from_arrow(t).repartition(2), "doc_id") \
+        .to_pandas().sort_values(["doc_id", "ord"]).reset_index(drop=True)
+    assert len(out) == 4  # 2 rows x 2 non-id columns
+    d1 = out[out["doc_id"] == "d1"]
+    assert d1["key"].tolist() == ["n", "tag"]
+    assert d1["value"].tolist() == ["1", "x"]
+    assert out[out["doc_id"] == "d2"]["value"].tolist()[1] is None or \
+        out[out["doc_id"] == "d2"]["value"].tolist()[1] == ""
 
 
 def test_compact_html_golden():
