@@ -205,9 +205,15 @@ def compression_read_args(paths) -> dict:
     return {"arrow_open_stream_args": {"compression": ext}} if ext else {}
 
 
-def read_typed_csv(paths, columns: list, concurrency=None):
+def read_typed_csv(paths, columns: list, concurrency=None, **read_kwargs):
     """ray.data.read_csv -> typed validated Dataset (gzip/zstd inputs
-    inferred from extension)."""
+    inferred from extension).  ``read_kwargs`` pass through to the
+    Arrow CSV reader — e.g. ``read_options=ReadOptions(block_size=N)``
+    exercises the suspended-parse path where a cell spans two read
+    blocks (the reference's one-byte-per-chunk resumable drive,
+    siphon/test/Test.hs:93-122: Arrow's scanner carries the partial
+    cell across block boundaries, so typed output and error
+    coordinates are split-invariant)."""
     import ray.data as rd
     from pyarrow import csv as pacsv
 
@@ -220,6 +226,7 @@ def read_typed_csv(paths, columns: list, concurrency=None):
             strings_can_be_null=False,
         ),
         **compression_read_args(paths),
+        **read_kwargs,
     )
     return ds.map_batches(
         TypedCsvDecoder,

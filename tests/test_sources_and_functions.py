@@ -105,6 +105,57 @@ def test_typed_csv_ray_path(tmp_path, ray_session):
     assert t.num_rows == 3
 
 
+def test_typed_csv_cell_spanning_block_boundary(tmp_path, ray_session):
+    """D5 torn-chunk fidelity twin of the reference's one-byte-per-chunk
+    resumable parse (siphon/test/Test.hs:93-122): with a read block
+    smaller than a single cell — including a QUOTED cell holding
+    commas and newlines — the typed output is identical to the
+    whole-file read, and a bad cell still reports the same
+    (column, content) coordinates."""
+    from pyarrow import csv as pacsv
+
+    from colonnade_ray.sources.typed_csv import (
+        GEOLITE_BLOCK_COLUMNS, read_typed_csv)
+
+    # Arrow's scanner lets a row straddle at most TWO read blocks, so
+    # the block must be >= the longest row; sized here so both block
+    # boundaries fall MID-CELL (one inside the quoted cell, one inside
+    # the long plain cell).
+    long_note = "z" * 60
+    quoted = 'line1,\nline2 "q" ' + "x" * 60
+    body = (
+        "network,geoname_id,is_anonymous_proxy,postal_code,latitude,"
+        "longitude,accuracy_radius\n"
+        f"10.0.0.0/8,111,0,\"{quoted.replace(chr(34), chr(34) * 2)}\","
+        "1.0000,2.0000,5\n"
+        f"192.168.0.0/16,222,1,{long_note},-3.5000,4.2500,\n"
+    )
+    p = tmp_path / "torn.csv"
+    p.write_text(body)
+
+    def load(**kw):
+        t = pa.Table.from_pylist(
+            read_typed_csv(str(p), GEOLITE_BLOCK_COLUMNS, **kw).take_all())
+        return t.sort_by("geoname_id").to_pylist()
+
+    whole = load()
+    torn = load(read_options=pacsv.ReadOptions(block_size=120))
+    assert torn == whole
+    assert torn[0]["postal_code"] == quoted          # quoted cell intact
+    assert torn[1]["postal_code"] == long_note
+    assert torn[1]["network"] == {"base": (192 << 24) | (168 << 16),
+                                  "prefix": 16}
+
+    # a bad cell mid-file keeps its (column, content) coordinates under
+    # the torn read
+    (tmp_path / "torn_bad.csv").write_text(body.replace("222", "oops"))
+    with pytest.raises(Exception) as e:
+        pa.Table.from_pylist(read_typed_csv(
+            str(tmp_path / "torn_bad.csv"), GEOLITE_BLOCK_COLUMNS,
+            read_options=pacsv.ReadOptions(block_size=120)).take_all())
+    assert "geoname_id" in str(e.value)
+
+
 def test_typed_jsonl_feeds_encode_pipeline(tmp_path, ray_session):
     """NDJSON source -> encode -> decode round-trip (the JSONL twin of
     the CSV integration below)."""
