@@ -310,6 +310,101 @@ def ivf_index_topk(index_dir: str, queries: np.ndarray, k: int = 5,
     return _merge_topk(partials, k, id_col)
 
 
+def append_ivf_index(ds, index_dir: str, emb_col: str = "embedding",
+                     id_col: str = "vec_id") -> int:
+    """Index maintenance: assign NEW vectors to the EXISTING centroids
+    and write them as new files into the same ``cell=K/`` directories
+    — existing files are never rewritten (Ray's writer emits
+    uniquely-named files, so append is a pure add; a failed append
+    re-runs without touching the base).  The 100-TB ingest story:
+    daily deltas land in probed-cell shards at delta cost, the
+    centroid set stays frozen until ``ivf_index_report`` says the
+    assignment has drifted enough to warrant a rebuild.  Returns the
+    number of rows appended."""
+    import os
+
+    import ray
+
+    from ..util import default_concurrency
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    cref = ray.put(cents)
+
+    class AssignCell:
+        def __init__(self, cents_ref):
+            self.cents = np.asarray(ray.get(cents_ref), dtype=np.float64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_embedding_matrix(batch, emb_col))
+            cell = np.argmax(m @ self.cents.T, axis=1).astype(np.int64)
+            return batch.append_column("cell", pa.array(cell, pa.int64()))
+
+    assigned = ds.map_batches(
+        AssignCell,
+        fn_constructor_kwargs=dict(cents_ref=cref),
+        batch_format="pyarrow",
+        concurrency=(1, default_concurrency()),
+    ).materialize()
+    assigned.write_parquet(os.path.join(index_dir, "data"),
+                           partition_cols=["cell"])
+    return assigned.count()
+
+
+def ivf_index_report(index_dir: str, id_col: str = "vec_id",
+                     emb_col: str = "embedding",
+                     imbalance_threshold: float = 4.0,
+                     drift: bool = False) -> dict:
+    """Staleness / balance report for a materialized IVF index: per-cell
+    row counts from a COLUMN-PRUNED read (only ``id_col`` + the hive
+    ``cell`` key leave storage), the max/mean imbalance ratio, and —
+    only when ``drift=True``, since it reads the embedding payload —
+    the mean cosine of each row to its assigned centroid (falling
+    assignment quality = time to re-fit).  ``needs_rebalance`` trips
+    when one cell holds ``imbalance_threshold``x the mean, the signal
+    that appended data has skewed the inverted file."""
+    import os
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    data = os.path.join(index_dir, "data")
+    counts = rd.read_parquet(data, columns=[id_col, "cell"]) \
+        .groupby("cell").aggregate(Count(alias_name="n")).to_pandas()
+    counts["cell"] = counts["cell"].astype(int)
+    counts = counts.sort_values("cell").reset_index(drop=True)
+    n_rows = int(counts["n"].sum())
+    mean_n = n_rows / max(len(counts), 1)
+    max_n = int(counts["n"].max()) if len(counts) else 0
+    imbalance = (max_n / mean_n) if mean_n else 0.0
+    report = {
+        "n_cells": int(cents.shape[0]),
+        "n_occupied_cells": int(len(counts)),
+        "n_rows": n_rows,
+        "cell_counts": dict(zip(counts["cell"].tolist(),
+                                counts["n"].astype(int).tolist())),
+        "imbalance": float(imbalance),
+        "needs_rebalance": bool(imbalance > imbalance_threshold),
+    }
+    if drift:
+        cn = _normalize(np.asarray(cents, dtype=np.float64))
+
+        def cos_to_centroid(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = _normalize(_embedding_matrix(batch, emb_col))
+            cell = pc.cast(batch["cell"], pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            cos = np.einsum("ij,ij->i", m, cn[cell])
+            return pa.table({"cos": pa.array(cos, pa.float64())})
+
+        report["mean_assignment_cos"] = float(
+            rd.read_parquet(data, columns=[emb_col, "cell"])
+            .map_batches(cos_to_centroid, batch_format="pyarrow")
+            .aggregate(Mean("cos", alias_name="m"))["m"])
+    return report
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicates
 
