@@ -41,7 +41,12 @@ _EMIT = np.uint64(0xFFFF)
 
 def pick_lanes(n: int) -> int:
     """Lane count: enough rows to amortize numpy-call overhead, few
-    enough lanes that the K*4-byte state header stays negligible."""
+    enough lanes that the K*4-byte state header stays negligible
+    (4096 lanes = 16 KB of states per chunk, +0.004 B/token on the
+    flagship 3.4M-symbol chunks, bought back 4x fewer sequential
+    loop iterations — decode is the bound, see BASELINE.md r4)."""
+    if n >= 1 << 19:
+        return 4096
     if n >= 1 << 17:
         return 1024
     if n >= 1 << 13:
@@ -116,7 +121,7 @@ def rans_decode(states_b: bytes, stream_b: bytes, freqs: np.ndarray,
     if x32.size != K:
         raise ValueError(f"rans state header torn: {x32.size} lanes, want {K}")
     x = x32.astype(np.uint64)
-    stream = np.frombuffer(stream_b, dtype=np.uint16)
+    stream = np.frombuffer(stream_b, dtype=np.uint16).astype(np.uint64)
     F = np.asarray(freqs, dtype=np.uint64)
     C = np.concatenate(([0], np.cumsum(freqs))).astype(np.uint64)
     table = np.repeat(
@@ -124,18 +129,26 @@ def rans_decode(states_b: bytes, stream_b: bytes, freqs: np.ndarray,
     )
     if table.size != M:
         raise ValueError("rans freqs do not sum to scale")
-    out = np.empty((rows, K), dtype=np.uint8)
+    # Fused per-slot transition tables: for slot ``low``, the decoded
+    # symbol is table[low] and the state update is
+    # x' = F[s] * (x >> SB) + (low - C[s]); precomputing f and the
+    # bias per slot turns the inner loop's three gathers + arithmetic
+    # into two gathers + FMA, and the symbol gather itself is deferred
+    # out of the loop entirely (one (rows, K) gather at the end) —
+    # the loop only stores the 12-bit slot per lane.
+    tf = F[table]
+    tb = np.arange(M, dtype=np.uint64) - C[table]
+    lows = np.empty((rows, K), dtype=np.uint16)
     p = 0
     for r in range(rows):
         low = x & _MASK
-        s = table[low]
-        out[r] = s
-        x = F[s] * (x >> _SB) + low - C[s]
+        lows[r] = low.astype(np.uint16)
+        x = tf[low] * (x >> _SB) + tb[low]
         mask = x < _L
         k = int(np.count_nonzero(mask))
         if k:
             if p + k > stream.size:
                 raise ValueError("rans stream torn: ran out of renorm words")
-            x[mask] = (x[mask] << _IO) | stream[p : p + k].astype(np.uint64)
+            x[mask] = (x[mask] << _IO) | stream[p : p + k]
             p += k
-    return out.reshape(-1)
+    return table[lows.reshape(-1)]
