@@ -156,6 +156,12 @@ def run_bench() -> dict:
 
     timings: dict = {}
     encode_reps: list = []
+    dec_reps: list = []
+    # encode/decode repeats INTERLEAVED (enc, dec, enc, dec, ...) so
+    # the decode-vs-encode parity comparison samples the same VM
+    # phases — this box swings 2-4x on a minutes scale, and running
+    # all encodes before all decodes lets phase drift masquerade as a
+    # pipeline asymmetry
     for rep in range(repeats):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
@@ -173,6 +179,12 @@ def run_bench() -> dict:
             transport=os.environ.get("GRAFT_BENCH_NO_TRANSPORT") != "1",
         )
         encode_reps.append(round(time.time() - t0, 3))
+        if not encode_only:
+            t0 = time.time()
+            dec_digest = decode_digest_corpus(
+                out_dir, ["doc_id", "tokens", "n_tok", "source"]
+            )
+            dec_reps.append(round(time.time() - t0, 3))
     timings["encode"] = min(encode_reps)
 
     if encode_only:
@@ -182,13 +194,6 @@ def run_bench() -> dict:
         # median-of-N: decode at this scale is overhead-bound (serial
         # compute floor ~3 s on one core) and this VM swings 4x run to
         # run, so a single draw is meaningless
-        dec_reps = []
-        for _ in range(repeats):
-            t0 = time.time()
-            dec_digest = decode_digest_corpus(
-                out_dir, ["doc_id", "tokens", "n_tok", "source"]
-            )
-            dec_reps.append(round(time.time() - t0, 3))
         timings["decode_digest"] = _median(dec_reps)
 
         t0 = time.time()

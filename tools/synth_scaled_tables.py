@@ -41,11 +41,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-SRC = "/root/testdata/sf0.1"
+DEFAULT_SRC = "/root/testdata/sf0.1"
 
 
-def scale_documents(out: str, mult: int, seed: int) -> None:
-    t = pq.read_table(os.path.join(SRC, "documents.parquet"))
+def scale_documents(out: str, mult: int, seed: int, src: str = DEFAULT_SRC) -> None:
+    t = pq.read_table(os.path.join(src, "documents.parquet"))
     texts = t["text"].to_pylist()
     vocab = sorted({w for s in texts for w in s.split()})
     if any(any(c.isdigit() for c in w) for w in vocab):
@@ -68,8 +68,8 @@ def scale_documents(out: str, mult: int, seed: int) -> None:
                    row_group_size=10_000)
 
 
-def scale_embeddings(out: str, mult: int, seed: int) -> None:
-    t = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+def scale_embeddings(out: str, mult: int, seed: int, src: str = DEFAULT_SRC) -> None:
+    t = pq.read_table(os.path.join(src, "embeddings.parquet"))
     n = t.num_rows
     vecs = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
     dim = vecs.shape[1]
@@ -95,11 +95,11 @@ def _offset(col: pa.ChunkedArray, off: int) -> pa.ChunkedArray:
     return pc.add(col, pa.scalar(off, pa.int64())).cast(col.type)
 
 
-def scale_tpch(out: str, mult: int) -> None:
-    cust = pq.read_table(os.path.join(SRC, "customer.parquet"))
-    supp = pq.read_table(os.path.join(SRC, "supplier.parquet"))
-    orders = pq.read_table(os.path.join(SRC, "orders.parquet"))
-    li = pq.read_table(os.path.join(SRC, "lineitem.parquet"))
+def scale_tpch(out: str, mult: int, src: str = DEFAULT_SRC) -> None:
+    cust = pq.read_table(os.path.join(src, "customer.parquet"))
+    supp = pq.read_table(os.path.join(src, "supplier.parquet"))
+    orders = pq.read_table(os.path.join(src, "orders.parquet"))
+    li = pq.read_table(os.path.join(src, "lineitem.parquet"))
     span_c = int(pc.max(cust["c_custkey"]).as_py()) + 1
     span_s = int(pc.max(supp["s_suppkey"]).as_py()) + 1
     span_o = int(pc.max(orders["o_orderkey"]).as_py()) + 1
@@ -131,9 +131,9 @@ def scale_tpch(out: str, mult: int) -> None:
         row_group_size=200_000)
 
 
-def copy_dims(out: str) -> None:
+def copy_dims(out: str, src: str = DEFAULT_SRC) -> None:
     for name in ("nation", "region", "part", "events"):
-        t = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
         pq.write_table(t, os.path.join(out, f"{name}.parquet"))
 
 
@@ -142,12 +142,13 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/sf1_tables")
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--src", default=DEFAULT_SRC)
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
-    scale_documents(args.out, args.mult, args.seed)
-    scale_embeddings(args.out, args.mult, args.seed)
-    scale_tpch(args.out, args.mult)
-    copy_dims(args.out)
+    scale_documents(args.out, args.mult, args.seed, args.src)
+    scale_embeddings(args.out, args.mult, args.seed, args.src)
+    scale_tpch(args.out, args.mult, args.src)
+    copy_dims(args.out, args.src)
     for f in sorted(os.listdir(args.out)):
         p = os.path.join(args.out, f)
         print(f, pq.ParquetFile(p).metadata.num_rows,
