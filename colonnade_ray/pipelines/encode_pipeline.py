@@ -29,6 +29,7 @@ import shutil
 from typing import Optional, Sequence
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..stages.decode import DecodeBatch
@@ -612,12 +613,25 @@ def _read_encoded(out_dir: str, columns: Optional[Sequence[str]] = None,
     # count, not chunk count.
     from ..util import default_concurrency
 
-    n_chunks = sum(
-        pq.ParquetFile(os.path.join(lin_root, f"group-{gid}.parquet")).metadata.num_rows
-        for gid in group_files
-    )  # footer-only: never materializes the lineage tables
+    n_chunks = 0
+    total_tokens = 0
+    for gid in group_files:
+        lin = pq.read_table(os.path.join(lin_root, f"group-{gid}.parquet"),
+                            columns=["n_tokens"])  # manifest-sized, not data
+        n_chunks += lin.num_rows
+        total_tokens += int(pc.sum(lin["n_tokens"]).as_py() or 0)
     eff = concurrency if concurrency is not None else default_concurrency()
     cpt = min(8, max(1, n_chunks // (4 * max(eff, 1))))
+    # cap by tokens-per-task, not just chunk count: a decode+digest
+    # call allocates several uint64 temporaries over every token in
+    # the call, so task working set is proportional to tokens bundled.
+    # 8 chunks was tuned at sf0.1 (~1.7M-token chunks); at 10x scale
+    # the same cpt bundles ~16M tokens (~0.5 GB of temporaries) and
+    # concurrent tasks thrash memory: measured 185s -> 37s wall at m10
+    # by capping to ~one flagship chunk per task (BASELINE.md r4).
+    if n_chunks:
+        avg_tok = max(1, total_tokens // n_chunks)
+        cpt = max(1, min(cpt, int(4_000_000 // avg_tok) or 1))
     nblocks = max(len(files), (n_chunks + cpt - 1) // cpt)
     if columns is None:
         enc = rd.read_parquet(files, override_num_blocks=nblocks)
