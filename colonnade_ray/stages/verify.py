@@ -42,13 +42,39 @@ def _powers_cached(n: int) -> np.ndarray:
     return _POW_CACHE[key][:n] if n else np.zeros(0, np.uint64)
 
 
+_SEG_VALUES = 2_000_000  # ~16 MB/uint64 temp: bounds working set per call
+
+
 def hash_token_lists(arr: pa.Array) -> np.ndarray:
-    """Per-row polynomial hash of a list<int> column (uint64)."""
+    """Per-row polynomial hash of a list<int> column (uint64).
+
+    Large columns are processed in row segments of ~_SEG_VALUES flat
+    values: the kernel allocates ~5 word-sized temporaries per value,
+    so an unbounded batch (10s of millions of tokens) churns hundreds
+    of MB per call — segmenting pins peak memory regardless of how
+    many chunks the caller bundled into one task."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
     if n == 0:
         return np.zeros(0, np.uint64)
+    offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    if offs[-1] - offs[0] > _SEG_VALUES and n > 1:
+        # split on row boundaries so each segment's rows hash whole
+        out = np.empty(n, dtype=np.uint64)
+        lo = 0
+        while lo < n:
+            # last row boundary within the value budget; always >= 1 row
+            hi = int(np.searchsorted(offs, offs[lo] + _SEG_VALUES, side="right")) - 1
+            hi = min(max(hi, lo + 1), n)
+            out[lo:hi] = _hash_token_lists_dense(arr.slice(lo, hi - lo))
+            lo = hi
+        return out
+    return _hash_token_lists_dense(arr)
+
+
+def _hash_token_lists_dense(arr: pa.Array) -> np.ndarray:
+    n = len(arr)
     lens = pc.fill_null(pc.list_value_length(arr), -1).to_numpy(zero_copy_only=False).astype(np.int64)
     null_rows = lens < 0
     lens = np.where(null_rows, 0, lens)

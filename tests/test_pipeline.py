@@ -812,3 +812,28 @@ def test_aggregate_where_string_and_in_predicate(corpus_dir, tmp_path, ray_sessi
     assert count_where(out, pred) == int(full["source"].isin(srcs).sum())
     assert aggregate_where(out, "sum", "n_tok", pred) == int(
         full.loc[full["source"].isin(srcs), "n_tok"].sum())
+
+
+def test_segmented_token_hash_equals_dense():
+    """hash_token_lists segments large columns on row boundaries; the
+    segmented result must be bit-equal to the one-shot kernel for any
+    mix of nulls, empties and non-zero slice offsets."""
+    import colonnade_ray.stages.verify as V
+
+    rng = np.random.default_rng(7)
+    lens = rng.integers(0, 60, size=500)
+    vals = rng.integers(-(2**31), 2**31, size=int(lens.sum()),
+                        dtype=np.int64).astype(np.int32)
+    offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+    mask = rng.random(500) < 0.07
+    arr = pa.ListArray.from_arrays(pa.array(offs), pa.array(vals),
+                                   mask=pa.array(mask))
+    for candidate in (arr, arr.slice(13, 400)):
+        dense = V._hash_token_lists_dense(candidate)
+        old = V._SEG_VALUES
+        try:
+            V._SEG_VALUES = 101  # force many segments
+            seg = V.hash_token_lists(candidate)
+        finally:
+            V._SEG_VALUES = old
+        assert np.array_equal(dense, seg)
