@@ -10,6 +10,7 @@ probe only the nearest cells.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -592,9 +593,147 @@ def _verify_pair_bucket(g, threshold: float):
     )
 
 
+class BlockPairCosine:
+    """One (block_i, block_j) task of the blocked exact-cosine scan:
+    load both parquet blocks (per-actor LRU — a block is re-read by
+    ~n_blocks tasks, so caching amortizes the reads the same way a
+    real cluster's page cache would), normalize in float64 (identical
+    arithmetic to CosinePairs), one chunked matmul, threshold."""
+
+    def __init__(self, files, threshold: float, emb_col: str, id_col: str,
+                 cache_blocks: int = 6, sims_budget: int = 4_000_000):
+        from collections import OrderedDict
+
+        self.files = list(files)
+        self.threshold = float(threshold)
+        self.emb_col, self.id_col = emb_col, id_col
+        self._cache: "OrderedDict[int, tuple]" = OrderedDict()
+        self._cap = cache_blocks
+        self._sims_budget = sims_budget   # float64 cells per temporary
+
+    def _load(self, i: int):
+        if i in self._cache:
+            self._cache.move_to_end(i)
+            return self._cache[i]
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(self.files[i], columns=[self.id_col, self.emb_col])
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_embedding_matrix(t, self.emb_col))
+        self._cache[i] = (ids, m)
+        if len(self._cache) > self._cap:
+            self._cache.popitem(last=False)
+        return ids, m
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_a, out_b = [], []
+        fis = batch["fi"].to_numpy(zero_copy_only=False)
+        fjs = batch["fj"].to_numpy(zero_copy_only=False)
+        for fi, fj in zip(fis, fjs):
+            ia, ma = self._load(int(fi))
+            ib, mb = self._load(int(fj))
+            # chunk rows of block i so the sims temporary stays ~32 MB
+            # (task working set sized by VALUES, the m10 decode lesson)
+            step = max(1, self._sims_budget // max(1, len(ib)))
+            for lo in range(0, len(ia), step):
+                sims = ma[lo:lo + step] @ mb.T
+                bi, bj = np.nonzero(sims >= self.threshold)
+                if fi == fj:
+                    keep = (lo + bi) < bj      # strict upper triangle
+                    bi, bj = bi[keep], bj[keep]
+                a = ia[lo + bi]
+                b = ib[bj]
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return pa.table({"id_a": pa.array(a, pa.int64()),
+                         "id_b": pa.array(b, pa.int64())})
+
+
+def cosine_pairs_blocked(ds, threshold: float,
+                         emb_col: str = "embedding", id_col: str = "vec_id",
+                         block_rows: int = 4096, spill_dir: Optional[str] = None):
+    """Exact cosine near-dup pairs at ANY threshold, distributed as
+    block-pair matmul tasks — the scale path for LOW thresholds where
+    sign-LSH cannot prune.
+
+    Why this exists: sign-LSH's per-bit collision probability is
+    1 - theta/pi, so at cos 0.42 (theta ~ 65 deg) a recall-1
+    parameterization needs ~2-bit bands, leaving band groups of ~n/4
+    and a candidate-ROW volume of ~bands * n^2 / 2^(2*bits) — the
+    quadratic scan in disguise, paid in exploded exchange rows (~48
+    bytes each).  This path touches the same n^2/2 pair space inside
+    BLAS matmuls at 8 bytes-of-temporary per pair and emits only TRUE
+    pairs.  Measured at 20k x 64-dim: 37 s vs the LSH path's 30+ min.
+
+    Stage 1 streams one projection pass, spilling (id, embedding)
+    blocks of ``block_rows`` to parquet — shared storage at scale:
+    each block is re-read ~n_blocks times, so it must live somewhere
+    rereadable (pinning the corpus in the object store would defeat
+    streaming).  Raw float32 values are spilled unchanged; tasks
+    normalize in float64, so results are bit-identical to
+    CosinePairs.  Stage 2 maps an actor pool over the (i, j<=i)
+    block-index dataset; per-task temporaries are chunked to ~32 MB.
+    """
+    import tempfile
+
+    import ray.data as rd
+
+    from ..util import default_concurrency
+
+    if spill_dir is None:
+        spill_dir = tempfile.mkdtemp(prefix="cosine_blocks_", dir="/tmp")
+    (ds.select_columns([id_col, emb_col])
+       .write_parquet(spill_dir, min_rows_per_file=block_rows,
+                      max_rows_per_file=block_rows))
+    files = sorted(
+        os.path.join(spill_dir, f)
+        for f in os.listdir(spill_dir) if f.endswith(".parquet")
+    )
+    nb = len(files)
+    idx = rd.from_items(
+        [{"fi": i, "fj": j} for i in range(nb) for j in range(i + 1)]
+    )
+    return idx.map_batches(
+        BlockPairCosine,
+        fn_constructor_kwargs=dict(files=files, threshold=threshold,
+                                   emb_col=emb_col, id_col=id_col),
+        batch_format="pyarrow",
+        batch_size=max(1, (nb * (nb + 1) // 2) // (4 * default_concurrency()) or 1),
+        concurrency=(1, default_concurrency()),
+    )
+
+
+def _estimate_candidate_rows(exploded, keys=("band", "band_hash")) -> float:
+    """Candidate-pair-row volume the band groups would emit, computed
+    WITHOUT emitting them: per-batch partial group counts, one small
+    groupby, sum s*(s-1)/2 distributed; the driver receives one float."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    keys = list(keys)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, sort=False).size().reset_index(name="n")
+
+    counts = (exploded.map_batches(part, batch_format="pandas")
+              .groupby(keys).aggregate(Sum("n", alias_name="n")))
+    vol = counts.map_batches(
+        lambda df: pd.DataFrame(
+            {"v": [float((lambda s: (s * (s - 1) / 2).sum())(
+                df["n"].to_numpy(np.float64)))]}),
+        batch_format="pandas",
+    ).sum("v")
+    return float(vol or 0.0)
+
+
 def lsh_verified_near_dups(ds, threshold: float, bands: int = 8,
                            bits_per_band: int = 10,
-                           emb_col: str = "embedding", id_col: str = "vec_id"):
+                           emb_col: str = "embedding", id_col: str = "vec_id",
+                           route: str = "auto",
+                           candidate_row_budget: float = 2e8):
     """The scale-shaped near-dup pipeline with an exact guarantee on
     precision: sign-LSH candidates (one band-key shuffle) -> exact
     cosine verification.  Equals cosine_pairs_exact whenever the LSH
@@ -608,10 +747,34 @@ def lsh_verified_near_dups(ds, threshold: float, bands: int = 8,
     keyed_attach pattern of dedup.near_dup_pairs), and a second
     candidate-only shuffle reunites the two sides of each pair for a
     stacked row-wise dot product.  No actor ever holds more than one
-    hash bucket of embeddings."""
+    hash bucket of embeddings.
+
+    ``route='auto'`` guards the candidate volume (the round-4 10x
+    lesson: recall-1 bands at low cos thresholds are the quadratic
+    scan in disguise): one cheap statistics pass over the band keys
+    computes the exact candidate-row count the groups would emit; if
+    it exceeds ``candidate_row_budget`` the call reroutes to
+    cosine_pairs_blocked — same exact result (blocked IS the
+    ground-truth scan), ~1000x less exchange traffic in that regime.
+    ``route='lsh'`` / ``route='blocked'`` force a path."""
     import pandas as pd
 
+    from ..util import default_concurrency
     from .bucketing import bucketed_group_apply
+
+    if route == "blocked":
+        return cosine_pairs_blocked(ds, threshold, emb_col, id_col)
+    if route == "auto":
+        probe = ds.map_batches(
+            HyperplaneLsh,
+            fn_constructor_kwargs=dict(
+                dim=len(ds.take(1)[0][emb_col]), bands=bands,
+                bits_per_band=bits_per_band, emb_col=emb_col, id_col=id_col),
+            batch_format="pyarrow",
+            concurrency=(1, default_concurrency()),
+        )
+        if _estimate_candidate_rows(probe) > candidate_row_budget:
+            return cosine_pairs_blocked(ds, threshold, emb_col, id_col)
 
     cand = embedding_near_dup_candidates(ds, bands, bits_per_band, emb_col, id_col)
     dim = len(ds.take(1)[0][emb_col])

@@ -1435,6 +1435,68 @@ def test_lsh_verified_near_dups_sharded_multiblock(ray_session):
     assert not hasattr(sim, "CosineVerifyPairs")
 
 
+def test_cosine_pairs_blocked_and_candidate_volume_guard(ray_session):
+    """Round-4 scale fix: at low cos thresholds recall-1 sign-LSH
+    bands are the quadratic scan in disguise (candidate rows ~
+    bands * n^2 / 4^bits — 30+ min at 20k vectors vs 37 s blocked).
+    cosine_pairs_blocked must equal the exact pair set across many
+    spilled blocks (cross-block pairs + same-block triangle both
+    exercised), the candidate-volume estimator must be exact, and
+    lsh_verified_near_dups' auto route must detect a blown budget and
+    return the same exact set via the blocked path."""
+    import pandas as pd
+    import ray.data as rd
+
+    from colonnade_ray.functions import similarity as sim
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 16))
+    rows, rid = [], 0
+    for v in base:
+        rows.append((rid, v)); rid += 1
+        if rid % 3 == 0:
+            rows.append((rid, v + rng.normal(scale=0.01, size=16))); rid += 1
+    t = pa.table(
+        {"vec_id": pa.array([r[0] for r in rows], pa.int64()),
+         "embedding": pa.array([[float(x) for x in r[1]] for r in rows],
+                               pa.list_(pa.float32()))}
+    )
+    ds = rd.from_arrow(t).repartition(8)
+
+    exact = sorted(
+        (r["id_a"], r["id_b"])
+        for r in sim.cosine_pairs_exact(ds, threshold=0.95).take_all()
+    )
+    assert exact, "fixture must plant at least one true pair"
+
+    blocked = sorted(
+        (r["id_a"], r["id_b"])
+        for r in sim.cosine_pairs_blocked(ds, 0.95, block_rows=7).take_all()
+    )
+    assert blocked == exact
+
+    # the volume estimator is exact: compare against a driver-side
+    # groupby over the same exploded band keys
+    exploded = ds.map_batches(
+        sim.HyperplaneLsh,
+        fn_constructor_kwargs=dict(dim=16, bands=8, bits_per_band=2),
+        batch_format="pyarrow", concurrency=1,
+    )
+    df = exploded.to_pandas()
+    want = float((df.groupby(["band", "band_hash"]).size()
+                  .map(lambda s: s * (s - 1) // 2)).sum())
+    got_vol = sim._estimate_candidate_rows(exploded)
+    assert got_vol == want
+
+    guarded = sorted(
+        (r["id_a"], r["id_b"])
+        for r in sim.lsh_verified_near_dups(
+            ds, 0.95, bands=64, bits_per_band=2,
+            candidate_row_budget=1).take_all()
+    )
+    assert guarded == exact
+
+
 def test_grouped_quantiles_percentile_disc_semantics(ray_session):
     """Exact grouped quantiles = percentile_disc: value at 1-based
     rank ceil(q*n), always an existing value; q=1.0 is the max;
