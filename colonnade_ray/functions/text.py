@@ -638,20 +638,29 @@ def lm_commonness(ds, text_col: str = "text", id_col: str = "doc_id",
     OCR noise) score low; boilerplate/template docs score high — gate
     on either tail.
 
-    Two passes over the same vectorized gram explode (global counts,
-    then a gram-keyed attach); the exchanges carry (doc, gram, tf)
-    partials and the gram count table — never document texts.  Docs
-    with fewer than n words produce no grams and are absent (same as
-    the twin's inner join).
+    ONE gram-keyed exchange does all the global work: bucketing on
+    hash(gram) co-locates every occurrence of a gram, so the bucket
+    can compute the GLOBAL count c(gram) (a transform-size over its
+    own rows) and immediately fold it into per-doc partials
+    (doc, w=SUM c, nb=rows) — no separate counts aggregate, no
+    gram-keyed join back.  A second small bucketed exchange sums the
+    <= num_buckets partials per doc.  (The previous 3-barrier form —
+    Ray-native groupby over millions of distinct gram strings, then a
+    keyed attach, then a doc groupby — spent its wall time on
+    per-group sort overhead: 171 s at the 10x bench scale vs ~20 s
+    for this one.)  Exchanges carry (doc, gram) occurrence rows and
+    integer partials — never document texts.  Docs with fewer than n
+    words produce no grams and are absent (same as the twin's inner
+    join).  All sums are int64-exact and order-independent, so the
+    single final division is float64-bit-equal to a single-process
+    reference.
     """
-    from ray.data.aggregate import Sum
-
-    from .relational import field_type, keyed_attach
+    from .bucketing import bucketed_group_apply
+    from .relational import field_type
 
     id_type = field_type(ds, id_col)
     empty = pa.table({id_col: pa.array([], id_type),
-                      "gram": pa.array([], pa.string()),
-                      "tf": pa.array([], pa.int64())})
+                      "gram": pa.array([], pa.string())})
 
     def doc_grams(batch: pa.Table) -> pa.Table:
         col = batch[text_col]
@@ -674,34 +683,34 @@ def lm_commonness(ds, text_col: str = "text", id_col: str = "doc_id",
             grams = grams + " " + pd.Series(flat[j : total - n + 1 + j][valid])
         ids = batch[id_col].to_pandas().to_numpy()
         gid = ids[doc_of[: total - n + 1][valid]]
-        d = pd.DataFrame({id_col: gid, "gram": grams.to_numpy()})
-        g = d.groupby([id_col, "gram"], sort=False).size().reset_index(name="tf")
         return pa.table({
-            id_col: pa.array(g[id_col].to_numpy(), id_type),
-            "gram": pa.array(g["gram"].to_numpy(dtype=object), pa.string()),
-            "tf": pa.array(g["tf"].to_numpy().astype(np.int64)),
+            id_col: pa.array(gid, id_type),
+            "gram": pa.array(grams.to_numpy(dtype=object), pa.string()),
         })
 
     tg = ds.map_batches(doc_grams, batch_format="pyarrow")
-    counts = tg.groupby("gram").aggregate(Sum("tf", alias_name="c"))
-    joined = keyed_attach(tg, counts, key_from="gram", out_col="c",
-                          carry=[(id_col, id_type), ("tf", pa.int64())],
-                          id_col="gram", text_col="c")
 
-    def weight(b: pa.Table) -> pa.Table:
-        tf = pc.cast(b["tf"], pa.int64())
-        return pa.table({id_col: b[id_col],
-                         "w": pc.multiply(tf, pc.cast(b["c"], pa.int64())),
-                         "nb": tf})
+    def per_gram_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # every occurrence of each gram is in THIS bucket -> the
+        # per-row transform-size IS the global corpus count c(gram)
+        c = g.groupby("gram", sort=False)["gram"].transform("size")
+        part = pd.DataFrame({id_col: g[id_col],
+                             "w": c.to_numpy().astype(np.int64)})
+        out = part.groupby(id_col, sort=False, as_index=False).agg(
+            w=("w", "sum"), nb=("w", "size"))
+        out["w"] = out["w"].astype(np.int64)
+        out["nb"] = out["nb"].astype(np.int64)
+        return out
 
-    agg = (joined.map_batches(weight, batch_format="pyarrow")
-           .groupby(id_col)
-           .aggregate(Sum("w", alias_name="w"), Sum("nb", alias_name="nb")))
+    partials = bucketed_group_apply(tg, "gram", per_gram_bucket)
 
-    def finish(b: pa.Table) -> pa.Table:
-        w = b["w"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nb = b["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({id_col: b[id_col],
-                         "commonness": pa.array(w / nb, type=pa.float64())})
+    def finish_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(id_col, sort=False, as_index=False).agg(
+            w=("w", "sum"), nb=("nb", "sum"))
+        return pd.DataFrame({
+            id_col: s[id_col],
+            "commonness": s["w"].to_numpy().astype(np.int64)
+            / s["nb"].to_numpy().astype(np.int64),
+        })
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return bucketed_group_apply(partials, id_col, finish_bucket)
