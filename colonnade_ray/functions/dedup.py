@@ -430,14 +430,17 @@ def pair_counts(pairs_ds, out_col: str = "inter", num_buckets: int = _PAIR_BUCKE
 
 def minhash_candidates(ds, text_col="text", id_col="doc_id", bands=16, rows_per_band=4,
                        shingle_k=5, concurrency=None, mode="oph",
-                       max_band_group: Optional[int] = None):
+                       max_band_group: Optional[int] = None,
+                       distinct: bool = True):
     """LSH candidate pairs (id_a < id_b), deduplicated.
 
     ``max_band_group``: star-pattern cap for hot band buckets (see
     _pairs_from_bucket) — bounds a size-s group's emission at s-1 rows
     instead of s(s-1)/2 while keeping the group connected.  ``None``
     (default) keeps exact all-pairs candidates, which the sf oracles
-    check."""
+    check.  ``distinct=False`` skips the final cross-band dedup
+    exchange for callers that fuse it into their own next keyed
+    shuffle."""
     from ..util import default_concurrency
 
     conc = concurrency or (1, default_concurrency())
@@ -458,6 +461,10 @@ def minhash_candidates(ds, text_col="text", id_col="doc_id", bands=16, rows_per_
         exploded, ["band", "band_hash"],
         lambda g: _pairs_from_bucket(g, id_col, max_band_group=max_band_group),
     )
+    if not distinct:
+        # caller will dedup inside its own next keyed exchange
+        # (keyed_attach(dedup_on=...)) — skip the standalone barrier
+        return pairs
     # a pair can surface from several bands — dedup
     return distinct_pairs(pairs)
 
@@ -537,13 +544,17 @@ def near_dup_pairs(ds, texts_ref=None, text_col="text", id_col="doc_id",
     the (id, text) table twice (id_a, then id_b) and verified per
     batch — candidate rows, never the corpus, are what shuffles, and
     nothing materializes on the driver (round-1 What's-wrong #3 fix).
+    The cross-band candidate dedup is fused into the first hash join
+    (keyed_attach ``dedup_on``): every copy of an (id_a, id_b) pair
+    lands in id_a's bucket, so the per-bucket drop_duplicates is
+    global and one whole exchange barrier disappears.
     ``texts_ref=ray.put({id: text})`` selects the explicit broadcast
     path for small corpora instead."""
-    cands = minhash_candidates(ds, text_col, id_col, bands, rows_per_band,
-                               shingle_k, mode=mode)
     from ..util import default_concurrency
 
     if texts_ref is not None:
+        cands = minhash_candidates(ds, text_col, id_col, bands, rows_per_band,
+                                   shingle_k, mode=mode)
         return cands.map_batches(
             JaccardVerify,
             fn_constructor_kwargs=dict(texts_ref=texts_ref, shingle_k=shingle_k,
@@ -553,11 +564,14 @@ def near_dup_pairs(ds, texts_ref=None, text_col="text", id_col="doc_id",
         )
     from .relational import keyed_attach
 
+    cands = minhash_candidates(ds, text_col, id_col, bands, rows_per_band,
+                               shingle_k, mode=mode, distinct=False)
     docs = ds.select_columns([id_col, text_col])
     id_type = docs.schema().base_schema.field(id_col).type
     ids = [("id_a", id_type), ("id_b", id_type)]
     with_a = keyed_attach(cands, docs, "id_a", "text_a", ids,
-                          id_col=id_col, text_col=text_col)
+                          id_col=id_col, text_col=text_col,
+                          dedup_on=["id_a", "id_b"])
     with_ab = keyed_attach(with_a, docs, "id_b", "text_b",
                            ids + [("text_a", pa.string())],
                            id_col=id_col, text_col=text_col)

@@ -89,7 +89,8 @@ def field_type(ds, name: str):
 
 def keyed_attach(pairs_ds, docs_ds, key_from: str, out_col: str,
                  carry: Sequence[tuple], id_col: str = "doc_id",
-                 text_col: str = "text", fill=None):
+                 text_col: str = "text", fill=None,
+                 dedup_on: Optional[Sequence[str]] = None):
     """Attach one column of ``docs_ds`` to every row of ``pairs_ds``
     whose ``key_from`` column matches ``id_col`` — a hash join
     expressed as tag-union + ONE groupby(key) shuffle.
@@ -99,7 +100,14 @@ def keyed_attach(pairs_ds, docs_ds, key_from: str, out_col: str,
     those and Arrow rejects the keyed join — e.g. a tiny candidate-pair
     set against a large corpus).  ``carry`` lists (name, arrow_type) of
     pair columns to carry through; integer carries are restored to
-    int64 after the pandas group pass."""
+    int64 after the pandas group pass.
+
+    ``dedup_on``: column names (must include ``key_from``, renamed
+    ``__key`` internally) on which the pairs side is globally
+    drop_duplicated INSIDE the join bucket — valid because bucketing
+    on the key co-locates every copy of a (key, ...) row, so a
+    per-bucket dedup IS a global dedup.  Fuses what would otherwise
+    be a separate distinct() exchange into this one."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -136,11 +144,20 @@ def keyed_attach(pairs_ds, docs_ds, key_from: str, out_col: str,
     if pa.types.is_integer(val_type):
         int_cols = int_cols + [out_col]
 
+    dedup_cols = None
+    if dedup_on is not None:
+        if key_from not in dedup_on:
+            raise ValueError("dedup_on must include the join key "
+                             f"{key_from!r} for per-bucket dedup to be global")
+        dedup_cols = ["__key" if c == key_from else c for c in dedup_on]
+
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # one vectorized pandas merge per BUCKET of keys (bucketing.py
         # rationale: O(buckets) Python calls, not O(distinct keys))
         docs = g[g["__is_doc"]][["__key", "__val"]].drop_duplicates("__key")
         p = g[~g["__is_doc"]]
+        if dedup_cols is not None:
+            p = p.drop_duplicates(dedup_cols)
         out_cols = carry_names + [out_col]
         if p.empty:
             return pd.DataFrame({c: [] for c in out_cols})
