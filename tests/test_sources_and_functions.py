@@ -2180,6 +2180,33 @@ def test_keyed_semijoin_membership(ray_session):
         keyed_semijoin(left, probe, on="k", carry=[("k", pa.int64())])
 
 
+def test_keyed_attach_dedup_on(ray_session):
+    """dedup_on drops duplicate pair rows globally inside the join
+    bucket (every copy of a key co-locates), and must include the
+    join key."""
+    import pytest as _pytest
+    import ray.data as rd
+
+    from colonnade_ray.functions.relational import keyed_attach
+
+    # duplicate (id_a, id_b) rows scattered across partitions
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array([1, 1, 2, 1, 2, 1], pa.int64()),
+        "id_b": pa.array([5, 5, 6, 5, 6, 7], pa.int64()),
+    })).repartition(3)
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["ta", "tb"]),
+    }))
+    ids = [("id_a", pa.int64()), ("id_b", pa.int64())]
+    out = keyed_attach(pairs, docs, "id_a", "text_a", ids,
+                       dedup_on=["id_a", "id_b"]).to_pandas()
+    got = sorted(zip(out["id_a"], out["id_b"], out["text_a"]))
+    assert got == [(1, 5, "ta"), (1, 7, "ta"), (2, 6, "tb")]
+    with _pytest.raises(ValueError, match="dedup_on must include"):
+        keyed_attach(pairs, docs, "id_a", "text_a", ids, dedup_on=["id_b"])
+
+
 def test_grouped_mode_tiebreak(ray_session):
     import ray.data as rd
 
