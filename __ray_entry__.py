@@ -27,16 +27,32 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _lineitem(sf_dir, columns):
+def _read_split(path, columns=None, **kw):
+    """read_parquet with the read itself parallelized.  Ray's default
+    plan for a single file under target_max_block_size is ONE read
+    task followed by SplitBlocks — an 8 s serial read gating the whole
+    pipeline at the 10x bench scale.  One row group per read task
+    (capped at 32) keeps the read wide without fragmenting small
+    inputs; multi-file 100-TB layouts already parallelize per
+    fragment, so this only changes the single-file bench shape."""
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"), columns=columns)
+    try:
+        n_rg = pq.ParquetFile(path).metadata.num_row_groups
+    except Exception:
+        n_rg = 1
+    if n_rg > 1:
+        kw.setdefault("override_num_blocks", min(32, n_rg))
+    return rd.read_parquet(path, columns=columns, **kw)
+
+
+def _lineitem(sf_dir, columns):
+    return _read_split(os.path.join(sf_dir, "lineitem.parquet"), columns=columns)
 
 
 def _tbl(sf_dir, name, columns=None):
-    import ray.data as rd
-
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    return _read_split(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
 # ---------------------------------------------------------------------------
@@ -534,12 +550,19 @@ def q_local_supplier_volume(sf_dir: str):
     """TPC-H Q5-shaped macro pipeline (local supplier volume, ASIA,
     1995): region/nation resolved driver-side (rows-bounded tiny),
     supplier nation BROADCAST into lineitem (ray.put once), customer
-    nation attached to the date-pruned orders via the keyed_attach
-    hash join, one large-large orderkey join, and the c_nat == s_nat
-    locality filter before a nations-sized aggregate — the 5-table
-    join chain mixing every join strategy the engine has, revenue in
+    nation attached to the date-pruned orders, and the c_nat == s_nat
+    locality filter before a nations-sized aggregate, revenue in
     integer cents (the shipping_priority convention) so the twin
-    hashes exactly."""
+    hashes exactly.
+
+    Adaptive join planning: the date x region filter keeps ~3% of
+    orders, so the (o_orderkey -> c_nat) map usually fits the object
+    store — it is materialized, counted, and if under
+    ``_BCAST_MAX_ROWS`` broadcast into lineitem (most-selective join
+    FIRST), meaning the 60M-row fact side never crosses an exchange
+    at all.  Above the threshold (true-100TB order counts) both
+    attaches fall back to the bucketed keyed_attach hash join.  The
+    same guard governs the customer side."""
     import pyarrow.dataset as pds
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -558,7 +581,7 @@ def q_local_supplier_volume(sf_dir: str):
 
     lo = np.datetime64("1995-01-01", "us")
     hi = np.datetime64("1996-01-01", "us")
-    orders = rd.read_parquet(
+    orders = _read_split(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=(pds.field("o_orderdate") >= lo) & (pds.field("o_orderdate") < hi),
