@@ -26,6 +26,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# Largest build side the adaptive joins will broadcast instead of
+# hash-exchanging (~80 MB of 2x int64 — object-store cheap).  Module
+# level so tests can force the bucketed fallback plan.
+_BCAST_MAX_ROWS = 5_000_000
+
 
 def _read_split(path, columns=None, **kw):
     """read_parquet with the read itself parallelized.  Ray's default
@@ -587,55 +592,81 @@ def q_local_supplier_volume(sf_dir: str):
         filter=(pds.field("o_orderdate") >= lo) & (pds.field("o_orderdate") < hi),
     ).map_batches(lambda b: b.select(["o_orderkey", "o_custkey"]),
                   batch_format="pyarrow")
-    cust = _tbl(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    o_nat = keyed_attach(
-        orders, cust, key_from="o_custkey", out_col="c_nat",
-        carry=[("o_orderkey", pa.int64())],
-        id_col="c_custkey", text_col="c_nationkey", fill=-1)
+
+    cust_path = os.path.join(sf_dir, "customer.parquet")
+    if pq.ParquetFile(cust_path).metadata.num_rows <= _BCAST_MAX_ROWS:
+        cust_tbl = pq.read_table(cust_path, columns=["c_custkey", "c_nationkey"]) \
+            .rename_columns(["o_custkey", "c_nat"])
+        o_nat = broadcast_join(orders, cust_tbl, on="o_custkey")
+    else:
+        cust = _tbl(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        o_nat = keyed_attach(
+            orders, cust, key_from="o_custkey", out_col="c_nat",
+            carry=[("o_orderkey", pa.int64())],
+            id_col="c_custkey", text_col="c_nationkey", fill=-1)
 
     def keep_asia_cust(b: pa.Table) -> pa.Table:
-        mask = np.isin(b["c_nat"].to_numpy(), asia_keys)
-        return b.filter(pa.array(mask))
+        mask = np.isin(pc.cast(b["c_nat"], pa.int64()).to_numpy(), asia_keys)
+        return b.filter(pa.array(mask)).select(["o_orderkey", "c_nat"])
 
-    o_nat = o_nat.map_batches(keep_asia_cust, batch_format="pyarrow")
+    o_nat = o_nat.map_batches(keep_asia_cust, batch_format="pyarrow") \
+        .materialize()
 
     supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
                          columns=["s_suppkey", "s_nationkey"]) \
         .rename_columns(["l_suppkey", "s_nat"])
     li = _lineitem(sf_dir, ["l_orderkey", "l_suppkey",
                             "l_extendedprice", "l_discount"])
-    li = broadcast_join(li, supp, on="l_suppkey")
 
-    def li_prep(b: pa.Table) -> pa.Table:
-        mask = np.isin(b["s_nat"].to_numpy(), asia_keys)
-        b = b.filter(pa.array(mask))
+    def rev_local(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        b = b.filter(pc.equal(pc.cast(b["s_nat"], pa.int64()),
+                              pc.cast(b["c_nat"], pa.int64())))
         rev = pc.multiply(b["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), b["l_discount"]))
         cents = pc.cast(
             pc.floor(pc.add(pc.multiply(rev, pa.scalar(100.0)),
                             pa.scalar(0.5))), pa.int64())
-        return pa.table({"l_orderkey": b["l_orderkey"],
-                         "s_nat": pc.cast(b["s_nat"], pa.int64()),
+        names = pd.Series(pc.cast(b["s_nat"], pa.int64()).to_numpy()) \
+            .map(nat_names).to_numpy(dtype=object)
+        return pa.table({"n_name": pa.array(names, pa.string()),
                          "rev_cents": cents})
 
-    li = li.map_batches(li_prep, batch_format="pyarrow")
-    joined = keyed_attach(
-        li, o_nat, key_from="l_orderkey", out_col="c_nat",
-        carry=[("s_nat", pa.int64()), ("rev_cents", pa.int64())],
-        id_col="o_orderkey", text_col="c_nat", fill=-1)
+    if o_nat.count() <= _BCAST_MAX_ROWS:
+        # broadcast plan: lineitem crosses ZERO exchanges.  Inner
+        # probe against the ~3%-selective order map first, then the
+        # supplier dimension; locality (s_nat == c_nat, c_nat ASIA)
+        # subsumes the supplier-region filter.
+        import ray
 
-    def local_only(b: pa.Table) -> pa.Table:
-        import pandas as pd
+        onat_tbl = pa.concat_tables(ray.get(o_nat.to_arrow_refs())) \
+            .rename_columns(["l_orderkey", "c_nat"])
+        li = broadcast_join(li, onat_tbl, on="l_orderkey")
+        li = broadcast_join(li, supp, on="l_suppkey")
+        agg = li.map_batches(rev_local, batch_format="pyarrow")
+    else:
+        li = broadcast_join(li, supp, on="l_suppkey")
 
-        b = b.filter(pc.equal(b["s_nat"], b["c_nat"]))
-        names = pd.Series(b["s_nat"].to_numpy()).map(nat_names) \
-            .to_numpy(dtype=object)
-        return pa.table({"n_name": pa.array(names, pa.string()),
-                         "rev_cents": b["rev_cents"]})
+        def li_prep(b: pa.Table) -> pa.Table:
+            mask = np.isin(b["s_nat"].to_numpy(), asia_keys)
+            b = b.filter(pa.array(mask))
+            return pa.table({"l_orderkey": b["l_orderkey"],
+                             "s_nat": pc.cast(b["s_nat"], pa.int64()),
+                             "l_extendedprice": b["l_extendedprice"],
+                             "l_discount": b["l_discount"]})
 
-    agg = joined.map_batches(local_only, batch_format="pyarrow") \
-        .groupby("n_name").aggregate(Sum("rev_cents",
-                                         alias_name="revenue_cents"))
+        li = li.map_batches(li_prep, batch_format="pyarrow")
+        joined = keyed_attach(
+            li, o_nat, key_from="l_orderkey", out_col="c_nat",
+            carry=[("s_nat", pa.int64()),
+                   ("l_extendedprice", pa.float64()),
+                   ("l_discount", pa.float64())],
+            id_col="o_orderkey", text_col="c_nat", fill=-1)
+        agg = joined.map_batches(rev_local, batch_format="pyarrow")
+
+    agg = agg.groupby("n_name").aggregate(Sum("rev_cents",
+                                              alias_name="revenue_cents"))
     return agg.sort(["revenue_cents", "n_name"], descending=[True, False])
 
 

@@ -628,6 +628,40 @@ def test_broadcast_join_unit(ray_session):
     assert {r["name"] for r in out} == {"zero", "one"}
 
 
+def test_broadcast_join_left_and_dup_keys(ray_session):
+    import ray.data as rd
+
+    from colonnade_ray.functions.relational import broadcast_join
+
+    left = rd.from_items([{"k": i % 4, "v": i} for i in range(8)])
+    small = pa.table({"k": [0, 1], "name": ["zero", "one"]})
+    out = broadcast_join(left, small, on="k", how="left").take_all()
+    assert len(out) == 8  # left join keeps unmatched rows
+    assert sum(r["name"] is None for r in out) == 4  # k=2,3 rows null
+    # duplicate-keyed small side takes the prebuilt-index path
+    dup = pa.table({"k": [0, 0, 1], "name": ["a", "b", "c"]})
+    out = broadcast_join(left, dup, on="k").take_all()
+    assert len(out) == 6  # k=0 rows fan out 2x, k=1 rows 1x
+
+
+def test_local_supplier_volume_fallback_plan(ray_session):
+    """The bucketed keyed_attach fallback (forced by zeroing the
+    broadcast threshold) must produce the same table as the
+    broadcast plan the small scales normally take."""
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    want = entry.queries()["local_supplier_volume"](sf).to_pandas()
+    old = entry._BCAST_MAX_ROWS
+    try:
+        entry._BCAST_MAX_ROWS = 0
+        got = entry.queries()["local_supplier_volume"](sf).to_pandas()
+    finally:
+        entry._BCAST_MAX_ROWS = old
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True))
+
+
 def test_hash_join_unit(ray_session):
     import ray.data as rd
 
