@@ -89,7 +89,7 @@ def q_filter_recent(sf_dir: str):
     import ray.data as rd
 
     cutoff = np.datetime64("1995-09-01", "us")
-    return rd.read_parquet(
+    return _read_split(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_linenumber", "l_shipdate", "l_discount",
                  "l_quantity"],
@@ -524,7 +524,7 @@ def q_shipping_priority(sf_dir: str):
     import ray.data as rd
 
     # date filter pushed into the read (row-group pruning at storage)
-    orders = rd.read_parquet(
+    orders = _read_split(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=pds.field("o_orderdate") < np.datetime64("1995-03-15", "us"),
@@ -706,7 +706,7 @@ def q_active_customers(sf_dir: str):
             batch_format="pyarrow")
     lo = np.datetime64("1995-01-01", "us")
     hi = np.datetime64("1996-01-01", "us")
-    orders = rd.read_parquet(
+    orders = _read_split(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_orderdate"],
         filter=(pds.field("o_orderdate") >= lo) & (pds.field("o_orderdate") < hi),
