@@ -644,6 +644,30 @@ def test_broadcast_join_left_and_dup_keys(ray_session):
     assert len(out) == 6  # k=0 rows fan out 2x, k=1 rows 1x
 
 
+def test_read_split_parallelizes_by_row_group(ray_session, tmp_path):
+    """_read_split must give a multi-row-group single file a
+    multi-block read plan (Ray's default is ONE read task +
+    SplitBlocks — a serial read), without changing the rows."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+
+    tbl = pa.table({"k": list(range(10_000)), "v": [i * 2 for i in range(10_000)]})
+    path = str(tmp_path / "multi_rg.parquet")
+    pq.write_table(tbl, path, row_group_size=1_000)  # 10 row groups
+
+    ds = entry._read_split(path)
+    assert ds.materialize().num_blocks() >= 10
+    got = ds.to_pandas().sort_values("k").reset_index(drop=True)
+    assert got["v"].tolist() == tbl["v"].to_pylist()
+
+    # single-row-group file: no override, plain plan, same rows
+    path1 = str(tmp_path / "one_rg.parquet")
+    pq.write_table(tbl, path1)
+    got1 = entry._read_split(path1).to_pandas().sort_values("k")
+    assert got1["v"].tolist() == tbl["v"].to_pylist()
+
+
 def test_local_supplier_volume_fallback_plan(ray_session):
     """The bucketed keyed_attach fallback (forced by zeroing the
     broadcast threshold) must produce the same table as the
