@@ -152,11 +152,30 @@ def select_int_codec(arr: np.ndarray, candidates=None) -> tuple[str, int, ChunkS
     return best_name, int(best_est if best_est is not None else 0), st
 
 
-def encode_int_stream(arr: np.ndarray, forced: Optional[str] = None) -> Encoded:
+def encode_int_stream(arr: np.ndarray, forced: Optional[str] = None,
+                      shared=None) -> Encoded:
+    """``shared``: a ``SharedIntDict`` (codecs/shared_dict.py) this
+    stream MAY encode against — it competes with the stats-selected
+    codec on estimated size (with the dict-miss rate measured on a
+    stride sample), so a chunk the shared table doesn't describe
+    falls back to its local best codec."""
     if forced is not None:
-        name = forced
-    else:
-        name, _, _ = select_int_codec(arr)
+        if forced == "dict_rans_shared":
+            if shared is None:
+                raise ValueError("dict_rans_shared forced without a shared dict")
+            return INT_CODECS[forced].encode_shared(arr, shared)
+        return INT_CODECS[forced].encode(arr)
+    name, est, st = select_int_codec(arr)
+    if shared is not None and st.n and not (
+        arr.dtype.kind == "u" and st.vmax > 1 << 62  # int64 canon overflow
+    ):
+        smp = arr[:: max(1, arr.size // 4096)][:4096]
+        _, miss = shared.ranks_of(smp)
+        miss_frac = float(miss.mean()) if smp.size else 1.0
+        sh = INT_CODECS["dict_rans_shared"]
+        est_sh = sh.estimate_with(st, shared, miss_frac)
+        if est_sh is not None and est_sh < est:
+            return sh.encode_shared(arr, shared)
     return INT_CODECS[name].encode(arr)
 
 
@@ -238,12 +257,13 @@ def _fill_nulls(arr: pa.Array) -> pa.Array:
     return pc.fill_null(arr, zero)
 
 
-def _encode_primitive(arr: pa.Array, forced: Optional[str] = None) -> tuple[dict, list]:
+def _encode_primitive(arr: pa.Array, forced: Optional[str] = None,
+                      shared=None) -> tuple[dict, list]:
     validity, vparts = _validity_stream(arr)
     vals = _primitive_values(_fill_nulls(arr))
     if vals.dtype.kind in "iub":
         enc = encode_int_stream(vals.astype(np.uint8) if vals.dtype.kind == "b" else vals,
-                                forced=forced)
+                                forced=forced, shared=shared)
         if vals.dtype.kind == "b":
             enc.meta["dt"] = "b1"
     else:
@@ -833,12 +853,15 @@ def _count_meta_rows(raw_meta: dict) -> int:
 # List columns (tokens: list<int32> — the graft axis, SURVEY.md §1.1)
 
 
-def _encode_list(arr: pa.Array, forced: Optional[str] = None) -> tuple[dict, list]:
+def _encode_list(arr: pa.Array, forced: Optional[str] = None,
+                 shared=None) -> tuple[dict, list]:
     validity, vparts = _validity_stream(arr)
     lengths = pc.fill_null(pc.list_value_length(arr), 0).to_numpy(zero_copy_only=False).astype(np.int64)
     child = arr.flatten()  # values of non-null slots, concatenated
     lentry, lparts = _emit(encode_int_stream(lengths))
-    cmeta, cparts = encode_column_chunk(child, forced=forced)
+    # the shared dict describes the COLUMN's value stream — for a list
+    # column that is the child values, never the lengths
+    cmeta, cparts = encode_column_chunk(child, forced=forced, shared_int=shared)
     meta = {
         "kind": "list",
         "streams": {"validity": validity, "lengths": lentry},
@@ -881,18 +904,21 @@ def _decode_list(meta: dict, parts: list, atype: pa.DataType, n: int) -> pa.Arra
 
 
 def encode_column_chunk(arr, fsst: Optional[FsstCodec] = None,
-                        forced: Optional[str] = None) -> tuple[dict, list]:
+                        forced: Optional[str] = None,
+                        shared_int=None) -> tuple[dict, list]:
     """Arrow array/chunked-array -> (meta dict, ordered payload parts).
 
     ``forced`` pins the integer-stream codec (graft of a user-chosen
-    per-column encoder, bypassing the selector)."""
+    per-column encoder, bypassing the selector).  ``shared_int``: a
+    corpus-global ``SharedIntDict`` candidate for this column's integer
+    value stream (primitive values or list-child values)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     t = arr.type
     if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
         meta, parts = _encode_string(arr, fsst)
     elif pa.types.is_list(t) or pa.types.is_large_list(t):
-        meta, parts = _encode_list(arr, forced)
+        meta, parts = _encode_list(arr, forced, shared_int)
     elif (pa.types.is_time32(t) or pa.types.is_time64(t) or pa.types.is_duration(t)
           or pa.types.is_date64(t) or pa.types.is_float16(t)):
         # integer-storage logical types: encode the storage ints, keep
@@ -915,7 +941,7 @@ def encode_column_chunk(arr, fsst: Optional[FsstCodec] = None,
     elif pa.types.is_struct(t):
         meta, parts = _encode_struct(arr, fsst, forced)
     else:
-        meta, parts = _encode_primitive(arr, forced)
+        meta, parts = _encode_primitive(arr, forced, shared_int)
     meta["atype"] = type_to_desc(t)
     meta["n"] = len(arr)
     return meta, parts
@@ -942,9 +968,10 @@ def decode_column_chunk(meta: dict, parts: list, n: Optional[int] = None) -> pa.
 
 
 def encode_column(arr, fsst: Optional[FsstCodec] = None,
-                  forced: Optional[str] = None) -> tuple[bytes, dict]:
+                  forced: Optional[str] = None,
+                  shared_int=None) -> tuple[bytes, dict]:
     """Pack to a single payload buffer + self-describing meta."""
-    meta, parts = encode_column_chunk(arr, fsst, forced)
+    meta, parts = encode_column_chunk(arr, fsst, forced, shared_int)
     meta["total_lens"] = [len(p) for p in parts]
     return b"".join(bytes(p) for p in parts), meta
 

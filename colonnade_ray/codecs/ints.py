@@ -639,6 +639,180 @@ def _dict_store_bytes(st: ChunkStats, ndv: int, rank_ordered: bool = False) -> i
     return (ndv * bit_width(4 * avg_gap) + 7) // 8
 
 
+class SharedDictRansCodec(DictRansCodec):
+    """dict_rans against a PRE-TRAINED corpus-global dictionary
+    (codecs/shared_dict.py): chunks store only ranks + per-chunk
+    *extras* (values absent from the shared table) — the dictionary
+    itself is persisted once per corpus instead of ~45 KB per chunk
+    (~0.026 B/token at flagship chunk sizes, the bulk of the gap
+    between dict_rans and the corpus order-0 entropy).
+
+    Not selectable through the stats-only selector (``estimate``
+    returns None): ``encode_int_stream`` gates it on a provided
+    ``SharedIntDict`` plus ``estimate_with`` (which folds in the
+    measured dict-miss rate).  Decode resolves the table through the
+    content-addressed registry (hash-verified), so a missing or
+    corrupt ``_dicts`` sidecar fails loudly with coordinates.
+    """
+
+    name = "dict_rans_shared"
+
+    def estimate(self, st: ChunkStats) -> Optional[int]:
+        return None  # needs a shared-dict context; see estimate_with
+
+    def estimate_with(self, st: ChunkStats, sd, miss_frac: float) -> Optional[int]:
+        """Estimated bytes when encoding against ``sd`` with a
+        sampled miss rate ``miss_frac`` — the parent's model with
+        dict storage zeroed out, misses routed to the escape class,
+        and a worst-case (all-distinct) extras table charged."""
+        if st.n == 0 or st.sample_n == 0 or st.top_counts is None:
+            return None
+        if miss_frac > 0.25 or sd.size == 0:
+            return None  # the shared table doesn't describe this chunk
+        from .rans import pick_lanes
+
+        counts = st.top_counts.astype(np.float64)
+        probs = counts / counts.sum()
+        ranks = np.arange(1, probs.size + 1)
+        bl = np.ceil(np.log2(ranks + 1)).astype(np.int64)
+        W = bit_width(max(sd.size - 1, 1))
+        cls = np.minimum(bl, self._ESCAPE)
+        payload = np.where(cls == self._ESCAPE, W, np.maximum(bl - 1, 0))
+        pcls = np.bincount(cls, weights=probs,
+                           minlength=self._ESCAPE + 1) * (1 - miss_frac)
+        pcls[self._ESCAPE] += miss_frac
+        nz = pcls > 0
+        h_sel = float(-(pcls[nz] * np.log2(pcls[nz])).sum())
+        pay_bits = (1 - miss_frac) * float((probs * payload).sum()) + miss_frac * W
+        extras_bytes = (int(miss_frac * st.n) * 3) + 16  # all-distinct worst case
+        lane_bytes = 4 * pick_lanes(st.n) + 64
+        est = (int(st.n * (h_sel + pay_bits)) // 8 + extras_bytes
+               + lane_bytes + 2 * _META_OVERHEAD)
+        return est + est // 20
+
+    def encode(self, arr: np.ndarray) -> Encoded:
+        """Protocol-complete standalone form: train a throwaway table
+        on the chunk and EMBED it as the final part (no sidecar).
+        Never auto-selected (``estimate`` is None) — the pipeline path
+        is ``encode_shared`` against the corpus-global table; this
+        form exists so the registry-wide roundtrip/fuzz harnesses
+        exercise the rank/class machinery."""
+        from .shared_dict import SharedIntDict
+
+        sd = SharedIntDict.train(arr) if arr.size else SharedIntDict(
+            np.zeros(0, np.int64))
+        enc = self.encode_shared(arr, sd, inline=True)
+        te = INT_CODECS["for_bitpack"].encode(sd.by_rank)
+        te.meta["part_lens"] = [len(p) for p in te.parts]
+        enc.meta["dict"] = {"inline": {"codec": te.codec, "meta": te.meta},
+                            "m": sd.size}
+        enc.parts.extend(te.parts)
+        return enc
+
+    def encode_shared(self, arr: np.ndarray, sd, inline: bool = False) -> Encoded:
+        n = int(arr.size)
+        ref = {"m": sd.size} if inline else {"ref": sd.ref, "m": sd.size,
+                                             "p": sd.path}
+        meta = {"dt": dtype_code(arr.dtype), "n": n, "dict": ref}
+        if n == 0:
+            meta.update(W=0, class_counts=[])
+            return Encoded(self.name, meta, [b"", b""])
+        ranks, miss = sd.ranks_of(arr)
+        m = sd.size
+        if miss.any():
+            missing_vals = arr[miss]
+            extras = np.unique(missing_vals)
+            ranks[miss] = (m + np.searchsorted(extras, missing_vals)).astype(
+                np.uint32)
+        else:
+            extras = None
+        total = m + (int(extras.size) if extras is not None else 0)
+        # class per value is one uint8 gather from a table of size
+        # `total` (no n-sized float64 frexp pass — same concern as the
+        # parent's bit-length-per-unique trick)
+        sel_table = np.zeros(total, dtype=np.uint8)
+        if total > 1:
+            sel_table[1:] = np.minimum(
+                np.frexp(np.arange(1, total, dtype=np.float64))[1],
+                self._ESCAPE).astype(np.uint8)
+        sel = sel_table[ranks]
+        sel_meta, parts = self._encode_sel(sel)
+        meta.update(sel_meta)
+        order = np.argsort(sel, kind="stable")
+        ranks_sorted = ranks[order]
+        bounds = np.concatenate(
+            ([0], np.cumsum(np.bincount(sel, minlength=self._ESCAPE + 1)))
+        )
+        class_counts = []
+        for b in range(2, self._ESCAPE):
+            seg = ranks_sorted[bounds[b] : bounds[b + 1]]
+            class_counts.append(int(seg.size))
+            parts.append(pack_uints(seg - np.uint32(1 << (b - 1)), b - 1))
+        seg = ranks_sorted[bounds[self._ESCAPE] : bounds[self._ESCAPE + 1]]
+        class_counts.append(int(seg.size))
+        W = bit_width(max(total - 1, 1))
+        parts.append(pack_uints(seg, W))
+        if extras is not None:
+            ee = INT_CODECS["delta_bitpack"].encode(extras)
+            parts.append(ee.parts[0])
+            meta["extras"] = ee.meta
+        meta.update(W=W, class_counts=class_counts)
+        return Encoded(self.name, meta, parts)
+
+    def decode(self, enc: Encoded) -> np.ndarray:
+        m_ = enc.meta
+        dt = code_dtype(m_["dt"])
+        n = m_["n"]
+        if n == 0:
+            return np.zeros(0, dtype=dt)
+        d = m_["dict"]
+        sel, nsel_parts = self._decode_sel(enc, n)
+        order = np.argsort(sel, kind="stable")
+        bounds = np.concatenate(
+            ([0], np.cumsum(np.bincount(sel, minlength=self._ESCAPE + 1)))
+        )
+        ranks = np.zeros(n, dtype=np.uint64)
+        ranks[order[bounds[1] : bounds[2]]] = 1
+        idx = nsel_parts
+        for i, b in enumerate(range(2, self._ESCAPE)):
+            cnt = m_["class_counts"][i]
+            if cnt:
+                vals = unpack_uints(enc.parts[idx], cnt, b - 1)
+                ranks[order[bounds[b] : bounds[b + 1]]] = vals + (
+                    np.uint64(1) << np.uint64(b - 1)
+                )
+            idx += 1
+        cnt = m_["class_counts"][-1]
+        if cnt:
+            ranks[order[bounds[self._ESCAPE] : bounds[self._ESCAPE + 1]]] = (
+                unpack_uints(enc.parts[idx], cnt, m_["W"])
+            )
+        idx += 1
+        extras = None
+        if "extras" in m_:
+            extras = INT_CODECS["delta_bitpack"].decode(
+                Encoded("delta_bitpack", m_["extras"], [enc.parts[idx]])
+            )
+            idx += 1
+        if "inline" in d:  # standalone form: table embedded as last part(s)
+            ie = d["inline"]
+            table = INT_CODECS[ie["codec"]].decode(
+                Encoded(ie["codec"], ie["meta"], enc.parts[idx:])
+            ).astype(np.int64, copy=False)
+        else:
+            from .shared_dict import resolve
+
+            sd = resolve(d["ref"], d.get("p"))
+            if sd.size != d["m"]:
+                raise ValueError(
+                    f"shared dict {d['ref']} size mismatch: table has "
+                    f"{sd.size} entries, chunk encoded against {d['m']}")
+            table = sd.by_rank
+        if extras is not None:
+            table = np.concatenate([table, extras.astype(np.int64, copy=False)])
+        return table[ranks.astype(np.int64)].astype(dt, copy=False)
+
+
 def _extrapolate_ndv(st: ChunkStats) -> int:
     """Chao-ish ndv extrapolation from the sample, capped by range+1."""
     if st.sample_n >= st.n:
@@ -667,5 +841,6 @@ INT_CODECS: dict[str, Codec] = {
         DictVarintCodec(),
         DictBitlenCodec(),
         DictRansCodec(),
+        SharedDictRansCodec(),
     ]
 }

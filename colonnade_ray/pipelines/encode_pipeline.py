@@ -54,6 +54,147 @@ LINEAGE_COLS = [
 DEFAULT_BATCH_SIZE = 8192
 
 
+# ---------------------------------------------------------------------------
+# Shared-dictionary pre-pass (codecs/shared_dict.py)
+
+
+def _shared_dict_eligible(t: pa.DataType) -> bool:
+    """Columns whose value stream can ride a shared int dictionary:
+    integer primitives and (large_)list<integer>."""
+    if pa.types.is_integer(t):
+        return True
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return pa.types.is_integer(t.value_type)
+    return False
+
+
+def _sample_int_columns(path: str, rows: int, cap: int) -> dict:
+    """First ``rows`` rows of one parquet file -> {col: (uniq, counts)}
+    for eligible columns, values capped at ``cap`` per column.  Runs
+    as a Ray task (one per sampled file)."""
+    pf = pq.ParquetFile(path)
+    schema = pf.schema_arrow
+    cols = [f.name for f in schema if _shared_dict_eligible(f.type)]
+    if not cols:
+        return {}
+    batch = next(pf.iter_batches(batch_size=rows, columns=cols), None)
+    if batch is None:
+        return {}
+    out = {}
+    import numpy as np
+
+    for name in cols:
+        arr = batch.column(batch.schema.get_field_index(name))
+        if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+            arr = arr.flatten()
+        if arr.null_count:
+            arr = arr.drop_null()
+        vals = arr.to_numpy(zero_copy_only=False)
+        if vals.size > cap:
+            vals = vals[:cap]
+        uniq, counts = np.unique(vals, return_counts=True)
+        out[name] = (uniq.astype(np.int64), counts.astype(np.int64))
+    return out
+
+
+def train_shared_dicts(
+    files: Sequence[str],
+    out_dir: str,
+    max_files: int = 8,
+    rows_per_file: int = 16384,
+    values_per_file: int = 4_000_000,
+    max_size: int = 1 << 22,
+) -> dict:
+    """Deterministic shared-dictionary pre-pass (the north star's
+    "build and reuse ... dictionaries across batches", generalized to
+    the stateless fused chain): sample the first rows of evenly-spaced
+    input files in parallel, merge per-column value histograms on the
+    driver (vocab-sized, not corpus-sized), train a frequency-rank
+    table per column where the sample shows real repetition, persist
+    each content-addressed under ``<out_dir>/_dicts/`` and pin the set
+    in ``_meta/shared_dicts.json`` BEFORE any commit group encodes.
+
+    Resume/determinism: an existing manifest reloads the exact same
+    tables, so groups encoded by a resumed run are byte-compatible
+    with the original run's.  Returns {column: SharedIntDict}.
+    """
+    import numpy as np
+    import ray
+
+    from ..codecs.shared_dict import SharedIntDict, register
+
+    manifest = os.path.join(_meta_root(out_dir), "shared_dicts.json")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            pinned = json.load(f)
+        out = {}
+        for col, ent in pinned.items():
+            sd = SharedIntDict.load(os.path.join(out_dir, ent["file"]),
+                                    expect_ref=ent["ref"])
+            sd = register(sd)
+            out[col] = sd
+        return out
+
+    files = list(files)
+    sample_files = files[:: max(1, len(files) // max_files)][:max_files]
+    task = ray.remote(num_cpus=1)(_sample_int_columns)
+    results = ray.get([
+        task.remote(p, rows_per_file, values_per_file) for p in sample_files
+    ])
+
+    merged: dict = {}
+    for res in results:
+        for col, (uniq, counts) in res.items():
+            merged.setdefault(col, []).append((uniq, counts))
+    out = {}
+    entries = {}
+    for col, pieces in merged.items():
+        alluniq = np.concatenate([u for u, _ in pieces])
+        allcnt = np.concatenate([c for _, c in pieces])
+        uniq, inv = np.unique(alluniq, return_inverse=True)
+        counts = np.bincount(inv, weights=allcnt.astype(np.float64)).astype(np.int64)
+        n_sampled = int(counts.sum())
+        # only train where the sample shows repetition a dict exploits;
+        # an unhelpful table would never be selected anyway, but a
+        # near-all-distinct one (ids) would just waste a sidecar file
+        if uniq.size < 16 or uniq.size > min(max_size, n_sampled // 4):
+            continue
+        order = np.lexsort((np.arange(uniq.size), -counts))
+        sd = SharedIntDict(uniq[order][:max_size])
+        sd.save(out_dir)
+        out[col] = register(sd)
+        entries[col] = {"ref": sd.ref,
+                        "file": os.path.relpath(sd.path, out_dir),
+                        "sampled_values": n_sampled}
+    # manifest is the pin: written only after every table is on disk
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(entries, f, indent=1, sort_keys=True)
+    os.replace(tmp, manifest)
+    return out
+
+
+def _register_dict_dir(out_dir: str) -> None:
+    """Worker-side shared-dict search-root registration (idempotent;
+    called at the top of every decode-bearing UDF so chunks encoded
+    with shared dictionaries resolve even if the corpus moved)."""
+    from ..codecs.shared_dict import register_dir
+
+    register_dir(out_dir)
+
+
+def shared_dict_bytes(out_dir: str) -> int:
+    from ..codecs.shared_dict import DICT_DIR
+
+    ddir = os.path.join(out_dir, DICT_DIR)
+    if not os.path.isdir(ddir):
+        return 0
+    return sum(
+        os.path.getsize(os.path.join(ddir, f))
+        for f in os.listdir(ddir) if f.startswith("dict-")
+    )
+
+
 def encode_dataset(
     ds,
     plan_names: Optional[Sequence[str]] = None,
@@ -64,6 +205,7 @@ def encode_dataset(
     transport: Optional[dict] = None,
     fragments: Optional[Sequence[str]] = None,
     post_compress: Optional[str] = None,
+    shared_dicts=None,
 ):
     """Dataset of raw rows -> Dataset of encoded chunk rows (lazy).
 
@@ -81,7 +223,7 @@ def encode_dataset(
                 b = unpack_list_columns(b, transport)
             return encode_batch(
                 b, list(plan_names) if plan_names else None, frag_names,
-                post_compress=post_compress,
+                post_compress=post_compress, shared_dicts=shared_dicts,
             )
 
         return ds.map_batches(
@@ -108,6 +250,7 @@ def encode_dataset(
             "transport": transport,
             "fragments": list(fragments) if fragments else None,
             "post_compress": post_compress,
+            "shared_dicts": shared_dicts,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -119,7 +262,8 @@ def encode_dataset(
 def decode_dataset(enc_ds, verify_checksum: bool = True, concurrency=None,
                    columns: Optional[Sequence[str]] = None,
                    predicate: Optional[tuple] = None,
-                   chunks_per_task: int = 1):
+                   chunks_per_task: int = 1,
+                   dict_dirs: Optional[Sequence[str]] = None):
     """Dataset of encoded chunk rows -> Dataset of original rows (lazy).
 
     ``columns``: projected decode (only those payload streams decoded,
@@ -134,7 +278,9 @@ def decode_dataset(enc_ds, verify_checksum: bool = True, concurrency=None,
 
         concurrency = default_concurrency()  # cap concurrent heavy tasks
     kwargs = {"concurrency": concurrency}
-    fn = DecodeBatch(verify_checksum, columns, predicate)  # stateless -> plain tasks
+    # stateless -> plain tasks; dict_dirs: shared-dict search roots
+    # registered in each worker (meta path hints cover the common case)
+    fn = DecodeBatch(verify_checksum, columns, predicate, dict_dirs=dict_dirs)
     return enc_ds.map_batches(
         lambda b: fn(b),
         batch_format="pyarrow",
@@ -240,8 +386,14 @@ def encode_corpus(
     append: bool = False,
     post_compress: Optional[str] = None,
     cluster_by: Optional[str] = None,
+    shared_dicts: bool = True,
 ) -> dict:
     """Encode a parquet corpus to out_dir with lineage + exact resume.
+
+    ``shared_dicts``: run the deterministic dictionary pre-pass
+    (``train_shared_dicts``) and broadcast the tables into every
+    encode task/actor — chunks then store ranks + extras instead of a
+    per-chunk dictionary (codecs/shared_dict.py).
 
     Groups are independent pipelines (own read -> shuffle -> encode ->
     write -> commit marker); ``max_concurrent_groups > 1`` runs them
@@ -270,6 +422,19 @@ def encode_corpus(
         if not files:
             return corpus_summary(out_dir) | {"groups": 0, "resumed_groups": 0,
                                               "appended_files": 0}
+
+    # dictionary pre-pass BEFORE any group encodes: tables persist
+    # under _dicts/ + manifest first, so chunks never reference a
+    # table that isn't durable (chaos-kill safe), and a resumed run
+    # reloads the identical tables.  Broadcast once via ray.put —
+    # every encode task reads it plasma-local, never re-shipped.
+    sd_ref = None
+    if shared_dicts:
+        import ray
+
+        sd_map = train_shared_dicts(files, out_dir)
+        if sd_map:
+            sd_ref = ray.put(sd_map)
 
     groups: list[list[str]] = (
         [files]
@@ -365,6 +530,7 @@ def encode_corpus(
             ds, plan_names, batch_size, concurrency, shared_fsst=shared_fsst,
             transport=spec or None, fragments=frag_names,
             stateless=use_stateless, post_compress=post_compress,
+            shared_dicts=sd_ref,
         )
         enc.write_parquet(gdir, compression="none")
         # input-file sidecar first (append mode reads it), THEN the
@@ -430,12 +596,16 @@ def corpus_summary(out_dir: str) -> dict:
     t = pa.concat_tables([pq.read_table(f) for f in files])
     import pyarrow.compute as pc
 
+    sd_bytes = shared_dict_bytes(out_dir)
     return {
         "chunks": t.num_rows,
         "rows": int(pc.sum(t["n_rows"]).as_py() or 0),
         "tokens": int(pc.sum(t["n_tokens"]).as_py() or 0),
         "bytes_in": int(pc.sum(t["bytes_in"]).as_py() or 0),
-        "bytes_out": int(pc.sum(t["bytes_out"]).as_py() or 0),
+        # shared dictionary sidecars are part of the compressed form —
+        # charged to bytes_out so B/token stays honest
+        "bytes_out": int(pc.sum(t["bytes_out"]).as_py() or 0) + sd_bytes,
+        "shared_dict_bytes": sd_bytes,
     }
 
 
@@ -562,7 +732,8 @@ def decode_corpus(out_dir: str, verify_checksum: bool = True, concurrency=None,
                              predicate=predicate)
     return decode_dataset(enc, verify_checksum=verify_checksum,
                           concurrency=concurrency, columns=columns,
-                          predicate=predicate, chunks_per_task=cpt)
+                          predicate=predicate, chunks_per_task=cpt,
+                          dict_dirs=[out_dir])
 
 
 def _read_encoded(out_dir: str, columns: Optional[Sequence[str]] = None,
@@ -683,7 +854,7 @@ def decode_digest_corpus(out_dir: str, columns: Sequence[str],
     from ..util import default_concurrency
 
     enc, cpt = _read_encoded(out_dir, None, concurrency)
-    fn = DecodeBatch(verify_checksum)
+    fn = DecodeBatch(verify_checksum, dict_dirs=[out_dir])
     cols = list(columns)
     if concurrency is None:
         concurrency = default_concurrency()
@@ -728,6 +899,7 @@ def count_where(out_dir: str, predicate, concurrency=None) -> int:
                              predicate=predicate)
 
     def part(batch: pa.Table) -> pa.Table:
+        _register_dict_dir(out_dir)
         total = 0
         names = batch.column_names
         for r in range(len(batch)):
@@ -800,6 +972,7 @@ def aggregate_where(out_dir: str, agg: str, col: str,
         return s  # None -> decode (old format / non-integer column)
 
     def part(batch: pa.Table) -> pa.Table:
+        _register_dict_dir(out_dir)
         import json as _json
 
         vals = []
@@ -874,6 +1047,7 @@ def group_counts(out_dir: str, group_col: str,
     enc, cpt = _read_encoded(out_dir, cols, concurrency)
 
     def part(batch: pa.Table) -> pa.Table:
+        _register_dict_dir(out_dir)
         import numpy as np
 
         agg: dict = {}

@@ -243,14 +243,23 @@ class DecodeBatch:
 
     def __init__(self, verify_checksum: bool = True,
                  columns: Optional[Sequence[str]] = None,
-                 predicate=None):
+                 predicate=None,
+                 dict_dirs: Optional[Sequence[str]] = None):
         # one (col, op, value) clause or a list of clauses AND'd
         # together; each clause prunes via the zone maps independently
         self.predicates = normalize_predicates(predicate)
         self.verify_checksum = verify_checksum
         self.columns = list(columns) if columns is not None else None
+        # shared-dict search roots, registered lazily IN THE WORKER
+        # (__init__ may run on the driver before pickling)
+        self.dict_dirs = list(dict_dirs) if dict_dirs else []
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.dict_dirs:
+            from ..codecs.shared_dict import register_dir
+
+            for d in self.dict_dirs:
+                register_dir(d)
         tables = []
         cols = batch.column_names
         for r in range(len(batch)):

@@ -117,6 +117,7 @@ def encode_chunk(
     fsst_codecs: Optional[dict] = None,
     fragment: str = "",
     post_compress: Optional[str] = None,
+    shared_dicts: Optional[dict] = None,
 ) -> dict:
     """Encode one Arrow chunk under a bound plan -> dict of columns
     for a one-row encoded table.
@@ -125,7 +126,12 @@ def encode_chunk(
     a generic codec AFTER the lightweight encode (the parquet layering
     model) — taken per column only when it actually shrinks, recorded
     in meta["z"], transparent at decode.  All checksums cover the
-    STORED bytes."""
+    STORED bytes.
+
+    ``shared_dicts``: column name -> ``SharedIntDict`` — corpus-global
+    dictionaries from the encode pre-pass (codecs/shared_dict.py); each
+    column's int value stream may encode against its entry, storing
+    ranks + extras instead of a per-chunk dictionary."""
     n_rows = len(batch)
     out: dict = {}
     payload_parts: list = []
@@ -141,7 +147,8 @@ def encode_chunk(
         arr = batch.column(bc.index)
         bytes_in += arr.nbytes
         fsst = (fsst_codecs or {}).get(bc.field.name)
-        payload, meta = encode_column(arr, fsst=fsst, forced=bc.plan.forced_codec)
+        payload, meta = encode_column(arr, fsst=fsst, forced=bc.plan.forced_codec,
+                                      shared_int=(shared_dicts or {}).get(bc.field.name))
         if zcodec is not None and len(payload) > 64:
             comp = memoryview(zcodec.compress(payload, asbytes=True))
             if len(comp) < len(payload):
@@ -212,6 +219,23 @@ def _codec_of(meta: dict) -> dict:
     return res
 
 
+def _resolve_shared_dicts(shared_dicts) -> Optional[dict]:
+    """Accept a plain {col: SharedIntDict}, a ray.ObjectRef to one
+    (broadcast once with ray.put, fetched plasma-local per worker), or
+    None.  Instances route through the process-global content-addressed
+    registry so lookup structures build once per worker process, not
+    once per task."""
+    if shared_dicts is None:
+        return None
+    import ray
+
+    if isinstance(shared_dicts, ray.ObjectRef):
+        shared_dicts = ray.get(shared_dicts)
+    from ..codecs.shared_dict import register
+
+    return {k: register(sd) for k, sd in shared_dicts.items()}
+
+
 def _strip_sys(batch: pa.Table) -> pa.Table:
     drop = [c for c in batch.column_names if c == PATH_COL or c.startswith(SYS_PREFIX)]
     return batch.drop_columns(drop) if drop else batch
@@ -233,8 +257,10 @@ class EncoderActor:
         transport: Optional[dict] = None,
         fragments: Optional[list] = None,
         post_compress: Optional[str] = None,
+        shared_dicts=None,
     ):
         self._post_compress = post_compress
+        self._shared_dicts = _resolve_shared_dicts(shared_dicts)
         self._plan_names = plan_names
         self._shared_fsst = shared_fsst
         self._transport = transport or {}
@@ -289,18 +315,22 @@ class EncoderActor:
         data = _strip_sys(batch)
         bound = self._bind(data.schema)
         return encode_chunk(data, bound, self._fsst_for(data, bound), fragment,
-                            post_compress=self._post_compress)
+                            post_compress=self._post_compress,
+                            shared_dicts=self._shared_dicts)
 
 
 def encode_batch(batch: pa.Table, plan_names: Optional[list] = None,
                  fragments: Optional[list] = None,
-                 post_compress: Optional[str] = None) -> dict:
-    """Stateless task form — strictly deterministic (tables trained per
-    chunk), used where bit-identical re-execution matters more than
-    amortized table builds."""
+                 post_compress: Optional[str] = None,
+                 shared_dicts=None) -> dict:
+    """Stateless task form — strictly deterministic (FSST tables
+    trained per chunk; ``shared_dicts`` are PRE-trained fixed inputs,
+    so they keep the determinism contract), used where bit-identical
+    re-execution matters more than amortized table builds."""
     fragment = _fragment_of(batch, fragments)
     data = _strip_sys(batch)
     plan = CodecPlan.by_name(*plan_names) if plan_names else CodecPlan.from_schema(data.schema)
     bound = bind_plan(plan, data.schema)
     return encode_chunk(data, bound, None, fragment,
-                        post_compress=post_compress)
+                        post_compress=post_compress,
+                        shared_dicts=_resolve_shared_dicts(shared_dicts))

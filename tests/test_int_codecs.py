@@ -6,6 +6,8 @@ property): every codec must satisfy decode(encode(x)) == x
 bit-identically, including the columnar analogs of the escaping edge
 cases (FIXTURES.md F2)."""
 
+import os
+
 import numpy as np
 import pytest
 from hypothesis import given, settings
@@ -269,3 +271,61 @@ def test_delta_for_beats_zigzag_on_jittered_intervals():
                   {"dt": "i8", "n": int(x.size), "first": int(x[0]), "width": w},
                   [pack_uints(zz, w)])
     assert np.array_equal(codec.decode(old), x)
+
+
+def test_shared_dict_codec_extras_and_dtypes():
+    """dict_rans_shared against a PRE-trained table: chunks with
+    values the training sample never saw must roundtrip through the
+    per-chunk extras stream, across dtypes."""
+    from colonnade_ray.codecs.shared_dict import SharedIntDict, register
+
+    rng = np.random.default_rng(3)
+    train = (rng.zipf(1.3, 500_000) % 20_000).astype(np.int32)
+    sd = register(SharedIntDict.train(train))  # in-process resolve
+    codec = INT_CODECS["dict_rans_shared"]
+
+    cases = {
+        "hits-only": sd.by_rank[:100].astype(np.int32),
+        "with-extras": np.concatenate(
+            [(rng.zipf(1.3, 50_000) % 20_000),
+             rng.integers(30_000, 40_000, 777)]).astype(np.int32),
+        "all-miss-int64": rng.integers(10**12, 10**13, 500),
+        "uint64-wrap": np.array([0, 1, 2**63, 2**64 - 1], np.uint64),
+        "negative": rng.integers(-10**6, 10**6, 2_000).astype(np.int64),
+        "empty": np.zeros(0, np.int32),
+    }
+    for name, arr in cases.items():
+        enc = codec.encode_shared(arr, sd)
+        payload = enc.pack()
+        back = codec.decode(Encoded.unpack(enc.codec, enc.meta, payload))
+        assert back.dtype == arr.dtype, name
+        assert np.array_equal(back, arr), name
+        assert enc.meta["dict"]["ref"] == sd.ref
+
+    # a chunk with extras must be SMALLER than carrying its own dict
+    arr = cases["with-extras"]
+    assert codec.encode_shared(arr, sd).nbytes() < \
+        INT_CODECS["dict_rans"].encode(arr).nbytes()
+
+
+def test_shared_dict_sidecar_roundtrip(tmp_path):
+    """save/load through the engine's own int cascade, hash-verified."""
+    from colonnade_ray.codecs import shared_dict as sdmod
+
+    rng = np.random.default_rng(4)
+    sd = sdmod.SharedIntDict.train(rng.integers(0, 5_000, 200_000))
+    path = sd.save(str(tmp_path))
+    assert os.path.getsize(path) < sd.by_rank.nbytes // 3  # compressed
+    back = sdmod.SharedIntDict.load(path, expect_ref=sd.ref)
+    assert np.array_equal(back.by_rank, sd.by_rank)
+
+    # corrupting the payload must fail the content hash, not decode junk
+    raw = bytearray(open(path, "rb").read())
+    raw[-3] ^= 0xFF
+    bad = str(tmp_path / "bad.bin")
+    open(bad, "wb").write(bytes(raw))
+    try:
+        sdmod.SharedIntDict.load(bad, expect_ref=sd.ref)
+        assert False, "corrupt sidecar verified?"
+    except Exception:
+        pass

@@ -837,3 +837,119 @@ def test_segmented_token_hash_equals_dense():
         finally:
             V._SEG_VALUES = old
         assert np.array_equal(dense, seg)
+
+
+# ---------------------------------------------------------------------------
+# Shared dictionaries (codecs/shared_dict.py): the north star's
+# "build and reuse ... dictionaries across batches" — the table is
+# trained once per corpus in a deterministic pre-pass, persisted under
+# _dicts/, and chunks store ranks + extras instead of inline tables.
+
+
+def test_shared_dict_corpus_roundtrip_and_wins(corpus_dir, tmp_path, ray_session):
+    out = str(tmp_path / "enc_sd")
+    out2 = str(tmp_path / "enc_nosd")
+    s = encode_corpus(corpus_dir, out, batch_size=256)
+    s2 = encode_corpus(corpus_dir, out2, batch_size=256, shared_dicts=False)
+
+    # the sidecar + manifest exist and the tokens stream rode the table
+    assert os.path.isdir(os.path.join(out, "_dicts"))
+    with open(os.path.join(out, "_meta", "shared_dicts.json")) as f:
+        manifest = json.load(f)
+    assert "tokens" in manifest
+    lin = pq.read_table(os.path.join(out, "_lineage"))
+    used = {
+        c.get("values")
+        for row in lin["codecs_json"].to_pylist()
+        for c in json.loads(row)
+    }
+    assert "dict_rans_shared" in used
+    assert s.get("shared_dict_bytes", 0) > 0
+
+    # smaller than per-chunk dictionaries EVEN counting the sidecar
+    assert s["bytes_out"] < s2["bytes_out"]
+
+    # bit-identical roundtrip
+    import ray.data as rd
+
+    report = roundtrip_verify(rd.read_parquet(corpus_dir),
+                              decode_corpus(out), F1_COLS)
+    assert report["match"], report
+
+
+def test_shared_dict_resume_reuses_pinned_tables(corpus_dir, tmp_path, ray_session):
+    """A resumed run must reload the SAME tables from the manifest so
+    re-encoded groups are byte-compatible with committed ones."""
+    import shutil as _sh
+
+    import ray.data as rd
+
+    from colonnade_ray.stages.verify import dataset_digest
+
+    out = str(tmp_path / "enc")
+    encode_corpus(corpus_dir, out, batch_size=256, group_size=1)
+    with open(os.path.join(out, "_meta", "shared_dicts.json")) as f:
+        before = json.load(f)
+
+    # tear one committed group down to a torn write
+    lin_root = os.path.join(out, "_lineage")
+    victim = sorted(os.listdir(lin_root))[0]
+    gid = victim[len("group-"):-len(".parquet")]
+    os.unlink(os.path.join(lin_root, victim))
+    _sh.rmtree(os.path.join(out, "data", f"group-{gid}"), ignore_errors=True)
+
+    encode_corpus(corpus_dir, out, batch_size=256, group_size=1)  # resume
+    with open(os.path.join(out, "_meta", "shared_dicts.json")) as f:
+        after = json.load(f)
+    assert after == before  # pinned, not retrained
+
+    dd = dataset_digest(decode_corpus(out), F1_COLS)
+    od = dataset_digest(rd.read_parquet(corpus_dir), F1_COLS)
+    assert dd == od
+
+
+def test_shared_dict_missing_sidecar_fails_loudly(corpus_dir, tmp_path, ray_session):
+    import shutil as _sh
+
+    from colonnade_ray.codecs import shared_dict as sdmod
+    from colonnade_ray.stages.decode import decode_chunk_row
+
+    out = str(tmp_path / "enc")
+    encode_corpus(corpus_dir, out, batch_size=256)
+    data_root = os.path.join(out, "data")
+    gdir = os.path.join(data_root, sorted(os.listdir(data_root))[0])
+    f = os.path.join(gdir, sorted(os.listdir(gdir))[0])
+    t = pq.read_table(f)
+    row = {c: t[c][0].as_py() for c in t.column_names}
+
+    _sh.rmtree(os.path.join(out, "_dicts"))
+    sdmod._clear_cache()  # decode may not lean on in-process state
+    with pytest.raises(Exception) as ei:
+        decode_chunk_row(row)
+    assert "shared dict" in str(ei.value)
+
+
+def test_shared_dict_moved_corpus_resolves_via_registration(
+        corpus_dir, tmp_path, ray_session):
+    """Hint paths go stale when the corpus moves; register_dir must
+    recover, and the loaded table is hash-verified."""
+    import shutil as _sh
+
+    from colonnade_ray.codecs import shared_dict as sdmod
+    from colonnade_ray.stages.decode import decode_chunk_row
+
+    out = str(tmp_path / "enc")
+    moved = str(tmp_path / "enc_moved")
+    encode_corpus(corpus_dir, out, batch_size=256)
+    _sh.move(out, moved)
+
+    data_root = os.path.join(moved, "data")
+    gdir = os.path.join(data_root, sorted(os.listdir(data_root))[0])
+    f = os.path.join(gdir, sorted(os.listdir(gdir))[0])
+    t = pq.read_table(f)
+    row = {c: t[c][0].as_py() for c in t.column_names}
+
+    sdmod._clear_cache()
+    sdmod.register_dir(moved)
+    back = decode_chunk_row(row)
+    assert back.num_rows == int(t["n_rows"][0].as_py())
