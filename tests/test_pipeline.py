@@ -953,3 +953,30 @@ def test_shared_dict_moved_corpus_resolves_via_registration(
     sdmod.register_dir(moved)
     back = decode_chunk_row(row)
     assert back.num_rows == int(t["n_rows"][0].as_py())
+
+
+def test_shared_dict_append_reuses_manifest(tmp_path, ray_session):
+    """`append=True` must reuse the pinned tables (no retrain) and the
+    drifted new files must roundtrip via the extras stream."""
+    import ray.data as rd
+
+    from colonnade_ray.stages.verify import dataset_digest
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for i in range(2):
+        pq.write_table(synth_rows(300, seed=70 + i, start_id=i * 300),
+                       d / f"part-{i:03d}.parquet")
+    out = str(tmp_path / "enc")
+    encode_corpus(str(d / "part-000.parquet"), out, batch_size=128)
+    with open(os.path.join(out, "_meta", "shared_dicts.json")) as f:
+        before = json.load(f)
+
+    s = encode_corpus(str(d), out, batch_size=128, append=True)
+    assert s["appended_files"] == 1
+    with open(os.path.join(out, "_meta", "shared_dicts.json")) as f:
+        assert json.load(f) == before  # pinned across appends
+
+    dd = dataset_digest(decode_corpus(out), F1_COLS)
+    od = dataset_digest(rd.read_parquet(str(d)), F1_COLS)
+    assert dd == od
