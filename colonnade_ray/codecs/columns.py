@@ -160,9 +160,9 @@ def encode_int_stream(arr: np.ndarray, forced: Optional[str] = None,
     stride sample), so a chunk the shared table doesn't describe
     falls back to its local best codec."""
     if forced is not None:
-        if forced == "dict_rans_shared":
+        if forced in ("dict_rans_shared", "dict_rans2_shared"):
             if shared is None:
-                raise ValueError("dict_rans_shared forced without a shared dict")
+                raise ValueError(f"{forced} forced without a shared dict")
             return INT_CODECS[forced].encode_shared(arr, shared)
         return INT_CODECS[forced].encode(arr)
     name, est, st = select_int_codec(arr)
@@ -172,7 +172,7 @@ def encode_int_stream(arr: np.ndarray, forced: Optional[str] = None,
         smp = arr[:: max(1, arr.size // 4096)][:4096]
         _, miss = shared.ranks_of(smp)
         miss_frac = float(miss.mean()) if smp.size else 1.0
-        sh = INT_CODECS["dict_rans_shared"]
+        sh = INT_CODECS["dict_rans2_shared"]
         est_sh = sh.estimate_with(st, shared, miss_frac)
         if est_sh is not None and est_sh < est:
             return sh.encode_shared(arr, shared)

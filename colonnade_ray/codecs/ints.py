@@ -813,6 +813,196 @@ class SharedDictRansCodec(DictRansCodec):
         return table[ranks.astype(np.int64)].astype(dt, copy=False)
 
 
+def _hoct_bounds(total: int) -> np.ndarray:
+    """Half-octave rank-class boundaries over [0, total): class c
+    covers ranks [bs[c], bs[c+1]).  {0} and {1} are singleton classes;
+    every octave [2^b, 2^(b+1)) splits at its midpoint.  <= 64 classes
+    for uint32 ranks, so class ids fit uint8 and the selector rANS
+    (codecs/rans.py, alphabet-agnostic) absorbs the finer alphabet at
+    no payload cost."""
+    bs = [0, 1]
+    b = 1
+    while (1 << b) < total:
+        lo = 1 << b
+        bs.append(lo)
+        mid = lo + (lo >> 1)
+        if mid < total:
+            bs.append(mid)
+        b += 1
+    bs.append(max(total, 1))
+    return np.asarray(bs, dtype=np.int64)
+
+
+def _hoct_widths(bs: np.ndarray) -> np.ndarray:
+    spans = np.diff(bs)
+    return np.array(
+        [bit_width(int(s) - 1) if s > 1 else 0 for s in spans], dtype=np.int64
+    )
+
+
+class SharedDictRans2Codec(SharedDictRansCodec):
+    """dict_rans_shared with HALF-OCTAVE selector classes and no flat
+    escape class.
+
+    Measured decomposition on a flagship 10.4M-token chunk (round 4):
+    dict_rans_shared codes 6.969 bits/token against a 6.899 order-0
+    floor; 0.544 of those bits are the escape class paying a flat
+    W=16 bits for every rank >= 2^14 (~1.1 bits over its conditional
+    entropy) and the rest of the payload overage is within-octave
+    non-uniformity (Zipf falls ~1.5x across an octave but the b-1-bit
+    payload is uniform).  Halving every class and covering the whole
+    rank range with real classes moves both losses into the
+    rANS-coded selector, which codes them at entropy: predicted
+    6.909, leaving only the ~0.01-bit lane-state/quantization cost.
+    The 4-bit selector ceiling that forced the escape design exists
+    only in dict_bitlen's flat nibble packing — the rANS selector
+    never had it.
+
+    Shared-dict-only: with no per-chunk dictionary there is no
+    sorted-tail storage trick for finer classes to break (see
+    DictBitlenCodec.encode), which is why the per-chunk dict_rans
+    keeps the escape layout."""
+
+    name = "dict_rans2_shared"
+
+    def estimate_with(self, st: ChunkStats, sd, miss_frac: float) -> Optional[int]:
+        if st.n == 0 or st.sample_n == 0 or st.top_counts is None:
+            return None
+        if miss_frac > 0.25 or sd.size == 0:
+            return None
+        from .rans import pick_lanes
+
+        counts = st.top_counts.astype(np.float64)
+        probs = counts / counts.sum()
+        bs = _hoct_bounds(sd.size)
+        widths = _hoct_widths(bs)
+        ranks = np.arange(1, probs.size + 1)
+        cls = np.searchsorted(bs, ranks, side="right") - 1
+        cls = np.minimum(cls, widths.size - 1)
+        pcls = np.bincount(cls, weights=probs,
+                           minlength=widths.size) * (1 - miss_frac)
+        pcls[-1] += miss_frac  # misses land in the top classes
+        nz = pcls > 0
+        h_sel = float(-(pcls[nz] * np.log2(pcls[nz])).sum())
+        pay_bits = (1 - miss_frac) * float((probs * widths[cls]).sum()) \
+            + miss_frac * widths[-1]
+        extras_bytes = (int(miss_frac * st.n) * 3) + 16
+        lane_bytes = 4 * pick_lanes(st.n) + 64
+        est = (int(st.n * (h_sel + pay_bits)) // 8 + extras_bytes
+               + lane_bytes + 2 * _META_OVERHEAD)
+        return est + est // 20
+
+    def encode_shared(self, arr: np.ndarray, sd, inline: bool = False) -> Encoded:
+        from .rans import pick_lanes, quantize_freqs, rans_encode
+
+        n = int(arr.size)
+        ref = {"m": sd.size} if inline else {"ref": sd.ref, "m": sd.size,
+                                             "p": sd.path}
+        meta = {"dt": dtype_code(arr.dtype), "n": n, "dict": ref}
+        if n == 0:
+            meta.update(class_counts=[])
+            return Encoded(self.name, meta, [b"", b""])
+        ranks, miss = sd.ranks_of(arr)
+        m = sd.size
+        extras = None
+        if miss.any():
+            missing_vals = arr[miss]
+            extras = np.unique(missing_vals)
+            ranks[miss] = (m + np.searchsorted(extras, missing_vals)).astype(
+                np.uint32)
+        total = m + (int(extras.size) if extras is not None else 0)
+        bs = _hoct_bounds(total)
+        widths = _hoct_widths(bs)
+        nc = widths.size
+        sel_table = np.repeat(np.arange(nc, dtype=np.uint8),
+                              np.diff(bs).astype(np.int64))
+        sel = sel_table[ranks]
+        counts = np.bincount(sel, minlength=nc).astype(np.int64)
+        freqs = quantize_freqs(counts)
+        K = pick_lanes(sel.size)
+        rows = (sel.size + K - 1) // K
+        pad = rows * K - sel.size
+        if pad:
+            mps = int(np.argmax(freqs))
+            sel_p = np.concatenate([sel, np.full(pad, mps, dtype=sel.dtype)])
+        else:
+            sel_p = sel
+        states, stream = rans_encode(sel_p, freqs, K)
+        parts = [states, stream]
+        meta.update(sel_freqs=freqs.tolist(), sel_K=K)
+        order = np.argsort(sel, kind="stable")
+        ranks_sorted = ranks[order]
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        for c in range(nc):
+            if widths[c] > 0 and counts[c]:
+                seg = ranks_sorted[bounds[c] : bounds[c + 1]]
+                parts.append(pack_uints(seg - np.uint32(bs[c]), int(widths[c])))
+            elif widths[c] > 0:
+                parts.append(b"")
+        if extras is not None:
+            ee = INT_CODECS["delta_bitpack"].encode(extras)
+            parts.append(ee.parts[0])
+            meta["extras"] = ee.meta
+        meta.update(class_counts=counts.tolist())
+        return Encoded(self.name, meta, parts)
+
+    def decode(self, enc: Encoded) -> np.ndarray:
+        from .rans import rans_decode
+
+        m_ = enc.meta
+        dt = code_dtype(m_["dt"])
+        n = m_["n"]
+        if n == 0:
+            return np.zeros(0, dtype=dt)
+        d = m_["dict"]
+        n_extras = int(m_["extras"]["n"]) if "extras" in m_ else 0
+        total = int(d["m"]) + n_extras
+        bs = _hoct_bounds(total)
+        widths = _hoct_widths(bs)
+        nc = widths.size
+        K = int(m_["sel_K"])
+        freqs = np.asarray(m_["sel_freqs"], dtype=np.int64)
+        rows = (n + K - 1) // K
+        sel = rans_decode(enc.parts[0], enc.parts[1], freqs, rows * K, K)[:n]
+        counts = np.asarray(m_["class_counts"], dtype=np.int64)
+        order = np.argsort(sel, kind="stable")
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        ranks = np.zeros(n, dtype=np.uint64)
+        idx = 2
+        for c in range(nc):
+            cnt = int(counts[c])
+            if widths[c] > 0:
+                if cnt:
+                    vals = unpack_uints(enc.parts[idx], cnt, int(widths[c]))
+                    ranks[order[bounds[c] : bounds[c + 1]]] = vals + np.uint64(bs[c])
+                idx += 1
+            elif cnt and bs[c]:
+                ranks[order[bounds[c] : bounds[c + 1]]] = np.uint64(bs[c])
+        extras = None
+        if "extras" in m_:
+            extras = INT_CODECS["delta_bitpack"].decode(
+                Encoded("delta_bitpack", m_["extras"], [enc.parts[idx]])
+            )
+            idx += 1
+        if "inline" in d:
+            ie = d["inline"]
+            table = INT_CODECS[ie["codec"]].decode(
+                Encoded(ie["codec"], ie["meta"], enc.parts[idx:])
+            ).astype(np.int64, copy=False)
+        else:
+            from .shared_dict import resolve
+
+            sd = resolve(d["ref"], d.get("p"))
+            if sd.size != d["m"]:
+                raise ValueError(
+                    f"shared dict {d['ref']} size mismatch: table has "
+                    f"{sd.size} entries, chunk encoded against {d['m']}")
+            table = sd.by_rank
+        if extras is not None:
+            table = np.concatenate([table, extras.astype(np.int64, copy=False)])
+        return table[ranks.astype(np.int64)].astype(dt, copy=False)
+
+
 def _extrapolate_ndv(st: ChunkStats) -> int:
     """Chao-ish ndv extrapolation from the sample, capped by range+1."""
     if st.sample_n >= st.n:
@@ -842,5 +1032,6 @@ INT_CODECS: dict[str, Codec] = {
         DictBitlenCodec(),
         DictRansCodec(),
         SharedDictRansCodec(),
+        SharedDictRans2Codec(),
     ]
 }

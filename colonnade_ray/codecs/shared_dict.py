@@ -17,10 +17,11 @@ Mechanics:
 * ``save(out_dir)`` persists it ONCE, content-addressed, under
   ``<out_dir>/_dicts/dict-<ref>.npy`` (atomic tmp+rename, idempotent —
   safe under chaos kills and concurrent commit groups).
-* Chunks encoded against it (``dict_rans_shared``,
-  codecs/ints.py) store only ranks + per-chunk *extras* (values the
-  sample never saw) and reference the table by content hash; the
-  table itself never repeats per chunk.
+* Chunks encoded against it (``dict_rans2_shared`` — half-octave
+  selector classes, no escape; ``dict_rans_shared`` kept as the
+  escape-layout predecessor, codecs/ints.py) store only ranks +
+  per-chunk *extras* (values the sample never saw) and reference the
+  table by content hash; the table itself never repeats per chunk.
 * Decode resolves the hash through a process-global content-addressed
   cache: in-memory first, then any ``register_dir``-ed output roots,
   then the absolute path hint recorded at encode time.  Loaded tables

@@ -273,8 +273,9 @@ def test_delta_for_beats_zigzag_on_jittered_intervals():
     assert np.array_equal(codec.decode(old), x)
 
 
-def test_shared_dict_codec_extras_and_dtypes():
-    """dict_rans_shared against a PRE-trained table: chunks with
+@pytest.mark.parametrize("codec_name", ["dict_rans_shared", "dict_rans2_shared"])
+def test_shared_dict_codec_extras_and_dtypes(codec_name):
+    """shared-dict codecs against a PRE-trained table: chunks with
     values the training sample never saw must roundtrip through the
     per-chunk extras stream, across dtypes."""
     from colonnade_ray.codecs.shared_dict import SharedIntDict, register
@@ -282,7 +283,7 @@ def test_shared_dict_codec_extras_and_dtypes():
     rng = np.random.default_rng(3)
     train = (rng.zipf(1.3, 500_000) % 20_000).astype(np.int32)
     sd = register(SharedIntDict.train(train))  # in-process resolve
-    codec = INT_CODECS["dict_rans_shared"]
+    codec = INT_CODECS[codec_name]
 
     cases = {
         "hits-only": sd.by_rank[:100].astype(np.int32),
@@ -306,6 +307,24 @@ def test_shared_dict_codec_extras_and_dtypes():
     arr = cases["with-extras"]
     assert codec.encode_shared(arr, sd).nbytes() < \
         INT_CODECS["dict_rans"].encode(arr).nbytes()
+
+
+def test_shared_rans2_beats_escape_layout_on_zipf():
+    """The half-octave selector (dict_rans2_shared) exists to remove
+    the escape class's flat-W overpay and the within-octave
+    non-uniformity; on a Zipf token stream it must never lose to the
+    escape layout (the measured win on the flagship chunk profile is
+    ~0.05 bits/token — BASELINE.md round 4)."""
+    from colonnade_ray.codecs.shared_dict import SharedIntDict, register
+
+    rng = np.random.default_rng(11)
+    train = (rng.zipf(1.2, 2_000_000) % 50_000).astype(np.int32)
+    sd = register(SharedIntDict.train(train))
+    chunk = (rng.zipf(1.2, 400_000) % 50_000).astype(np.int32)
+    e1 = INT_CODECS["dict_rans_shared"].encode_shared(chunk, sd)
+    e2 = INT_CODECS["dict_rans2_shared"].encode_shared(chunk, sd)
+    assert e2.nbytes() < e1.nbytes()
+    assert np.array_equal(INT_CODECS["dict_rans2_shared"].decode(e2), chunk)
 
 
 def test_shared_dict_sidecar_roundtrip(tmp_path):

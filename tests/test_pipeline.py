@@ -863,7 +863,7 @@ def test_shared_dict_corpus_roundtrip_and_wins(corpus_dir, tmp_path, ray_session
         for row in lin["codecs_json"].to_pylist()
         for c in json.loads(row)
     }
-    assert "dict_rans_shared" in used
+    assert used & {"dict_rans_shared", "dict_rans2_shared"}
     assert s.get("shared_dict_bytes", 0) > 0
 
     # smaller than per-chunk dictionaries EVEN counting the sidecar
