@@ -41,12 +41,20 @@ _EMIT = np.uint64(0xFFFF)
 
 def pick_lanes(n: int) -> int:
     """Lane count: enough rows to amortize numpy-call overhead, few
-    enough lanes that the K*4-byte state header stays negligible
-    (4096 lanes = 16 KB of states per chunk, +0.004 B/token on the
-    flagship 3.4M-symbol chunks, bought back 4x fewer sequential
-    loop iterations — decode is the bound, see BASELINE.md r4)."""
-    if n >= 1 << 19:
+    enough lanes that the K*4-byte state header stays negligible.
+
+    Measured on a 3.4M-symbol flagship selector stream (round 4):
+    K=4096 decodes in 0.077 s but its 16 KB state header costs 0.039
+    bits/symbol; K=2048 decodes in 0.081 s (+5%) at 0.019 bits, and
+    each halving grows the renorm stream ~0.7 KB (later emission
+    boundaries), so the NET save of 4096->2048 is ~6.8 KB per chunk.
+    The schedule keeps state overhead <= ~0.02 bits/symbol and only
+    pays for 4096 lanes once the chunk is big enough to amortize
+    them."""
+    if n >= 1 << 23:
         return 4096
+    if n >= 1 << 21:
+        return 2048
     if n >= 1 << 17:
         return 1024
     if n >= 1 << 13:
