@@ -854,11 +854,20 @@ def _count_meta_rows(raw_meta: dict) -> int:
 
 
 def _encode_list(arr: pa.Array, forced: Optional[str] = None,
-                 shared=None) -> tuple[dict, list]:
+                 shared=None, lengths_ref: Optional[str] = None) -> tuple[dict, list]:
     validity, vparts = _validity_stream(arr)
-    lengths = pc.fill_null(pc.list_value_length(arr), 0).to_numpy(zero_copy_only=False).astype(np.int64)
     child = arr.flatten()  # values of non-null slots, concatenated
-    lentry, lparts = _emit(encode_int_stream(lengths))
+    if lengths_ref is not None:
+        # Cross-column dedup: another column in the same chunk stores
+        # exactly these lengths (caller verified elementwise equality),
+        # so the stream is a zero-byte reference resolved at decode
+        # from that column's decoded values.
+        lentry: dict = {"codec": "ref", "meta": {"col": lengths_ref, "part_lens": []}}
+        lparts: list = []
+    else:
+        lengths = pc.fill_null(pc.list_value_length(arr), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lentry, lparts = _emit(encode_int_stream(lengths))
     # the shared dict describes the COLUMN's value stream — for a list
     # column that is the child values, never the lengths
     cmeta, cparts = encode_column_chunk(child, forced=forced, shared_int=shared)
@@ -871,7 +880,8 @@ def _encode_list(arr: pa.Array, forced: Optional[str] = None,
     return meta, vparts + lparts + cparts
 
 
-def _decode_list(meta: dict, parts: list, atype: pa.DataType, n: int) -> pa.Array:
+def _decode_list(meta: dict, parts: list, atype: pa.DataType, n: int,
+                 refs: Optional[dict] = None) -> pa.Array:
     idx = 0
     validity = meta["streams"]["validity"]
     vmask = None
@@ -880,9 +890,23 @@ def _decode_list(meta: dict, parts: list, atype: pa.DataType, n: int) -> pa.Arra
         vmask = _decode_validity(validity, parts[idx : idx + k], n)
         idx += k
     lentry = meta["streams"]["lengths"]
-    k = len(lentry["meta"]["part_lens"])
-    lengths = decode_int_stream(Encoded(lentry["codec"], lentry["meta"], parts[idx : idx + k]))
-    idx += k
+    if lentry["codec"] == "ref":
+        tname = lentry["meta"]["col"]
+        if not refs or tname not in refs:
+            raise ValueError(
+                f"lengths stream references column {tname!r} which was not "
+                "provided to the decode (ref targets must be decoded first)")
+        ref = refs[tname]
+        if isinstance(ref, (pa.Array, pa.ChunkedArray)):
+            ref = ref.to_numpy(zero_copy_only=False)
+        lengths = np.asarray(ref, dtype=np.int64)
+        if lengths.size != n:
+            raise ValueError(
+                f"lengths ref {tname!r} has {lengths.size} values, chunk has {n} rows")
+    else:
+        k = len(lentry["meta"]["part_lens"])
+        lengths = decode_int_stream(Encoded(lentry["codec"], lentry["meta"], parts[idx : idx + k]))
+        idx += k
     child = decode_column_chunk(meta["child"], parts[idx:], meta["child_n"])
     if pa.types.is_large_list(atype):
         offs = pa.array(np.concatenate(([0], np.cumsum(lengths))), pa.int64())
@@ -905,20 +929,24 @@ def _decode_list(meta: dict, parts: list, atype: pa.DataType, n: int) -> pa.Arra
 
 def encode_column_chunk(arr, fsst: Optional[FsstCodec] = None,
                         forced: Optional[str] = None,
-                        shared_int=None) -> tuple[dict, list]:
+                        shared_int=None,
+                        lengths_ref: Optional[str] = None) -> tuple[dict, list]:
     """Arrow array/chunked-array -> (meta dict, ordered payload parts).
 
     ``forced`` pins the integer-stream codec (graft of a user-chosen
     per-column encoder, bypassing the selector).  ``shared_int``: a
     corpus-global ``SharedIntDict`` candidate for this column's integer
-    value stream (primitive values or list-child values)."""
+    value stream (primitive values or list-child values).
+    ``lengths_ref``: name of a sibling column whose values equal this
+    list column's lengths (caller-verified) — the lengths stream is
+    stored as a zero-byte reference to it."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     t = arr.type
     if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
         meta, parts = _encode_string(arr, fsst)
     elif pa.types.is_list(t) or pa.types.is_large_list(t):
-        meta, parts = _encode_list(arr, forced, shared_int)
+        meta, parts = _encode_list(arr, forced, shared_int, lengths_ref)
     elif (pa.types.is_time32(t) or pa.types.is_time64(t) or pa.types.is_duration(t)
           or pa.types.is_date64(t) or pa.types.is_float16(t)):
         # integer-storage logical types: encode the storage ints, keep
@@ -947,13 +975,14 @@ def encode_column_chunk(arr, fsst: Optional[FsstCodec] = None,
     return meta, parts
 
 
-def decode_column_chunk(meta: dict, parts: list, n: Optional[int] = None) -> pa.Array:
+def decode_column_chunk(meta: dict, parts: list, n: Optional[int] = None,
+                        refs: Optional[dict] = None) -> pa.Array:
     atype = desc_to_type(meta["atype"])
     n = meta["n"] if n is None else n
     if meta["kind"] == "string":
         return _decode_string(meta, parts, atype, n)
     if meta["kind"] == "list":
-        return _decode_list(meta, parts, atype, n)
+        return _decode_list(meta, parts, atype, n, refs)
     if meta["kind"] == "decimal":
         return _decode_decimal(meta, parts, atype, n)
     if meta["kind"] == "dict_wrap":
@@ -969,16 +998,17 @@ def decode_column_chunk(meta: dict, parts: list, n: Optional[int] = None) -> pa.
 
 def encode_column(arr, fsst: Optional[FsstCodec] = None,
                   forced: Optional[str] = None,
-                  shared_int=None) -> tuple[bytes, dict]:
+                  shared_int=None,
+                  lengths_ref: Optional[str] = None) -> tuple[bytes, dict]:
     """Pack to a single payload buffer + self-describing meta."""
-    meta, parts = encode_column_chunk(arr, fsst, forced, shared_int)
+    meta, parts = encode_column_chunk(arr, fsst, forced, shared_int, lengths_ref)
     meta["total_lens"] = [len(p) for p in parts]
     return b"".join(bytes(p) for p in parts), meta
 
 
-def decode_column(payload: bytes, meta: dict) -> pa.Array:
+def decode_column(payload: bytes, meta: dict, refs: Optional[dict] = None) -> pa.Array:
     parts, off = [], 0
     for ln in meta["total_lens"]:
         parts.append(payload[off : off + ln])
         off += ln
-    return decode_column_chunk(meta, parts)
+    return decode_column_chunk(meta, parts, refs=refs)

@@ -814,20 +814,35 @@ def _read_encoded(out_dir: str, columns: Optional[Sequence[str]] = None,
         # together; differing plans get their own read, unioned.
         def _proj(gid: str) -> tuple:
             lin = os.path.join(lin_root, f"group-{gid}.parquet")
-            plan = json.loads(
-                pq.read_table(lin, columns=["plan_json"])["plan_json"][0].as_py()
-            )
+            lt = pq.read_table(lin, columns=["plan_json", "codecs_json"])
+            plan = json.loads(lt["plan_json"][0].as_py())
             missing = set(columns) - set(plan)
             if missing:
                 raise KeyError(
                     f"columns not in encoded plan of group {gid}: {sorted(missing)}"
                 )
+            # A projected list column may carry its lengths as a ref to
+            # a sibling column (stages/encode.py _lengths_ref_hints);
+            # that sibling's payload must ride along PHYSICALLY even
+            # when it isn't in the logical projection.  Per-chunk
+            # fallback means refs can differ across chunks of a group,
+            # so union the targets over every lineage row (manifest-
+            # sized scan, no data read).
+            phys = set(columns)
+            pos = {name: i for i, name in enumerate(plan)}
+            want_idx = {pos[c] for c in columns}
+            for cj in lt["codecs_json"].to_pylist():
+                for i, entry in enumerate(json.loads(cj)):
+                    if i in want_idx:
+                        lc = entry.get("lengths", "")
+                        if isinstance(lc, str) and lc.startswith("ref:"):
+                            phys.add(lc[4:])
             return tuple(
                 ["fragment", "chunk_id", "n_rows", "checksum", "plan_json", "stats_json"]
                 + [
                     c
                     for i, name in enumerate(plan)
-                    if name in set(columns)
+                    if name in phys
                     for c in (f"col{i}_payload", f"col{i}_meta")
                 ]
             )

@@ -133,11 +133,27 @@ def decode_chunk_row(row: dict, verify_checksum: bool = True,
                                 row["checksum"], actual)
     arrays, fields = [], []
     cell_errors = []
+    # Lengths-ref resolution (cross-column dedup, stages/encode.py
+    # _lengths_ref_hints): a list column may store its lengths stream
+    # as a reference to a sibling int column.  Scan the requested
+    # metas for refs, decode the targets first (even when projected
+    # out of the result), and hand their values down as ``refs``.
+    metas: dict = {}
     for i, name in enumerate(names):
         if want is not None and name not in want:
             continue
+        metas[i] = json.loads(row[f"col{i}_meta"])
+    ref_targets: list = []
+    for meta in metas.values():
+        if meta.get("kind") == "list":
+            lentry = meta["streams"]["lengths"]
+            if lentry["codec"] == "ref" and lentry["meta"]["col"] not in ref_targets:
+                ref_targets.append(lentry["meta"]["col"])
+    refs: dict = {}
+    idx_of = {name: i for i, name in enumerate(names)}
+
+    def _decode_one(i: int, name: str, meta: dict):
         payload = row[f"col{i}_payload"]
-        meta = json.loads(row[f"col{i}_meta"])
         if verify_checksum and want is not None and "ck" in meta:
             actual = hashlib.blake2b(payload, digest_size=8).hexdigest()
             if actual != meta["ck"]:
@@ -149,7 +165,7 @@ def decode_chunk_row(row: dict, verify_checksum: bool = True,
                 zname, orig = meta["z"]
                 payload = pa.Codec(zname).decompress(
                     payload, decompressed_size=orig, asbytes=True)
-            arr = decode_column(payload, meta)
+            return decode_column(payload, meta, refs=refs)
         except (ValueError, IndexError, KeyError, OSError,
                 pa.lib.ArrowInvalid) as e:
             cell_errors.append(
@@ -157,6 +173,26 @@ def decode_chunk_row(row: dict, verify_checksum: bool = True,
                           content=f"<{len(payload)} payload bytes>",
                           reason=str(e))
             )
+            return None
+
+    for tname in ref_targets:
+        ti = idx_of.get(tname)
+        if ti is None or f"col{ti}_payload" not in row:
+            cell_errors.append(CellError(
+                column=tname, row=-1, content="",
+                reason="lengths-ref target payload not available in this read"))
+            continue
+        tmeta = metas.get(ti) or json.loads(row[f"col{ti}_meta"])
+        tarr = _decode_one(ti, tname, tmeta)
+        if tarr is not None:
+            refs[tname] = tarr
+    for i, name in enumerate(names):
+        if i not in metas:
+            continue
+        meta = metas[i]
+        tname = name if name in refs else None
+        arr = refs[name] if tname is not None else _decode_one(i, name, meta)
+        if arr is None:
             continue
         arrays.append(arr)
         fields.append(pa.field(name, arr.type))

@@ -111,6 +111,43 @@ def _zone_stat(arr) -> Optional[list]:
     return [lo, hi]
 
 
+def _lengths_ref_hints(batch: pa.Table, bound: BoundPlan) -> dict:
+    """list-column name -> sibling int-column name whose values equal
+    the list's per-row lengths (e.g. ``n_tok`` == len(``tokens``)).
+
+    Cross-column dedup: the matched list column stores its lengths
+    stream as a zero-byte reference instead of re-encoding the same
+    integers (measured 0.008 B/token on the flagship corpus, where the
+    lengths stream was the largest remaining overhead over the token
+    stream's order-0 floor).  Deterministic: columns scanned in plan
+    order, first match wins.  Null-free targets only, so the decoded
+    target values can be used as lengths verbatim."""
+    import pyarrow.compute as pc
+
+    lists, ints = [], []
+    for bc in bound.columns:
+        t = bc.field.type
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            lists.append(bc)
+        elif pa.types.is_integer(t):
+            ints.append(bc)
+    if not lists or not ints or len(batch) == 0:
+        return {}
+    hints: dict = {}
+    for lb in lists:
+        larr = batch.column(lb.index)
+        ln = pc.fill_null(pc.list_value_length(larr), 0).cast(pa.int64())
+        for ib in ints:
+            iarr = batch.column(ib.index)
+            if iarr.null_count:
+                continue
+            eq = pc.all(pc.equal(ln, iarr.cast(pa.int64()))).as_py()
+            if eq:
+                hints[lb.field.name] = ib.field.name
+                break
+    return hints
+
+
 def encode_chunk(
     batch: pa.Table,
     bound: BoundPlan,
@@ -136,6 +173,7 @@ def encode_chunk(
     out: dict = {}
     payload_parts: list = []
     codec_summary: list = []
+    lengths_refs = _lengths_ref_hints(batch, bound)
     # "__nulls__" is ALWAYS present in new chunks (even when empty):
     # its presence marks the stats format that can PROVE a zero null
     # count, which chunk_all_match's COUNT-pushdown fast path needs —
@@ -148,7 +186,8 @@ def encode_chunk(
         bytes_in += arr.nbytes
         fsst = (fsst_codecs or {}).get(bc.field.name)
         payload, meta = encode_column(arr, fsst=fsst, forced=bc.plan.forced_codec,
-                                      shared_int=(shared_dicts or {}).get(bc.field.name))
+                                      shared_int=(shared_dicts or {}).get(bc.field.name),
+                                      lengths_ref=lengths_refs.get(bc.field.name))
         if zcodec is not None and len(payload) > 64:
             comp = memoryview(zcodec.compress(payload, asbytes=True))
             if len(comp) < len(payload):
@@ -212,7 +251,11 @@ def _codec_of(meta: dict) -> dict:
             res["lengths"] = inner["lengths"]["codec"]
             res["data"] = inner["data"]["codec"]
     elif kind == "list":
-        res["lengths"] = meta["streams"]["lengths"]["codec"]
+        lentry = meta["streams"]["lengths"]
+        res["lengths"] = (
+            "ref:" + lentry["meta"]["col"] if lentry["codec"] == "ref"
+            else lentry["codec"]
+        )
         child = meta["child"]
         if child["kind"] == "primitive":
             res["values"] = child["streams"]["values"]["codec"]

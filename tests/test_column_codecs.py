@@ -327,3 +327,85 @@ def test_decimal256_rejected_loudly():
         encode_column(arr)
     with pytest.raises(TypeError, match="decimal"):
         type_to_desc(pa.decimal256(50, 2))
+
+
+def test_lengths_ref_dedups_list_lengths_stream():
+    """Cross-column dedup (stages/encode.py _lengths_ref_hints): when a
+    sibling int column stores exactly the list column's per-row lengths
+    (the corpus's n_tok == len(tokens) invariant), the list's lengths
+    stream is a zero-byte reference and decode reconstructs offsets
+    from the decoded sibling.  Graft note: the reference never stores
+    the same value twice either — one OneColonnade per column, cells
+    derived from the row (colonnade/src/Colonnade/Encode.hs:530-534)."""
+    import json
+
+    from colonnade_ray.stages.decode import decode_batch, decode_chunk_row
+    from colonnade_ray.stages.encode import encode_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"doc-{i:010d}" for i in range(200)]),
+            "tokens": pa.array(
+                [[j for j in range(i % 11)] for i in range(200)],
+                type=pa.list_(pa.int32()),
+            ),
+            "n_tok": pa.array([i % 11 for i in range(200)], pa.int32()),
+            "source": pa.array(["s"] * 200),
+        }
+    )
+    enc = pa.table({k: pa.array(v) for k, v in encode_batch(t).items()})
+    summary = json.loads(enc["codecs_json"][0].as_py())
+    assert summary[1]["lengths"] == "ref:n_tok", summary
+    assert decode_batch(enc).equals(t)
+    # projected decode of the list column alone still works: the ref
+    # target is decoded from the chunk row without joining the result
+    row = {c: enc[c][0].as_py() for c in enc.column_names}
+    proj = decode_chunk_row(row, columns=["tokens"])
+    assert proj.column_names == ["tokens"]
+    assert proj["tokens"].combine_chunks().equals(t["tokens"].combine_chunks())
+
+
+def test_lengths_ref_fallback_and_nulls():
+    """No ref when values differ; ref still taken (and bit-identical)
+    when the list column has nulls and the int column stores 0 there —
+    fill_null(0) is exactly what the lengths stream would store."""
+    import json
+
+    from colonnade_ray.stages.decode import decode_batch
+    from colonnade_ray.stages.encode import encode_batch
+
+    base = {
+        "doc_id": pa.array([f"d{i}" for i in range(60)]),
+        "tokens": pa.array(
+            [[1, 2, 3] if i % 5 else None for i in range(60)],
+            type=pa.list_(pa.int32()),
+        ),
+        "source": pa.array(["s"] * 60),
+    }
+    # mismatching sibling: falls back to a real lengths stream
+    t_bad = pa.table({**base, "n_tok": pa.array([7] * 60, pa.int32())})
+    enc = pa.table({k: pa.array(v) for k, v in encode_batch(t_bad).items()})
+    s = json.loads(enc["codecs_json"][0].as_py())
+    tok = next(c for c in s if "values" in c and "lengths" in c)
+    assert not str(tok["lengths"]).startswith("ref:")
+    assert decode_batch(enc).equals(t_bad)
+    # matching sibling with nulls in the LIST column
+    t_ok = pa.table(
+        {**base, "n_tok": pa.array([3 if i % 5 else 0 for i in range(60)], pa.int32())}
+    )
+    enc2 = pa.table({k: pa.array(v) for k, v in encode_batch(t_ok).items()})
+    s2 = json.loads(enc2["codecs_json"][0].as_py())
+    tok2 = next(c for c in s2 if "values" in c and "lengths" in c)
+    assert tok2["lengths"] == "ref:n_tok"
+    assert decode_batch(enc2).equals(t_ok)
+    # a NULLABLE sibling is never a ref target (decode would need the
+    # fill; keep the invariant simple and loud)
+    t_null = pa.table(
+        {**base,
+         "n_tok": pa.array([3 if i % 5 else None for i in range(60)], pa.int32())}
+    )
+    enc3 = pa.table({k: pa.array(v) for k, v in encode_batch(t_null).items()})
+    s3 = json.loads(enc3["codecs_json"][0].as_py())
+    tok3 = next(c for c in s3 if "values" in c and "lengths" in c)
+    assert not str(tok3["lengths"]).startswith("ref:")
+    assert decode_batch(enc3).equals(t_null)

@@ -980,3 +980,40 @@ def test_shared_dict_append_reuses_manifest(tmp_path, ray_session):
     dd = dataset_digest(decode_corpus(out), F1_COLS)
     od = dataset_digest(rd.read_parquet(str(d)), F1_COLS)
     assert dd == od
+
+
+def test_lengths_ref_projected_decode_corpus(corpus_dir, tmp_path, ray_session):
+    """End-to-end lengths-ref through storage: the F1 corpus has
+    n_tok == len(tokens), so every chunk stores tokens' lengths as a
+    ref.  A PROJECTED decode of ["doc_id", "tokens"] must make the ref
+    target's payload ride the physical read (pipelines._read_encoded
+    _proj) without surfacing n_tok in the logical result."""
+    import ray.data as rd
+
+    out = str(tmp_path / "enc")
+    encode_corpus(corpus_dir, out, batch_size=256)
+
+    # the corpus really did take the ref (lineage summary says so)
+    from colonnade_ray.state.lineage import load_lineage
+
+    lin = load_lineage(out)
+    summaries = [json.loads(c) for c in lin["codecs_json"].to_pylist()]
+    tok_entries = [next(e for e in s if "values" in e and "lengths" in e)
+                   for s in summaries]
+    assert all(e["lengths"] == "ref:n_tok" for e in tok_entries), tok_entries[:2]
+
+    dec = decode_corpus(out, columns=["doc_id", "tokens"])
+    got = dec.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got.columns) == ["doc_id", "tokens"]
+    exp = (
+        rd.read_parquet(corpus_dir)
+        .select_columns(["doc_id", "tokens"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) == 1200
+    assert (got["doc_id"] == exp["doc_id"]).all()
+    assert all(
+        np.array_equal(a, b) for a, b in zip(got["tokens"], exp["tokens"])
+    )
