@@ -780,6 +780,43 @@ def q_encoded_count_where(sf_dir: str):
                                 preserve_index=False)
 
 
+def q_delete_where_count(sf_dir: str):
+    """Merge-on-read deletion vectors IN the gate
+    (pipelines/deletes.py): encode the documents table, DELETE WHERE
+    lang = 'de' (logical — per-chunk bitmap sidecars, zero payload
+    rewrite), answer the per-source live counts and
+    COUNT(n_chars >= 600) from the encoded corpus, then
+    vacuum_deletes (materialize, retire sidecars) and re-answer —
+    masked and materialized must agree, and both must equal plain SQL
+    over the raw table minus the deleted rows."""
+    from colonnade_ray.pipelines import (
+        count_where,
+        delete_where,
+        encode_corpus,
+        group_counts,
+        vacuum_deletes,
+    )
+
+    work = _run_dir(sf_dir, "deletes")
+    inp = os.path.join(work, "input")
+    out = os.path.join(work, "out")
+    _tbl(sf_dir, "documents", ["doc_id", "n_chars", "lang", "source"]) \
+        .write_parquet(inp)
+    encode_corpus(inp, out, batch_size=512, resume=False,
+                  cluster_by="n_chars")
+    delete_where(out, ("lang", "==", "de"))
+    n = count_where(out, ("n_chars", ">=", 600))
+    gc = group_counts(out, "source")
+    vacuum_deletes(out)
+    assert count_where(out, ("n_chars", ">=", 600)) == n
+    gc2 = group_counts(out, "source")
+    assert gc2.equals(gc), "vacuum changed an answer"
+    gc = gc.rename(columns={"n_rows": "n_docs"})
+    gc.insert(0, "n_ge_600", np.int64(n))
+    return pa.Table.from_pandas(gc[["source", "n_docs", "n_ge_600"]],
+                                preserve_index=False)
+
+
 def q_user_event_seq(sf_dir: str):
     """Per-key running sequence number (row_number window): bucketed
     per-user cumcount over ts-ordered events."""
@@ -1627,6 +1664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_v2": q_curation_v2,
         "active_customers": q_active_customers,
         "encoded_count_where": q_encoded_count_where,
+        "delete_where_count": q_delete_where_count,
         "winsorize": q_winsorize,
         "mode_lang": q_mode_lang,
         "group_moments": q_group_moments,
@@ -2234,6 +2272,15 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents "
             "WHERE n_chars >= 600) AS n_ge_600 "
             "FROM documents GROUP BY source ORDER BY source"
+        ),
+        "delete_where_count": (
+            # DELETE WHERE p removes only p = TRUE rows (nulls survive)
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents "
+            "WHERE (lang = 'de') IS NOT TRUE AND n_chars >= 600) "
+            "AS n_ge_600 "
+            "FROM documents WHERE (lang = 'de') IS NOT TRUE "
+            "GROUP BY source ORDER BY source"
         ),
         "active_customers": (
             "SELECT c_custkey, c_mktsegment FROM customer c "

@@ -13,3 +13,10 @@ from .encode_pipeline import (
     encode_dataset,
     roundtrip_verify,
 )
+from .deletes import (
+    committed_deletes,
+    delete_where,
+    deleted_row_count,
+    load_delete_masks,
+    vacuum_deletes,
+)

@@ -125,15 +125,7 @@ def train_shared_dicts(
 
     manifest = os.path.join(_meta_root(out_dir), "shared_dicts.json")
     if os.path.exists(manifest):
-        with open(manifest) as f:
-            pinned = json.load(f)
-        out = {}
-        for col, ent in pinned.items():
-            sd = SharedIntDict.load(os.path.join(out_dir, ent["file"]),
-                                    expect_ref=ent["ref"])
-            sd = register(sd)
-            out[col] = sd
-        return out
+        return load_pinned_dicts(out_dir)
 
     files = list(files)
     sample_files = files[:: max(1, len(files) // max_files)][:max_files]
@@ -172,6 +164,34 @@ def train_shared_dicts(
         json.dump(entries, f, indent=1, sort_keys=True)
     os.replace(tmp, manifest)
     return out
+
+
+def load_pinned_dicts(out_dir: str) -> Optional[dict]:
+    """{column: SharedIntDict} from the pinned manifest, or None when
+    the corpus was encoded without shared dictionaries.  Pure file
+    reads (no Ray) — safe inside worker UDFs (vacuum re-encode)."""
+    from ..codecs.shared_dict import SharedIntDict, register
+
+    manifest = os.path.join(out_dir, "_meta", "shared_dicts.json")
+    if not os.path.exists(manifest):
+        return None
+    with open(manifest) as f:
+        pinned = json.load(f)
+    out = {}
+    for col, ent in pinned.items():
+        sd = SharedIntDict.load(os.path.join(out_dir, ent["file"]),
+                                expect_ref=ent["ref"])
+        out[col] = register(sd)
+    return out
+
+
+def _deletes_dir_of(out_dir: str) -> Optional[str]:
+    """out_dir when committed deletion sidecars exist, else None — a
+    driver-side check so delete-free corpora (the common case) pay
+    zero per-chunk mask lookups in the decode hot loop."""
+    from .deletes import committed_deletes
+
+    return out_dir if committed_deletes(out_dir) else None
 
 
 def _register_dict_dir(out_dir: str) -> None:
@@ -263,7 +283,8 @@ def decode_dataset(enc_ds, verify_checksum: bool = True, concurrency=None,
                    columns: Optional[Sequence[str]] = None,
                    predicate: Optional[tuple] = None,
                    chunks_per_task: int = 1,
-                   dict_dirs: Optional[Sequence[str]] = None):
+                   dict_dirs: Optional[Sequence[str]] = None,
+                   deletes_dir: Optional[str] = None):
     """Dataset of encoded chunk rows -> Dataset of original rows (lazy).
 
     ``columns``: projected decode (only those payload streams decoded,
@@ -280,7 +301,8 @@ def decode_dataset(enc_ds, verify_checksum: bool = True, concurrency=None,
     kwargs = {"concurrency": concurrency}
     # stateless -> plain tasks; dict_dirs: shared-dict search roots
     # registered in each worker (meta path hints cover the common case)
-    fn = DecodeBatch(verify_checksum, columns, predicate, dict_dirs=dict_dirs)
+    fn = DecodeBatch(verify_checksum, columns, predicate, dict_dirs=dict_dirs,
+                     deletes_dir=deletes_dir)
     return enc_ds.map_batches(
         lambda b: fn(b),
         batch_format="pyarrow",
@@ -597,7 +619,7 @@ def corpus_summary(out_dir: str) -> dict:
     import pyarrow.compute as pc
 
     sd_bytes = shared_dict_bytes(out_dir)
-    return {
+    out = {
         "chunks": t.num_rows,
         "rows": int(pc.sum(t["n_rows"]).as_py() or 0),
         "tokens": int(pc.sum(t["n_tokens"]).as_py() or 0),
@@ -607,6 +629,12 @@ def corpus_summary(out_dir: str) -> dict:
         "bytes_out": int(pc.sum(t["bytes_out"]).as_py() or 0) + sd_bytes,
         "shared_dict_bytes": sd_bytes,
     }
+    if _deletes_dir_of(out_dir):
+        from .deletes import deleted_row_count
+
+        out["deleted_rows"] = deleted_row_count(out_dir)
+        out["live_rows"] = out["rows"] - out["deleted_rows"]
+    return out
 
 
 def completed_groups(out_dir: str) -> list:
@@ -733,7 +761,8 @@ def decode_corpus(out_dir: str, verify_checksum: bool = True, concurrency=None,
     return decode_dataset(enc, verify_checksum=verify_checksum,
                           concurrency=concurrency, columns=columns,
                           predicate=predicate, chunks_per_task=cpt,
-                          dict_dirs=[out_dir])
+                          dict_dirs=[out_dir],
+                          deletes_dir=_deletes_dir_of(out_dir))
 
 
 def _read_encoded(out_dir: str, columns: Optional[Sequence[str]] = None,
@@ -869,7 +898,8 @@ def decode_digest_corpus(out_dir: str, columns: Sequence[str],
     from ..util import default_concurrency
 
     enc, cpt = _read_encoded(out_dir, None, concurrency)
-    fn = DecodeBatch(verify_checksum, dict_dirs=[out_dir])
+    fn = DecodeBatch(verify_checksum, dict_dirs=[out_dir],
+                     deletes_dir=_deletes_dir_of(out_dir))
     cols = list(columns)
     if concurrency is None:
         concurrency = default_concurrency()
@@ -912,20 +942,36 @@ def count_where(out_dir: str, predicate, concurrency=None) -> int:
     cols = sorted({p[0] for p in preds})
     enc, cpt = _read_encoded(out_dir, cols, concurrency,
                              predicate=predicate)
+    deletes_dir = _deletes_dir_of(out_dir)
 
     def part(batch: pa.Table) -> pa.Table:
         _register_dict_dir(out_dir)
+        del_masks = {}
+        if deletes_dir is not None:
+            from .deletes import load_delete_masks
+
+            del_masks = load_delete_masks(deletes_dir)
         total = 0
         names = batch.column_names
         for r in range(len(batch)):
             sj = batch["stats_json"][r].as_py()
             if not all(chunk_may_match(sj, p) for p in preds):
                 continue
+            dmask = del_masks.get((batch["fragment"][r].as_py(),
+                                   batch["chunk_id"][r].as_py())) \
+                if del_masks else None
+            if isinstance(dmask, str):
+                continue  # whole chunk deleted
             if all(chunk_all_match(sj, p) for p in preds):
-                total += int(batch["n_rows"][r].as_py())
+                # every row matches -> deleting d leaves n - d matches:
+                # the metadata fast path stays EXACT under deletions
+                total += int(batch["n_rows"][r].as_py()) - (
+                    int(dmask.sum()) if dmask is not None else 0)
                 continue
             row = {c: batch[c][r].as_py() for c in names}
             t = decode_chunk_row(row, verify_checksum=False, columns=cols)
+            if dmask is not None:
+                t = t.filter(pa.array(~dmask))
             for p in preds:
                 t = _exact_filter(t, p)
             total += t.num_rows
@@ -986,18 +1032,32 @@ def aggregate_where(out_dir: str, agg: str, col: str,
         s = stats.get("__sums__", {}).get(col)
         return s  # None -> decode (old format / non-integer column)
 
+    deletes_dir = _deletes_dir_of(out_dir)
+
     def part(batch: pa.Table) -> pa.Table:
         _register_dict_dir(out_dir)
         import json as _json
 
+        del_masks = {}
+        if deletes_dir is not None:
+            from .deletes import load_delete_masks
+
+            del_masks = load_delete_masks(deletes_dir)
         vals = []
         names = batch.column_names
         for r in range(len(batch)):
             sj = batch["stats_json"][r].as_py()
             if preds and not all(chunk_may_match(sj, p) for p in preds):
                 continue
-            proven = (not preds) or all(
-                chunk_all_match(sj, p) for p in preds)
+            dmask = del_masks.get((batch["fragment"][r].as_py(),
+                                   batch["chunk_id"][r].as_py())) \
+                if del_masks else None
+            if isinstance(dmask, str):
+                continue  # whole chunk deleted
+            proven = dmask is None and ((not preds) or all(
+                chunk_all_match(sj, p) for p in preds))
+            # a chunk with ANY deleted rows can't answer from metadata:
+            # its zone bounds / __sums__ include the deleted rows
             if proven and sj:
                 stats = _json.loads(sj)
                 if preds and agg == "sum" and \
@@ -1010,6 +1070,8 @@ def aggregate_where(out_dir: str, agg: str, col: str,
                         continue
             row = {c: batch[c][r].as_py() for c in names}
             t = decode_chunk_row(row, verify_checksum=False, columns=cols)
+            if dmask is not None:
+                t = t.filter(pa.array(~dmask))
             for p in preds:
                 t = _exact_filter(t, p)
             if t.num_rows:
@@ -1061,15 +1123,27 @@ def group_counts(out_dir: str, group_col: str,
     cols = [group_col] + ([value_col] if value_col else [])
     enc, cpt = _read_encoded(out_dir, cols, concurrency)
 
+    deletes_dir = _deletes_dir_of(out_dir)
+
     def part(batch: pa.Table) -> pa.Table:
         _register_dict_dir(out_dir)
         import numpy as np
 
+        del_masks = {}
+        if deletes_dir is not None:
+            from .deletes import load_delete_masks
+
+            del_masks = load_delete_masks(deletes_dir)
         agg: dict = {}
         names = batch.column_names
         for r in range(len(batch)):
             sj = batch["stats_json"][r].as_py()
             stats = _json.loads(sj) if sj else {}
+            dmask = del_masks.get((batch["fragment"][r].as_py(),
+                                   batch["chunk_id"][r].as_py())) \
+                if del_masks else None
+            if isinstance(dmask, str):
+                continue  # whole chunk deleted
             band = stats.get(group_col)
             proven = (
                 band is not None and band[0] == band[1]
@@ -1078,15 +1152,26 @@ def group_counts(out_dir: str, group_col: str,
             )
             ssum = stats.get("__sums__", {}).get(value_col) \
                 if value_col else None
-            if proven and (value_col is None or ssum is not None):
+            if proven and dmask is None and \
+                    (value_col is None or ssum is not None):
                 g = band[0]
                 cur = agg.setdefault(g, [0, 0])
                 cur[0] += int(batch["n_rows"][r].as_py())
                 if value_col:
                     cur[1] += int(ssum)
                 continue
+            if proven and dmask is not None and value_col is None:
+                # single-group chunk: counts stay metadata-exact under
+                # deletions (n_rows - n_deleted); sums must decode
+                agg.setdefault(band[0], [0, 0])[0] += (
+                    int(batch["n_rows"][r].as_py()) - int(dmask.sum()))
+                continue
             row = {c: batch[c][r].as_py() for c in names}
             t = decode_chunk_row(row, verify_checksum=False, columns=cols)
+            if dmask is not None:
+                t = t.filter(pa.array(~dmask))
+                if t.num_rows == 0:
+                    continue
             gv = t[group_col].to_pandas()
             if value_col:
                 vv = pd.Series(t[value_col].to_pandas()).fillna(0)

@@ -256,20 +256,30 @@ def chunk_all_match(stats_json: Optional[str],
     return False
 
 
-def _exact_filter(t: pa.Table, predicate: Tuple[str, str, object]) -> pa.Table:
+def predicate_mask(t: pa.Table, predicate: Tuple[str, str, object]):
+    """Boolean array: predicate is TRUE per row (nulls -> False, the
+    SQL three-valued outcome of WHERE / DELETE WHERE).  None when the
+    column isn't present (caller decides the open-world default)."""
     import pyarrow.compute as pc
 
     col, op, val = predicate
     if col not in t.column_names:
-        return t
+        return None
     c = t[col]
     if op == "in":
         vals = pa.array(list(val)).cast(c.type)
-        return t.filter(pc.is_in(c, value_set=vals))
-    v = pa.scalar(val).cast(c.type) if not isinstance(val, pa.Scalar) else val
-    fn = {"==": pc.equal, "!=": pc.not_equal, ">": pc.greater,
-          ">=": pc.greater_equal, "<": pc.less, "<=": pc.less_equal}[op]
-    return t.filter(fn(c, v))
+        m = pc.is_in(c, value_set=vals)
+    else:
+        v = pa.scalar(val).cast(c.type) if not isinstance(val, pa.Scalar) else val
+        fn = {"==": pc.equal, "!=": pc.not_equal, ">": pc.greater,
+              ">=": pc.greater_equal, "<": pc.less, "<=": pc.less_equal}[op]
+        m = fn(c, v)
+    return pc.fill_null(m, False)
+
+
+def _exact_filter(t: pa.Table, predicate: Tuple[str, str, object]) -> pa.Table:
+    m = predicate_mask(t, predicate)
+    return t if m is None else t.filter(m)
 
 
 class DecodeBatch:
@@ -280,7 +290,8 @@ class DecodeBatch:
     def __init__(self, verify_checksum: bool = True,
                  columns: Optional[Sequence[str]] = None,
                  predicate=None,
-                 dict_dirs: Optional[Sequence[str]] = None):
+                 dict_dirs: Optional[Sequence[str]] = None,
+                 deletes_dir: Optional[str] = None):
         # one (col, op, value) clause or a list of clauses AND'd
         # together; each clause prunes via the zone maps independently
         self.predicates = normalize_predicates(predicate)
@@ -289,6 +300,11 @@ class DecodeBatch:
         # shared-dict search roots, registered lazily IN THE WORKER
         # (__init__ may run on the driver before pickling)
         self.dict_dirs = list(dict_dirs) if dict_dirs else []
+        # merge-on-read deletion vectors (pipelines/deletes.py): the
+        # corpus root whose committed _deletes/ sidecars mask rows out
+        # of every decode.  Masks load lazily in the worker through a
+        # process-global cache — the driver only ships the path.
+        self.deletes_dir = deletes_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.dict_dirs:
@@ -296,6 +312,11 @@ class DecodeBatch:
 
             for d in self.dict_dirs:
                 register_dir(d)
+        del_masks = {}
+        if self.deletes_dir is not None:
+            from ..pipelines.deletes import load_delete_masks
+
+            del_masks = load_delete_masks(self.deletes_dir)
         tables = []
         cols = batch.column_names
         for r in range(len(batch)):
@@ -303,8 +324,17 @@ class DecodeBatch:
                 sj = batch["stats_json"][r].as_py()
                 if not all(chunk_may_match(sj, p) for p in self.predicates):
                     continue  # zone map proves no row matches
+            dmask = None
+            if del_masks:
+                key = (batch["fragment"][r].as_py(),
+                       batch["chunk_id"][r].as_py())
+                dmask = del_masks.get(key)
+                if isinstance(dmask, str):  # "all": whole chunk deleted
+                    continue
             row = {c: batch[c][r].as_py() for c in cols}
             t = decode_chunk_row(row, self.verify_checksum, self.columns)
+            if dmask is not None:
+                t = t.filter(pa.array(~dmask))
             for p in self.predicates:
                 t = _exact_filter(t, p)
             if t.num_rows:
