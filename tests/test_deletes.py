@@ -177,3 +177,32 @@ def test_deletes_survive_compaction(ray_session, tmp_path):
     # and vacuum works on the compacted layout
     vacuum_deletes(out)
     assert decode_corpus(out).count() == n_live
+
+
+def test_torn_vacuum_converges(ray_session, tmp_path):
+    """Crash-safety: un-commit one vacuumed group (as a crash between
+    its data write and its lineage marker would leave it) — reads
+    still serve the OLD group with masks in force, and a re-run
+    converges to the same final state."""
+    inp, out, orig = _setup(tmp_path, group_size=1)
+    ntok = orig["n_tok"].to_numpy()
+    med = int(np.median(ntok))
+    delete_where(out, ("n_tok", ">=", med))
+    want = decode_corpus(out).count()
+    vacuum_deletes(out, gc=False)
+    lin_root = os.path.join(out, "_lineage")
+    meta_root = os.path.join(out, "_meta")
+    vg = [f for f in os.listdir(lin_root) if f.startswith("group-v")]
+    assert vg, "vacuum produced no replacement groups"
+    # simulate the crash: drop one replacement's commit marker AND its
+    # supersedes file, and restore the delete sidecar set (the crash
+    # happens BEFORE sidecar retirement)
+    victim = vg[0][len("group-"):-len(".parquet")]
+    os.remove(os.path.join(lin_root, f"group-{victim}.parquet"))
+    os.remove(os.path.join(meta_root, f"group-{victim}.supersedes.json"))
+    delete_where(out, ("n_tok", ">=", med))  # masks in force again
+    assert decode_corpus(out).count() == want  # old group + mask serves
+    res = vacuum_deletes(out)  # re-run converges
+    assert res["retired_deletes"] >= 1
+    assert decode_corpus(out).count() == want
+    assert deleted_row_count(out) == 0
