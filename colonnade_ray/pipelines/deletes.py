@@ -116,6 +116,11 @@ def load_delete_masks(out_dir: str) -> dict:
     for k, v in masks.items():
         if not isinstance(v, str) and v.all():
             masks[k] = "all"
+    # one live entry per corpus: stale commit-set generations (prior
+    # delete/vacuum states) would otherwise accumulate for the life of
+    # a long-running worker process
+    for old in [k for k in _MASK_CACHE if k[0] == key[0]]:
+        del _MASK_CACHE[old]
     _MASK_CACHE[key] = masks
     return masks
 
