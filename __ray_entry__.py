@@ -817,6 +817,43 @@ def q_delete_where_count(sf_dir: str):
                                 preserve_index=False)
 
 
+def q_evolve_add_column(sf_dir: str):
+    """Schema evolution IN the gate (pipelines/evolve.py): encode the
+    documents table, attach a derived chars_bucket column WITHOUT
+    re-encoding existing payloads, then answer count/sum/max pushdowns
+    ON THE NEW COLUMN (it gets its own zone maps + __sums__) — all
+    compared against plain SQL computing the same derivation."""
+    from colonnade_ray.pipelines import (
+        add_columns,
+        aggregate_where,
+        count_where,
+        encode_corpus,
+    )
+
+    def bucketize(t):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        return {"chars_bucket": _pc.divide(t["n_chars"], 200).cast(_pa.int64())}
+
+    work = _run_dir(sf_dir, "evolve")
+    inp = os.path.join(work, "input")
+    out = os.path.join(work, "out")
+    _tbl(sf_dir, "documents", ["doc_id", "n_chars", "source"]) \
+        .write_parquet(inp)
+    encode_corpus(inp, out, batch_size=512, resume=False,
+                  cluster_by="n_chars")
+    add_columns(out, bucketize, ["n_chars"])
+    n = count_where(out, ("chars_bucket", ">=", 3))
+    s = aggregate_where(out, "sum", "chars_bucket")
+    mx = aggregate_where(out, "max", "chars_bucket")
+    return pa.table({
+        "n_ge_3": pa.array([n], pa.int64()),
+        "sum_bucket": pa.array([s], pa.int64()),
+        "max_bucket": pa.array([mx], pa.int64()),
+    })
+
+
 def q_user_event_seq(sf_dir: str):
     """Per-key running sequence number (row_number window): bucketed
     per-user cumcount over ts-ordered events."""
@@ -1665,6 +1702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_customers": q_active_customers,
         "encoded_count_where": q_encoded_count_where,
         "delete_where_count": q_delete_where_count,
+        "evolve_add_column": q_evolve_add_column,
         "winsorize": q_winsorize,
         "mode_lang": q_mode_lang,
         "group_moments": q_group_moments,
@@ -2281,6 +2319,13 @@ def oracle_sql() -> dict[str, str]:
             "AS n_ge_600 "
             "FROM documents WHERE (lang = 'de') IS NOT TRUE "
             "GROUP BY source ORDER BY source"
+        ),
+        "evolve_add_column": (
+            "SELECT CAST(COUNT(*) FILTER (n_chars // 200 >= 3) AS BIGINT) "
+            "AS n_ge_3, "
+            "CAST(SUM(n_chars // 200) AS BIGINT) AS sum_bucket, "
+            "CAST(MAX(n_chars // 200) AS BIGINT) AS max_bucket "
+            "FROM documents"
         ),
         "active_customers": (
             "SELECT c_custkey, c_mktsegment FROM customer c "
