@@ -24,8 +24,9 @@ colonnade/src/Colonnade.hs:96-160) — this is that composition applied
 retroactively to data already at rest.
 
 Scale notes: the pass moves each affected group's bytes once
-(read + write, no codec work on old columns — measured ~6x cheaper
-than re-encoding) and computes/encodes only the new column; groups
+(read + write, no codec work on old columns — measured 1.0 s vs a
+5.9 s warm full re-encode on the sf0.1 flagship corpus, ~6x) and
+computes/encodes only the new column; groups
 that already carry the requested names are SKIPPED, which makes the
 operator idempotent, crash-resumable, and re-runnable after
 ``append=True`` runs added new groups.  Deterministic ``fn`` keeps
