@@ -13,7 +13,7 @@ from .encode_pipeline import (
     encode_dataset,
     roundtrip_verify,
 )
-from .evolve import add_columns
+from .evolve import add_columns, drop_columns, rename_columns
 from .deletes import (
     committed_deletes,
     delete_where,

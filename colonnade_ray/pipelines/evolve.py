@@ -264,3 +264,253 @@ def add_columns(out_dir: str, fn: Callable, input_columns: Sequence[str],
     return {"augmented_groups": len(todo),
             "skipped_groups": len(groups) - len(todo),
             "columns": names}
+
+
+class _RewriteSchema:
+    """Chunk-row rewriter for drop/rename: payloads move verbatim
+    (dropped ones simply don't move), column indices renumber, and
+    plan/stats/codecs/checksum/chunk_id re-derive."""
+
+    def __init__(self, drop=(), rename: Optional[dict] = None):
+        self.drop = set(drop)
+        self.rename = dict(rename or {})
+
+    def _fix_ref(self, s: str) -> str:
+        if isinstance(s, str) and s.startswith("ref:"):
+            tgt = s[4:]
+            return "ref:" + self.rename.get(tgt, tgt)
+        return s
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        names_in = batch.column_names
+        out_rows = []
+        for r in range(len(batch)):
+            row = {c: batch[c][r].as_py() for c in names_in}
+            plan = json.loads(row["plan_json"])
+            codecs = json.loads(row["codecs_json"])
+            stats = json.loads(row["stats_json"]) if row.get("stats_json") \
+                else {}
+            keep = [i for i, nm in enumerate(plan) if nm not in self.drop]
+            if not keep:
+                raise ValueError("drop_columns would leave zero columns")
+            metas = {i: json.loads(row[f"col{i}_meta"]) for i in keep}
+            for i in keep:
+                m = metas[i]
+                if m.get("kind") == "list":
+                    lentry = m["streams"]["lengths"]
+                    if lentry.get("codec") == "ref" and \
+                            lentry["meta"]["col"] in self.drop:
+                        raise ValueError(
+                            f"column {lentry['meta']['col']!r} stores the "
+                            f"lengths of {m['name']!r} (cross-column "
+                            "dedup ref) and cannot be dropped while "
+                            f"{m['name']!r} survives")
+            new_row = {c: row[c] for c in
+                       ("fragment", "n_rows", "n_tokens", "bytes_in")}
+            payloads, new_plan, new_codecs = [], [], []
+            bytes_out = 0
+            for j, i in enumerate(keep):
+                m = metas[i]
+                old = m["name"]
+                new = self.rename.get(old, old)
+                m["name"] = new
+                if m.get("kind") == "list":
+                    lentry = m["streams"]["lengths"]
+                    if lentry.get("codec") == "ref":
+                        tgt = lentry["meta"]["col"]
+                        lentry["meta"]["col"] = self.rename.get(tgt, tgt)
+                ce = dict(codecs[i])
+                if "lengths" in ce:
+                    ce["lengths"] = self._fix_ref(ce["lengths"])
+                payload = row[f"col{i}_payload"]
+                mjson = json.dumps(m, separators=(",", ":"))
+                new_row[f"col{j}_payload"] = payload
+                new_row[f"col{j}_meta"] = mjson
+                payloads.append(payload)
+                new_plan.append(new)
+                new_codecs.append(ce)
+                bytes_out += len(payload) + len(mjson)
+            new_stats = {}
+            for k, v in stats.items():
+                if k in ("__nulls__", "__sums__"):
+                    new_stats[k] = {
+                        self.rename.get(c, c): x for c, x in v.items()
+                        if c not in self.drop}
+                elif k not in self.drop:
+                    new_stats[self.rename.get(k, k)] = v
+            checksum = _rewrap_checksum(payloads)
+            new_row["plan_json"] = json.dumps(new_plan)
+            new_row["codecs_json"] = json.dumps(new_codecs)
+            new_row["stats_json"] = json.dumps(new_stats,
+                                               separators=(",", ":"),
+                                               default=str)
+            new_row["bytes_out"] = bytes_out
+            new_row["checksum"] = checksum
+            new_row["chunk_id"] = checksum[:16]
+            out_rows.append(new_row)
+        cols = (["fragment", "chunk_id", "n_rows", "n_tokens", "bytes_in",
+                 "bytes_out", "checksum", "plan_json", "codecs_json",
+                 "stats_json"]
+                + sorted(c for c in out_rows[0] if c.startswith("col")))
+        return pa.table({c: [row[c] for row in out_rows] for c in cols})
+
+
+def _rewrap_checksum(payloads) -> str:
+    from ..stages.encode import _checksum
+
+    return _checksum(payloads)
+
+
+def _rewrite_schema(out_dir: str, rewriter: _RewriteSchema, tag: str,
+                    gc: bool = True, concurrency=None) -> int:
+    """Shared drop/rename driver: rewrite every active group under the
+    supersedes protocol.  Returns the number of rewritten groups."""
+    import ray.data as rd
+
+    from .deletes import committed_deletes
+    from .encode_pipeline import (
+        LINEAGE_COLS,
+        _meta_root,
+        active_groups,
+    )
+
+    if committed_deletes(out_dir):
+        raise ValueError(
+            f"{tag} with pending deletion masks would orphan them "
+            "(masks key on chunk ids): run vacuum_deletes(out_dir) first")
+    data_root = os.path.join(out_dir, "data")
+    lin_root = os.path.join(out_dir, "_lineage")
+    groups = active_groups(out_dir)
+    if not groups:
+        raise FileNotFoundError(f"no committed encode groups under {out_dir}")
+    done = 0
+    for gid in groups:
+        lt = pq.read_table(os.path.join(lin_root, f"group-{gid}.parquet"),
+                           columns=["plan_json"])
+        plan = json.loads(lt["plan_json"][0].as_py()) if lt.num_rows else []
+        touched = (set(plan) & rewriter.drop) or \
+            (set(plan) & set(rewriter.rename))
+        if not touched:
+            continue
+        gdir_old = os.path.join(data_root, f"group-{gid}")
+        files = sorted(
+            os.path.join(gdir_old, f) for f in os.listdir(gdir_old)
+            if f.endswith(".parquet")
+        )
+        h = hashlib.blake2b(digest_size=8)
+        h.update((tag + ":" + gid).encode())
+        for n in sorted(rewriter.drop) + sorted(
+                f"{a}>{b}" for a, b in rewriter.rename.items()):
+            h.update(b"\x00" + n.encode())
+        ngid = "s" + h.hexdigest()[:15]
+        gdir = os.path.join(data_root, f"group-{ngid}")
+        if os.path.exists(gdir):
+            shutil.rmtree(gdir)
+        rd.read_parquet(files, override_num_blocks=max(1, len(files))) \
+            .map_batches(rewriter, batch_format="pyarrow", batch_size=16,
+                         zero_copy_batch=True, concurrency=concurrency) \
+            .write_parquet(gdir, compression="none")
+        old_sc = os.path.join(_meta_root(out_dir), f"group-{gid}.files.json")
+        covered = []
+        if os.path.exists(old_sc):
+            with open(old_sc) as fh:
+                covered = json.load(fh)
+        with open(os.path.join(_meta_root(out_dir),
+                               f"group-{ngid}.files.json"), "w") as fh:
+            json.dump(sorted(covered), fh)
+        with open(os.path.join(_meta_root(out_dir),
+                               f"group-{ngid}.supersedes.json"), "w") as fh:
+            json.dump([gid], fh)
+        lineage = pq.read_table(gdir, columns=LINEAGE_COLS)
+        pq.write_table(lineage,
+                       os.path.join(lin_root, f"group-{ngid}.parquet"))
+        if gc:
+            for suffix, rootd in ((".parquet", lin_root),
+                                  (".files.json", _meta_root(out_dir)),
+                                  (".supersedes.json", _meta_root(out_dir))):
+                p = os.path.join(rootd, f"group-{gid}{suffix}")
+                if os.path.exists(p):
+                    os.remove(p)
+            shutil.rmtree(gdir_old, ignore_errors=True)
+        done += 1
+    return done
+
+
+def drop_columns(out_dir: str, names: Sequence[str],
+                 gc: bool = True, concurrency=None) -> dict:
+    """Physically remove columns from the corpus: their payload bytes
+    stop existing (space reclaimed), everything else moves verbatim.
+    Refuses to drop a column that stores the lengths of a SURVIVING
+    list column (cross-column dedup ref — drop both or neither); the
+    check runs driver-side over the lineage manifest (codecs_json is
+    per-chunk there, so per-chunk ref fallbacks are all visible)
+    BEFORE any group rewrites.  Lineage ``n_tokens`` is a corpus
+    metric, not a schema property, and is left unchanged."""
+    from .encode_pipeline import active_groups
+
+    names = list(names)
+    drop = set(names)
+    lin_root = os.path.join(out_dir, "_lineage")
+    for gid in active_groups(out_dir):
+        lt = pq.read_table(os.path.join(lin_root, f"group-{gid}.parquet"),
+                           columns=["plan_json", "codecs_json"])
+        for pj, cj in zip(lt["plan_json"].to_pylist(),
+                          lt["codecs_json"].to_pylist()):
+            plan = json.loads(pj)
+            for name, entry in zip(plan, json.loads(cj)):
+                if name in drop:
+                    continue  # the list column is dropped too: fine
+                lc = entry.get("lengths", "")
+                if isinstance(lc, str) and lc.startswith("ref:") \
+                        and lc[4:] in drop:
+                    raise ValueError(
+                        f"column {lc[4:]!r} stores the lengths of "
+                        f"{name!r} (cross-column dedup ref) and cannot "
+                        f"be dropped while {name!r} survives "
+                        f"(group {gid})")
+    done = _rewrite_schema(out_dir, _RewriteSchema(drop=names),
+                           f"drop:{','.join(sorted(names))}",
+                           gc=gc, concurrency=concurrency)
+    # keep the augment provenance record consistent
+    rec_path = os.path.join(out_dir, "_meta", "augmented_columns.json")
+    if os.path.exists(rec_path):
+        with open(rec_path) as fh:
+            rec = [n for n in json.load(fh) if n not in set(names)]
+        tmp = rec_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, rec_path)
+    return {"rewritten_groups": done, "dropped": names}
+
+
+def rename_columns(out_dir: str, mapping: dict,
+                   gc: bool = True, concurrency=None) -> dict:
+    """Rename columns corpus-wide: a pure metadata rewrite (payloads
+    move verbatim; plan, per-column meta names, zone-map keys and
+    cross-column length refs all follow)."""
+    from .encode_pipeline import active_groups
+
+    lin_root = os.path.join(out_dir, "_lineage")
+    for gid in active_groups(out_dir):
+        lt = pq.read_table(os.path.join(lin_root, f"group-{gid}.parquet"),
+                           columns=["plan_json"])
+        plan = set(json.loads(lt["plan_json"][0].as_py())) if lt.num_rows \
+            else set()
+        clash = (set(mapping.values()) & plan) - set(mapping)
+        if clash:
+            raise ValueError(
+                f"rename target(s) {sorted(clash)} already exist in "
+                f"group {gid}")
+    done = _rewrite_schema(out_dir, _RewriteSchema(rename=mapping),
+                           "rename:" + ",".join(
+                               f"{a}>{b}" for a, b in sorted(mapping.items())),
+                           gc=gc, concurrency=concurrency)
+    rec_path = os.path.join(out_dir, "_meta", "augmented_columns.json")
+    if os.path.exists(rec_path):
+        with open(rec_path) as fh:
+            rec = sorted({mapping.get(n, n) for n in json.load(fh)})
+        tmp = rec_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, rec_path)
+    return {"rewritten_groups": done, "renamed": dict(mapping)}

@@ -119,3 +119,63 @@ def test_add_columns_checksums_and_verify(ray_session, tmp_path):
     assert all(cid == ck[:16] for cid, ck in
                zip(lin["chunk_id"].to_pylist(),
                    lin["checksum"].to_pylist()))
+
+
+def test_drop_columns_reclaims_and_guards_refs(ray_session, tmp_path):
+    from colonnade_ray.pipelines import corpus_summary, drop_columns
+
+    inp, out, orig = _setup(tmp_path)
+    before = corpus_summary(out)["bytes_out"]
+    # n_tok stores the lengths of tokens (cross-column dedup ref):
+    # dropping it alone must refuse while tokens survives
+    with pytest.raises(ValueError, match="lengths"):
+        drop_columns(out, ["n_tok"])
+    res = drop_columns(out, ["source"])
+    assert res["rewritten_groups"] >= 1
+    dec = decode_corpus(out, verify_checksum=True)
+    assert set(dec.schema().names) == {"doc_id", "tokens", "n_tok"}
+    assert dec.count() == len(orig)
+    assert corpus_summary(out)["bytes_out"] < before
+    # surviving columns still decode bit-identically + pushdown works
+    nt = np.asarray(orig["n_tok"].to_pylist())
+    assert count_where(out, ("n_tok", ">=", int(np.median(nt)))) == \
+        int((nt >= int(np.median(nt))).sum())
+    # dropping the list and its ref target TOGETHER is fine
+    drop_columns(out, ["tokens", "n_tok"])
+    assert decode_corpus(out).schema().names == ["doc_id"]
+
+
+def test_rename_columns_follows_refs_and_stats(ray_session, tmp_path):
+    from colonnade_ray.pipelines import rename_columns
+
+    inp, out, orig = _setup(tmp_path)
+    with pytest.raises(ValueError, match="already exist"):
+        rename_columns(out, {"n_tok": "source"})
+    res = rename_columns(out, {"n_tok": "length", "source": "origin"})
+    assert res["rewritten_groups"] >= 1
+    dec = decode_corpus(out, verify_checksum=True)
+    assert set(dec.schema().names) == {"doc_id", "tokens", "length",
+                                       "origin"}
+    # tokens still decodes through the RENAMED lengths-ref target
+    rows = dec.take_all()
+    want_tok = {d: list(tk) for d, tk in zip(orig["doc_id"].to_pylist(),
+                                             orig["tokens"].to_pylist())}
+    assert all(list(r["tokens"]) == want_tok[r["doc_id"]] for r in rows)
+    # zone maps moved with the rename: pushdown on the new name
+    nt = np.asarray(orig["n_tok"].to_pylist())
+    med = int(np.median(nt))
+    assert count_where(out, ("length", ">=", med)) == int((nt >= med).sum())
+    from colonnade_ray.pipelines import aggregate_where as aggw
+
+    assert aggw(out, "sum", "length") == int(nt.sum())
+
+
+def test_schema_rewrite_refuses_pending_deletes(ray_session, tmp_path):
+    from colonnade_ray.pipelines import drop_columns, rename_columns
+
+    inp, out, orig = _setup(tmp_path, n_rows=200)
+    delete_where(out, ("n_tok", ">=", int(np.median(orig["n_tok"].to_numpy()))))
+    with pytest.raises(ValueError, match="vacuum_deletes"):
+        drop_columns(out, ["source"])
+    with pytest.raises(ValueError, match="vacuum_deletes"):
+        rename_columns(out, {"source": "origin"})
