@@ -854,6 +854,30 @@ def q_evolve_add_column(sf_dir: str):
     })
 
 
+def q_replace_where_rewrite(sf_dir: str):
+    """UPDATE-in-place at corpus scale (pipelines/evolve.py
+    update_where/replace_where — the reference's modifyWhen/replaceWhen
+    lifted to lifecycle): encode documents, SET source = 'redacted'
+    WHERE lang = 'de', and answer the per-source counts from the
+    rewritten corpus vs SQL computing the same CASE rewrite."""
+    from colonnade_ray.pipelines import (
+        encode_corpus,
+        group_counts,
+        replace_where,
+    )
+
+    work = _run_dir(sf_dir, "updatewhere")
+    inp = os.path.join(work, "input")
+    out = os.path.join(work, "out")
+    _tbl(sf_dir, "documents", ["doc_id", "lang", "source"]) \
+        .write_parquet(inp)
+    encode_corpus(inp, out, batch_size=512, resume=False)
+    replace_where(out, ("lang", "==", "de"), {"source": "redacted"})
+    gc = group_counts(out, "source").rename(columns={"n_rows": "n_docs"})
+    return pa.Table.from_pandas(gc[["source", "n_docs"]],
+                                preserve_index=False)
+
+
 def q_user_event_seq(sf_dir: str):
     """Per-key running sequence number (row_number window): bucketed
     per-user cumcount over ts-ordered events."""
@@ -1703,6 +1727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_count_where": q_encoded_count_where,
         "delete_where_count": q_delete_where_count,
         "evolve_add_column": q_evolve_add_column,
+        "replace_where_rewrite": q_replace_where_rewrite,
         "winsorize": q_winsorize,
         "mode_lang": q_mode_lang,
         "group_moments": q_group_moments,
@@ -2326,6 +2351,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(n_chars // 200) AS BIGINT) AS sum_bucket, "
             "CAST(MAX(n_chars // 200) AS BIGINT) AS max_bucket "
             "FROM documents"
+        ),
+        "replace_where_rewrite": (
+            "SELECT CASE WHEN lang = 'de' THEN 'redacted' ELSE source "
+            "END AS source, CAST(COUNT(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY 1 ORDER BY 1"
         ),
         "active_customers": (
             "SELECT c_custkey, c_mktsegment FROM customer c "

@@ -13,7 +13,13 @@ from .encode_pipeline import (
     encode_dataset,
     roundtrip_verify,
 )
-from .evolve import add_columns, drop_columns, rename_columns
+from .evolve import (
+    add_columns,
+    drop_columns,
+    rename_columns,
+    replace_where,
+    update_where,
+)
 from .deletes import (
     committed_deletes,
     delete_where,

@@ -514,3 +514,195 @@ def rename_columns(out_dir: str, mapping: dict,
             json.dump(rec, fh)
         os.replace(tmp, rec_path)
     return {"rewritten_groups": done, "renamed": dict(mapping)}
+
+
+class _UpdateChunks:
+    """Chunk-row rewriter for update_where: chunks the zone maps prove
+    untouched copy VERBATIM (no decode, no re-encode); touched chunks
+    decode, rewrite ONLY the matching rows through ``fn``, and
+    re-encode under the same plan and pinned shared dictionaries."""
+
+    def __init__(self, out_dir: str, predicate, fn: Callable):
+        from ..stages.decode import normalize_predicates
+
+        self.out_dir = out_dir
+        self.predicates = normalize_predicates(predicate)
+        self.fn = fn
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..codecs.shared_dict import register_dir
+        from ..plan import CodecPlan, bind_plan
+        from ..stages.decode import (
+            chunk_may_match,
+            decode_chunk_row,
+            predicate_mask,
+        )
+        from ..stages.encode import encode_chunk
+        from .encode_pipeline import load_pinned_dicts
+
+        register_dir(self.out_dir)
+        shared = load_pinned_dicts(self.out_dir)
+        names_in = batch.column_names
+        out_tables = []
+        for r in range(len(batch)):
+            sj = batch["stats_json"][r].as_py()
+            if not all(chunk_may_match(sj, p) for p in self.predicates):
+                out_tables.append(batch.slice(r, 1))  # proven untouched
+                continue
+            row = {c: batch[c][r].as_py() for c in names_in}
+            t = decode_chunk_row(row, verify_checksum=True)
+            mask = np.ones(t.num_rows, dtype=bool)
+            for p in self.predicates:
+                pm = predicate_mask(t, p)
+                if pm is None:
+                    mask &= False
+                else:
+                    if isinstance(pm, pa.ChunkedArray):
+                        pm = pm.combine_chunks()
+                    mask &= pm.to_numpy(zero_copy_only=False).astype(bool)
+            if not mask.any():
+                out_tables.append(batch.slice(r, 1))
+                continue
+            matched = t.filter(pa.array(mask))
+            updated = self.fn(matched)
+            if not isinstance(updated, pa.Table):
+                updated = pa.table(updated)
+            if updated.num_rows != matched.num_rows:
+                raise ValueError(
+                    f"update fn returned {updated.num_rows} rows for "
+                    f"{matched.num_rows} matched")
+            if set(updated.column_names) != set(t.column_names):
+                raise ValueError(
+                    f"update fn changed the schema: {updated.column_names}"
+                    f" vs {t.column_names} (use add/drop/rename_columns "
+                    "for schema changes)")
+            # scatter the updated rows back in place via concat + take
+            # (works for every Arrow type, including list columns,
+            # unlike replace_with_mask)
+            unmatched = t.filter(pa.array(~mask))
+            updated = pa.table({
+                name: updated[name].combine_chunks().cast(
+                    t.schema.field(name).type)
+                for name in t.column_names})
+            combined = pa.concat_tables([unmatched, updated])
+            order = np.empty(t.num_rows, dtype=np.int64)
+            order[~mask] = np.arange(unmatched.num_rows)
+            order[mask] = unmatched.num_rows + np.arange(
+                int(mask.sum()))
+            new_t = combined.take(pa.array(order))
+            plan = CodecPlan.by_name(*json.loads(row["plan_json"]))
+            bound = bind_plan(plan, new_t.schema)
+            enc = encode_chunk(new_t, bound, None, row["fragment"],
+                               shared_dicts=shared)
+            out_tables.append(pa.table(enc).select(names_in))
+        return pa.concat_tables(out_tables) if out_tables \
+            else batch.slice(0, 0)
+
+
+def update_where(out_dir: str, predicate, fn: Callable,
+                 gc: bool = True, concurrency=None) -> dict:
+    """UPDATE ... WHERE over an encoded corpus — the reference's
+    ``modifyWhen`` (colonnade/src/Colonnade.hs:217-248) lifted to
+    corpus lifecycle.  ``fn``: pa.Table of the MATCHING rows (full
+    schema) -> same-schema, same-length table of their replacements;
+    non-matching rows and zone-proven-untouched chunks move verbatim
+    (the latter without even decoding).  Groups whose lineage zone
+    maps prove no chunk can match are skipped entirely.  Commits per
+    group under the supersedes protocol; refuses while deletion masks
+    are pending (chunk ids change)."""
+    import ray.data as rd
+
+    from ..stages.decode import chunk_may_match, normalize_predicates
+    from .deletes import committed_deletes
+    from .encode_pipeline import (
+        LINEAGE_COLS,
+        _meta_root,
+        active_groups,
+    )
+
+    preds = normalize_predicates(predicate)
+    if not preds:
+        raise ValueError("update_where needs at least one predicate")
+    if committed_deletes(out_dir):
+        raise ValueError(
+            "update_where with pending deletion masks would orphan them "
+            "(masks key on chunk ids): run vacuum_deletes(out_dir) first")
+    data_root = os.path.join(out_dir, "data")
+    lin_root = os.path.join(out_dir, "_lineage")
+    groups = active_groups(out_dir)
+    if not groups:
+        raise FileNotFoundError(f"no committed encode groups under {out_dir}")
+    pred_key = json.dumps(
+        [[p[0], p[1], list(p[2]) if p[1] == "in" else p[2]] for p in preds],
+        sort_keys=True, default=str)
+    done = 0
+    for gid in groups:
+        lt = pq.read_table(os.path.join(lin_root, f"group-{gid}.parquet"),
+                           columns=["stats_json"])
+        sj = lt["stats_json"].to_pylist()
+        if not any(all(chunk_may_match(s, p) for p in preds) for s in sj):
+            continue  # zone maps prove: nothing to update in this group
+        gdir_old = os.path.join(data_root, f"group-{gid}")
+        files = sorted(
+            os.path.join(gdir_old, f) for f in os.listdir(gdir_old)
+            if f.endswith(".parquet")
+        )
+        h = hashlib.blake2b(digest_size=8)
+        h.update(("update:" + gid + ":" + pred_key).encode())
+        ngid = "u" + h.hexdigest()[:15]
+        gdir = os.path.join(data_root, f"group-{ngid}")
+        if os.path.exists(gdir):
+            shutil.rmtree(gdir)
+        rd.read_parquet(files, override_num_blocks=max(1, len(files))) \
+            .map_batches(_UpdateChunks(out_dir, predicate, fn),
+                         batch_format="pyarrow", batch_size=4,
+                         zero_copy_batch=True, concurrency=concurrency) \
+            .write_parquet(gdir, compression="none")
+        old_sc = os.path.join(_meta_root(out_dir), f"group-{gid}.files.json")
+        covered = []
+        if os.path.exists(old_sc):
+            with open(old_sc) as fh:
+                covered = json.load(fh)
+        with open(os.path.join(_meta_root(out_dir),
+                               f"group-{ngid}.files.json"), "w") as fh:
+            json.dump(sorted(covered), fh)
+        with open(os.path.join(_meta_root(out_dir),
+                               f"group-{ngid}.supersedes.json"), "w") as fh:
+            json.dump([gid], fh)
+        lineage = pq.read_table(gdir, columns=LINEAGE_COLS)
+        pq.write_table(lineage,
+                       os.path.join(lin_root, f"group-{ngid}.parquet"))
+        if gc:
+            for suffix, rootd in ((".parquet", lin_root),
+                                  (".files.json", _meta_root(out_dir)),
+                                  (".supersedes.json", _meta_root(out_dir))):
+                p = os.path.join(rootd, f"group-{gid}{suffix}")
+                if os.path.exists(p):
+                    os.remove(p)
+            shutil.rmtree(gdir_old, ignore_errors=True)
+        done += 1
+    return {"updated_groups": done,
+            "skipped_groups": len(groups) - done}
+
+
+def replace_where(out_dir: str, predicate, values: dict,
+                  gc: bool = True, concurrency=None) -> dict:
+    """``replaceWhen``: constant-assignment UPDATE (SET col = value
+    for each entry of ``values``) on rows matching ``predicate``."""
+    consts = dict(values)
+
+    def fn(matched: pa.Table) -> pa.Table:
+        cols = {}
+        for name in matched.column_names:
+            if name in consts:
+                arr = matched[name].combine_chunks()
+                cols[name] = pa.array([consts[name]] * matched.num_rows,
+                                      type=arr.type)
+            else:
+                cols[name] = matched[name]
+        return pa.table(cols)
+
+    return update_where(out_dir, predicate, fn, gc=gc,
+                        concurrency=concurrency)

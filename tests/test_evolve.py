@@ -179,3 +179,74 @@ def test_schema_rewrite_refuses_pending_deletes(ray_session, tmp_path):
         drop_columns(out, ["source"])
     with pytest.raises(ValueError, match="vacuum_deletes"):
         rename_columns(out, {"source": "origin"})
+
+
+def test_update_where_modifies_matching_rows(ray_session, tmp_path):
+    """modifyWhen at corpus scale: matching rows rewrite through fn,
+    everything else (rows AND zone-proven chunks) moves verbatim."""
+    from colonnade_ray.pipelines import update_where
+
+    inp, out, orig = _setup(tmp_path, cluster_by="n_tok")
+    nt = orig["n_tok"].to_numpy()
+    med = int(np.median(nt))
+
+    def double_ntok(matched):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        cols = {n: matched[n] for n in matched.column_names}
+        cols["n_tok"] = _pc.multiply(matched["n_tok"],
+                                     _pa.scalar(2, _pa.int64()))
+        return _pa.table(cols)
+
+    res = update_where(out, ("n_tok", ">=", med), double_ntok)
+    assert res["updated_groups"] >= 1
+    dec = decode_corpus(out, verify_checksum=True)
+    got = {r["doc_id"]: r["n_tok"] for r in dec.take_all()}
+    for d, n in zip(orig["doc_id"].to_pylist(), orig["n_tok"].to_pylist()):
+        assert got[d] == (2 * n if n >= med else n)
+    # zone maps refreshed: pushdown sees the NEW values
+    want = np.where(nt >= med, 2 * nt, nt)
+    assert count_where(out, ("n_tok", ">=", 2 * med)) == \
+        int((want >= 2 * med).sum())
+    assert aggregate_where(out, "sum", "n_tok") == int(want.sum())
+
+
+def test_replace_where_constant_and_untouched_tokens(ray_session, tmp_path):
+    """replaceWhen: constant assignment; the untouched list column
+    still round-trips bit-identically through the rewrite."""
+    from colonnade_ray.pipelines import replace_where
+
+    inp, out, orig = _setup(tmp_path)
+    srcs = sorted(set(orig["source"].to_pylist()))
+    victim = srcs[0]
+    res = replace_where(out, ("source", "==", victim),
+                        {"source": "redacted"})
+    assert res["updated_groups"] >= 1
+    dec = decode_corpus(out, verify_checksum=True)
+    rows = dec.take_all()
+    want_src = {d: ("redacted" if s == victim else s)
+                for d, s in zip(orig["doc_id"].to_pylist(),
+                                orig["source"].to_pylist())}
+    want_tok = {d: list(tk) for d, tk in zip(orig["doc_id"].to_pylist(),
+                                             orig["tokens"].to_pylist())}
+    assert all(r["source"] == want_src[r["doc_id"]] for r in rows)
+    assert all(list(r["tokens"]) == want_tok[r["doc_id"]] for r in rows)
+
+
+def test_update_where_schema_guard_and_deletes_guard(ray_session, tmp_path):
+    from colonnade_ray.pipelines import update_where
+
+    inp, out, orig = _setup(tmp_path, n_rows=200)
+
+    def bad_fn(matched):
+        return matched.drop_columns(["source"])
+
+    with pytest.raises(Exception, match="schema"):
+        update_where(out, ("n_tok", ">=", 0), bad_fn)
+    # corpus must be unchanged after the failed pass (old groups active)
+    assert decode_corpus(out).count() == len(orig)
+    delete_where(out, ("n_tok", ">=",
+                       int(np.median(orig["n_tok"].to_numpy()))))
+    with pytest.raises(ValueError, match="vacuum_deletes"):
+        update_where(out, ("n_tok", ">=", 0), lambda t: t)
