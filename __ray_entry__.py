@@ -878,6 +878,35 @@ def q_replace_where_rewrite(sf_dir: str):
                                 preserve_index=False)
 
 
+def q_bloom_point_lookup(sf_dir: str):
+    """Per-chunk Bloom filters IN the gate (stages/bloomzone.py):
+    encode documents with bloom_cols=["doc_id"], then answer point
+    lookups (hit, miss, and a predicated SUM) through count_where /
+    aggregate_where — the bloom prunes chunks the zone bands can't,
+    and the answers must equal plain SQL."""
+    from colonnade_ray.pipelines import (
+        aggregate_where,
+        count_where,
+        encode_corpus,
+    )
+
+    work = _run_dir(sf_dir, "bloom")
+    inp = os.path.join(work, "input")
+    out = os.path.join(work, "out")
+    _tbl(sf_dir, "documents", ["doc_id", "n_chars"]).write_parquet(inp)
+    encode_corpus(inp, out, batch_size=512, resume=False,
+                  bloom_cols=["doc_id"])
+    n_hit = count_where(out, ("doc_id", "==", 123))
+    n_miss = count_where(out, ("doc_id", "==", -7))
+    s = aggregate_where(out, "sum", "n_chars",
+                        predicate=("doc_id", "==", 123))
+    return pa.table({
+        "n_hit": pa.array([n_hit], pa.int64()),
+        "n_miss": pa.array([n_miss], pa.int64()),
+        "sum_hit": pa.array([int(s or 0)], pa.int64()),
+    })
+
+
 def q_user_event_seq(sf_dir: str):
     """Per-key running sequence number (row_number window): bucketed
     per-user cumcount over ts-ordered events."""
@@ -1728,6 +1757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delete_where_count": q_delete_where_count,
         "evolve_add_column": q_evolve_add_column,
         "replace_where_rewrite": q_replace_where_rewrite,
+        "bloom_point_lookup": q_bloom_point_lookup,
         "winsorize": q_winsorize,
         "mode_lang": q_mode_lang,
         "group_moments": q_group_moments,
@@ -2356,6 +2386,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CASE WHEN lang = 'de' THEN 'redacted' ELSE source "
             "END AS source, CAST(COUNT(*) AS BIGINT) AS n_docs "
             "FROM documents GROUP BY 1 ORDER BY 1"
+        ),
+        "bloom_point_lookup": (
+            "SELECT CAST(COUNT(*) FILTER (doc_id = 123) AS BIGINT) "
+            "AS n_hit, "
+            "CAST(COUNT(*) FILTER (doc_id = -7) AS BIGINT) AS n_miss, "
+            "CAST(COALESCE(SUM(n_chars) FILTER (doc_id = 123), 0) "
+            "AS BIGINT) AS sum_hit FROM documents"
         ),
         "active_customers": (
             "SELECT c_custkey, c_mktsegment FROM customer c "

@@ -226,6 +226,7 @@ def encode_dataset(
     fragments: Optional[Sequence[str]] = None,
     post_compress: Optional[str] = None,
     shared_dicts=None,
+    bloom_cols: Optional[Sequence[str]] = None,
 ):
     """Dataset of raw rows -> Dataset of encoded chunk rows (lazy).
 
@@ -244,6 +245,7 @@ def encode_dataset(
             return encode_batch(
                 b, list(plan_names) if plan_names else None, frag_names,
                 post_compress=post_compress, shared_dicts=shared_dicts,
+                bloom_cols=list(bloom_cols) if bloom_cols else None,
             )
 
         return ds.map_batches(
@@ -271,6 +273,7 @@ def encode_dataset(
             "fragments": list(fragments) if fragments else None,
             "post_compress": post_compress,
             "shared_dicts": shared_dicts,
+            "bloom_cols": list(bloom_cols) if bloom_cols else None,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -409,6 +412,7 @@ def encode_corpus(
     post_compress: Optional[str] = None,
     cluster_by: Optional[str] = None,
     shared_dicts: bool = True,
+    bloom_cols: Optional[Sequence[str]] = None,
 ) -> dict:
     """Encode a parquet corpus to out_dir with lineage + exact resume.
 
@@ -552,7 +556,7 @@ def encode_corpus(
             ds, plan_names, batch_size, concurrency, shared_fsst=shared_fsst,
             transport=spec or None, fragments=frag_names,
             stateless=use_stateless, post_compress=post_compress,
-            shared_dicts=sd_ref,
+            shared_dicts=sd_ref, bloom_cols=bloom_cols,
         )
         enc.write_parquet(gdir, compression="none")
         # input-file sidecar first (append mode reads it), THEN the

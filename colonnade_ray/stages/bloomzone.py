@@ -1,0 +1,115 @@
+"""Per-chunk Bloom filters for point-read pruning.
+
+Zone maps prune range predicates, but an equality predicate on a
+high-cardinality column (doc ids, user ids, content hashes) sees
+overlapping [min, max] bands in every chunk and prunes nothing.  An
+opt-in per-chunk Bloom filter (``encode_corpus(bloom_cols=[...])``)
+closes that gap: ``count_where(("doc_id", "==", X))`` and predicated
+decodes skip every chunk whose filter proves X absent — at 16 bits
+per distinct key / k=4 the false-positive rate is ~0.24%, so a point
+lookup over a 100-TB corpus reads ~the one true chunk (plus group
+manifests), not the corpus.
+
+Storage: ``stats_json["__bloom__"][col] = {"m": bits, "k": 4,
+"b64": ...}`` — riding the existing stats channel means the filter
+flows through lineage manifests (GROUP-level pruning probes it too,
+killing whole groups driver-side) and through every rewrite that
+preserves stats.  Absence is CONSERVATIVE (chunk stays may-match), so
+operators that re-encode chunks without re-deriving filters
+(update_where) degrade pruning, never correctness.
+
+Hashing: ``pandas.util.hash_array`` (SipHash-1-3 with the library's
+fixed default key) — deterministic, vectorized for both integer and
+object/string arrays; k positions derive from one 64-bit hash by
+double hashing (h1 + i*h2 mod m).
+"""
+
+from __future__ import annotations
+
+import base64
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+BITS_PER_KEY = 16
+K_HASHES = 4
+_MIN_BITS = 1 << 10
+_MAX_BITS = 1 << 22  # 512 KiB cap: a chunk with more distinct keys
+#                      than this/16 shouldn't carry a bloom (opt-in
+#                      columns are ids, which are bounded by n_rows)
+
+
+def _hash_u64(vals: np.ndarray) -> np.ndarray:
+    import pandas as pd
+
+    return pd.util.hash_array(vals)
+
+
+def _prep_values(arr) -> Optional[np.ndarray]:
+    """Arrow array -> hashable numpy values, or None when the type has
+    no bloom support (floats: equality predicates on floats are not a
+    point-lookup workload)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_integer(t):
+        try:
+            v = arr.drop_null().cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+        except pa.ArrowInvalid:
+            return None  # uint64 beyond int64: no bloom, stay encodable
+        return v.astype(np.int64)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return arr.drop_null().to_numpy(zero_copy_only=False).astype(object)
+    return None
+
+
+def _positions(h: np.ndarray, m: int) -> np.ndarray:
+    """(len(h) * K_HASHES,) bit positions via double hashing."""
+    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    h2 = ((h >> np.uint64(32)) | np.uint64(1)).astype(np.uint64)
+    i = np.arange(K_HASHES, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) %
+            np.uint64(m)).ravel()
+
+
+def build_bloom(arr) -> Optional[dict]:
+    """Chunk column -> bloom entry dict, or None (unsupported type /
+    too many distinct keys for the size cap)."""
+    vals = _prep_values(arr)
+    if vals is None or vals.size == 0:
+        return None
+    uniq = np.unique(vals)
+    m = _MIN_BITS
+    while m < uniq.size * BITS_PER_KEY and m < _MAX_BITS:
+        m <<= 1
+    if m < uniq.size * (BITS_PER_KEY // 2):
+        return None  # would be too dense to prune anything
+    bits = np.zeros(m, dtype=bool)
+    bits[_positions(_hash_u64(uniq), m)] = True
+    return {"m": int(m), "k": K_HASHES,
+            "b64": base64.b64encode(np.packbits(bits).tobytes()).decode()}
+
+
+def _value_np(value) -> Optional[np.ndarray]:
+    if isinstance(value, bool):
+        return None
+    if isinstance(value, (int, np.integer)):
+        return np.array([int(value)], dtype=np.int64)
+    if isinstance(value, str):
+        return np.array([value], dtype=object)
+    return None
+
+
+def probe_bloom(entry: dict, value) -> bool:
+    """True when the value MAY be present (or can't be probed);
+    False only when provably absent."""
+    v = _value_np(value)
+    if v is None:
+        return True
+    m = int(entry["m"])
+    bits = np.unpackbits(
+        np.frombuffer(base64.b64decode(entry["b64"]), dtype=np.uint8),
+        count=m).astype(bool)
+    return bool(bits[_positions(_hash_u64(v), m)].all())

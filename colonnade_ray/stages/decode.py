@@ -71,11 +71,23 @@ def normalize_predicates(predicate) -> list:
 
 
 def chunk_may_match(stats_json: Optional[str], predicate: Tuple[str, str, object]) -> bool:
-    """False only when the chunk's [min, max] PROVES no row matches."""
+    """False only when the chunk's [min, max] PROVES no row matches.
+    Equality / set-membership predicates additionally probe the
+    chunk's per-column Bloom filter when one was recorded
+    (``encode_corpus(bloom_cols=...)``, stages/bloomzone.py) — the
+    point-read pruner zone bands can't provide on high-cardinality
+    columns.  Absence of a filter is conservative (may-match)."""
     if not stats_json:
         return True
     col, op, val = predicate
     stats = json.loads(stats_json)
+    bent = stats.get("__bloom__", {}).get(col)
+    if bent is not None and op in ("==", "in"):
+        from .bloomzone import probe_bloom
+
+        vals = val if op == "in" else [val]
+        if not any(probe_bloom(bent, v) for v in vals):
+            return False  # provably absent from this chunk
     if col not in stats:
         return True
     lo, hi = stats[col]

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import hashlib
 import json
-from typing import Optional
+from typing import Optional, Sequence
 
 import numpy as np
 import pyarrow as pa
@@ -155,6 +155,7 @@ def encode_chunk(
     fragment: str = "",
     post_compress: Optional[str] = None,
     shared_dicts: Optional[dict] = None,
+    bloom_cols: Optional[Sequence[str]] = None,
 ) -> dict:
     """Encode one Arrow chunk under a bound plan -> dict of columns
     for a one-row encoded table.
@@ -197,6 +198,12 @@ def encode_chunk(
         # per-column checksum: lets PROJECTED decodes (subset of
         # columns) verify integrity without every payload
         meta["ck"] = hashlib.blake2b(payload, digest_size=8).hexdigest()
+        if bloom_cols and bc.field.name in bloom_cols:
+            from .bloomzone import build_bloom
+
+            be = build_bloom(arr)
+            if be is not None:
+                stats.setdefault("__bloom__", {})[bc.field.name] = be
         zs = _zone_stat(arr)  # pc.min_max accepts chunked arrays
         if zs is not None:
             stats[bc.field.name] = zs
@@ -301,8 +308,10 @@ class EncoderActor:
         fragments: Optional[list] = None,
         post_compress: Optional[str] = None,
         shared_dicts=None,
+        bloom_cols: Optional[list] = None,
     ):
         self._post_compress = post_compress
+        self._bloom_cols = list(bloom_cols) if bloom_cols else None
         self._shared_dicts = _resolve_shared_dicts(shared_dicts)
         self._plan_names = plan_names
         self._shared_fsst = shared_fsst
@@ -359,13 +368,15 @@ class EncoderActor:
         bound = self._bind(data.schema)
         return encode_chunk(data, bound, self._fsst_for(data, bound), fragment,
                             post_compress=self._post_compress,
-                            shared_dicts=self._shared_dicts)
+                            shared_dicts=self._shared_dicts,
+                            bloom_cols=self._bloom_cols)
 
 
 def encode_batch(batch: pa.Table, plan_names: Optional[list] = None,
                  fragments: Optional[list] = None,
                  post_compress: Optional[str] = None,
-                 shared_dicts=None) -> dict:
+                 shared_dicts=None,
+                 bloom_cols: Optional[list] = None) -> dict:
     """Stateless task form — strictly deterministic (FSST tables
     trained per chunk; ``shared_dicts`` are PRE-trained fixed inputs,
     so they keep the determinism contract), used where bit-identical
@@ -376,4 +387,5 @@ def encode_batch(batch: pa.Table, plan_names: Optional[list] = None,
     bound = bind_plan(plan, data.schema)
     return encode_chunk(data, bound, None, fragment,
                         post_compress=post_compress,
-                        shared_dicts=_resolve_shared_dicts(shared_dicts))
+                        shared_dicts=_resolve_shared_dicts(shared_dicts),
+                        bloom_cols=bloom_cols)

@@ -1,0 +1,93 @@
+"""Per-chunk Bloom filters (stages/bloomzone.py): point-read pruning
+on high-cardinality columns where zone bands overlap and prune
+nothing."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from colonnade_ray.pipelines import count_where, decode_corpus, encode_corpus
+from colonnade_ray.stages.bloomzone import build_bloom, probe_bloom
+from colonnade_ray.stages.decode import chunk_may_match
+
+
+def test_build_probe_roundtrip_kernel():
+    rng = np.random.default_rng(7)
+    ids = [f"id-{v:08x}" for v in rng.integers(0, 1 << 32, 500)]
+    ent = build_bloom(pa.array(ids))
+    assert all(probe_bloom(ent, x) for x in ids)  # no false negatives
+    absent = [f"id-{v:08x}" for v in rng.integers(1 << 33, 1 << 34, 2000)]
+    fp = sum(probe_bloom(ent, x) for x in absent) / len(absent)
+    assert fp < 0.02  # 16 bits/key, k=4 -> ~0.24% expected
+    # ints too
+    vals = rng.integers(0, 1 << 40, 500)
+    ent2 = build_bloom(pa.array(vals, pa.int64()))
+    assert all(probe_bloom(ent2, int(v)) for v in vals)
+    # unsupported types degrade to None (conservative)
+    assert build_bloom(pa.array([1.5, 2.5])) is None
+
+
+def _shuffled_corpus(tmp_path, n=800):
+    """Rows with SHUFFLED string ids: every chunk's zone band spans
+    the whole id range, so only the bloom can prune equality."""
+    rng = np.random.default_rng(13)
+    ids = [f"u-{v:010x}" for v in rng.permutation(n) * 2654435761 % (1 << 40)]
+    inp = str(tmp_path / "inp")
+    os.makedirs(inp)
+    t = pa.table({
+        "uid": pa.array(ids),
+        "v": pa.array(rng.integers(0, 1000, n), pa.int64()),
+    })
+    pq.write_table(t, os.path.join(inp, "part-0.parquet"))
+    return inp, t
+
+
+def test_bloom_point_lookup_prunes_and_answers(ray_session, tmp_path):
+    inp, t = _shuffled_corpus(tmp_path)
+    out = str(tmp_path / "out")
+    encode_corpus(inp, out, batch_size=64, resume=False,
+                  bloom_cols=["uid"])
+    target = t["uid"][17].as_py()
+    assert count_where(out, ("uid", "==", target)) == 1
+    assert count_where(out, ("uid", "==", "u-nonexistent")) == 0
+    # pruning evidence: with the bloom, only ~1 chunk may match; with
+    # the bloom stripped, every chunk's zone band admits the id
+    from colonnade_ray.state.lineage import load_lineage
+
+    lin = load_lineage(out)
+    sj = lin["stats_json"].to_pylist()
+    with_bloom = sum(
+        chunk_may_match(s, ("uid", "==", target)) for s in sj)
+    stripped = []
+    for s in sj:
+        d = json.loads(s)
+        d.pop("__bloom__", None)
+        stripped.append(json.dumps(d))
+    without = sum(
+        chunk_may_match(s, ("uid", "==", target)) for s in stripped)
+    assert without == len(sj)  # zone bands alone prune nothing
+    assert with_bloom <= max(2, len(sj) // 4)  # bloom kills ~all chunks
+    # set-membership probes every value
+    two = [t["uid"][3].as_py(), t["uid"][500].as_py()]
+    assert count_where(out, ("uid", "in", two)) == 2
+    # predicated decode takes the same pruned path
+    got = decode_corpus(out, predicate=("uid", "==", target)).take_all()
+    assert len(got) == 1 and got[0]["v"] == t["v"][17].as_py()
+
+
+def test_bloom_absent_is_conservative(ray_session, tmp_path):
+    """Corpora encoded WITHOUT bloom_cols behave exactly as before."""
+    inp, t = _shuffled_corpus(tmp_path, n=200)
+    out = str(tmp_path / "out")
+    encode_corpus(inp, out, batch_size=64, resume=False)
+    target = t["uid"][5].as_py()
+    assert count_where(out, ("uid", "==", target)) == 1
+    from colonnade_ray.state.lineage import load_lineage
+
+    lin = load_lineage(out)
+    assert all("__bloom__" not in json.loads(s)
+               for s in lin["stats_json"].to_pylist())
