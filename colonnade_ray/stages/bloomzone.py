@@ -80,14 +80,16 @@ def build_bloom(arr) -> Optional[dict]:
     vals = _prep_values(arr)
     if vals is None or vals.size == 0:
         return None
-    uniq = np.unique(vals)
+    # hash first, dedup on the 64-bit hashes: the filter only sees
+    # hashes, and uint64 unique is far cheaper than object unique
+    uniq = np.unique(_hash_u64(vals))
     m = _MIN_BITS
     while m < uniq.size * BITS_PER_KEY and m < _MAX_BITS:
         m <<= 1
     if m < uniq.size * (BITS_PER_KEY // 2):
         return None  # would be too dense to prune anything
     bits = np.zeros(m, dtype=bool)
-    bits[_positions(_hash_u64(uniq), m)] = True
+    bits[_positions(uniq, m)] = True
     return {"m": int(m), "k": K_HASHES,
             "b64": base64.b64encode(np.packbits(bits).tobytes()).decode()}
 
