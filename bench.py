@@ -257,6 +257,29 @@ def run_bench() -> dict:
             corpus_dir, f"/tmp/colonnade_bench/comp-sf{sf}-m{mult}.json"
         )
 
+        # lifecycle ops on the (fresh, already-verified) encoded
+        # corpus — mutates out_dir, so this stays the LAST stage.
+        # Guarded: a lifecycle failure must not sink the headline.
+        try:
+            from colonnade_ray.pipelines import (
+                delete_where,
+                replace_where,
+                vacuum_deletes,
+            )
+
+            t0 = time.time()
+            delete_where(out_dir, ("n_tok", ">=", 600))
+            timings["delete_where"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            vacuum_deletes(out_dir)
+            timings["vacuum_deletes"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            replace_where(out_dir, ("n_tok", ">=", 500),
+                          {"source": "capped"})
+            timings["replace_where"] = round(time.time() - t0, 3)
+        except Exception as exc:  # pragma: no cover
+            timings["lifecycle_error"] = str(exc)[:200]
+
     tokens = summary["tokens"]
     result = {
         "metric": "flagship encode wall sec (synthetic F1 tokens corpus)",
