@@ -313,7 +313,8 @@ class _RewriteChunks:
 
 
 def vacuum_deletes(out_dir: str, gc: bool = True,
-                   concurrency=None) -> dict:
+                   concurrency=None,
+                   max_concurrent_groups: int = 4) -> dict:
     """Materialize pending deletions: re-encode ONLY the groups whose
     chunks carry masks (group-parallel, decode->filter->re-encode
     fused per task, zero exchange), commit each replacement with a
@@ -327,7 +328,12 @@ def vacuum_deletes(out_dir: str, gc: bool = True,
     vacuum call sweeps them."""
     import ray.data as rd
 
-    from .encode_pipeline import LINEAGE_COLS, _meta_root, active_groups
+    from .encode_pipeline import (
+        LINEAGE_COLS,
+        _meta_root,
+        _run_groups,
+        active_groups,
+    )
 
     ids = committed_deletes(out_dir)
     if not ids:
@@ -349,7 +355,8 @@ def vacuum_deletes(out_dir: str, gc: bool = True,
                 for f in os.listdir(os.path.join(data_root, f"group-{gid}"))
                 if f.endswith(".parquet")
             )
-    for gid, files in affected.items():
+    def _one(item) -> None:
+        gid, files = item
         h = hashlib.blake2b(digest_size=8)
         h.update(gid.encode())
         for did in ids:
@@ -398,6 +405,8 @@ def vacuum_deletes(out_dir: str, gc: bool = True,
                     os.remove(p)
             shutil.rmtree(os.path.join(data_root, f"group-{gid}"),
                           ignore_errors=True)
+
+    _run_groups(_one, affected.items(), max_concurrent_groups)
     # every affected active group is committed -> retire the sidecars
     root = _deletes_root(out_dir)
     for did in ids:

@@ -194,6 +194,23 @@ def _deletes_dir_of(out_dir: str) -> Optional[str]:
     return out_dir if committed_deletes(out_dir) else None
 
 
+def _run_groups(work, items, max_concurrent: int = 4) -> list:
+    """Run independent per-group rewrite closures, from driver threads
+    when there are several (Ray's streaming executor multiplexes
+    concurrent Dataset executions — the same pattern as
+    ``encode_corpus(max_concurrent_groups > 1)``); groups stay
+    individually crash-safe, so a failure mid-list leaves every
+    already-committed group readable and a re-run converges."""
+    items = list(items)
+    if max_concurrent <= 1 or len(items) <= 1:
+        return [work(it) for it in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    _stub_fsspec_http()
+    with ThreadPoolExecutor(max_workers=max_concurrent) as ex:
+        return list(ex.map(work, items))
+
+
 def _register_dict_dir(out_dir: str) -> None:
     """Worker-side shared-dict search-root registration (idempotent;
     called at the top of every decode-bearing UDF so chunks encoded

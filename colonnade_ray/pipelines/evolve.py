@@ -145,7 +145,8 @@ class _AugmentChunks:
 
 def add_columns(out_dir: str, fn: Callable, input_columns: Sequence[str],
                 names: Optional[Sequence[str]] = None,
-                gc: bool = True, concurrency=None) -> dict:
+                gc: bool = True, concurrency=None,
+                max_concurrent_groups: int = 4) -> dict:
     """Attach ``fn``-derived columns to every chunk of the corpus.
 
     ``fn``: pa.Table (the chunk projected to ``input_columns``) ->
@@ -164,6 +165,7 @@ def add_columns(out_dir: str, fn: Callable, input_columns: Sequence[str],
         LINEAGE_COLS,
         _meta_root,
         _register_dict_dir,
+        _run_groups,
         active_groups,
     )
 
@@ -215,7 +217,7 @@ def add_columns(out_dir: str, fn: Callable, input_columns: Sequence[str],
                 f"group {gid} carries only part of {sorted(names)} "
                 f"({sorted(present)}) — re-run with the original name set")
         todo.append(gid)
-    for gid in todo:
+    def _one(gid: str) -> None:
         gdir_old = os.path.join(data_root, f"group-{gid}")
         files = sorted(
             os.path.join(gdir_old, f) for f in os.listdir(gdir_old)
@@ -256,6 +258,8 @@ def add_columns(out_dir: str, fn: Callable, input_columns: Sequence[str],
                 if os.path.exists(p):
                     os.remove(p)
             shutil.rmtree(gdir_old, ignore_errors=True)
+
+    _run_groups(_one, todo, max_concurrent_groups)
     merged = sorted(aug_record | set(names))
     tmp = rec_path + ".tmp"
     with open(tmp, "w") as fh:
@@ -362,7 +366,8 @@ def _rewrap_checksum(payloads) -> str:
 
 
 def _rewrite_schema(out_dir: str, rewriter: _RewriteSchema, tag: str,
-                    gc: bool = True, concurrency=None) -> int:
+                    gc: bool = True, concurrency=None,
+                    max_concurrent_groups: int = 4) -> int:
     """Shared drop/rename driver: rewrite every active group under the
     supersedes protocol.  Returns the number of rewritten groups."""
     import ray.data as rd
@@ -371,6 +376,7 @@ def _rewrite_schema(out_dir: str, rewriter: _RewriteSchema, tag: str,
     from .encode_pipeline import (
         LINEAGE_COLS,
         _meta_root,
+        _run_groups,
         active_groups,
     )
 
@@ -383,15 +389,17 @@ def _rewrite_schema(out_dir: str, rewriter: _RewriteSchema, tag: str,
     groups = active_groups(out_dir)
     if not groups:
         raise FileNotFoundError(f"no committed encode groups under {out_dir}")
-    done = 0
+    todo = []
     for gid in groups:
         lt = pq.read_table(os.path.join(lin_root, f"group-{gid}.parquet"),
                            columns=["plan_json"])
         plan = json.loads(lt["plan_json"][0].as_py()) if lt.num_rows else []
         touched = (set(plan) & rewriter.drop) or \
             (set(plan) & set(rewriter.rename))
-        if not touched:
-            continue
+        if touched:
+            todo.append(gid)
+
+    def _one(gid: str) -> None:
         gdir_old = os.path.join(data_root, f"group-{gid}")
         files = sorted(
             os.path.join(gdir_old, f) for f in os.listdir(gdir_old)
@@ -432,8 +440,9 @@ def _rewrite_schema(out_dir: str, rewriter: _RewriteSchema, tag: str,
                 if os.path.exists(p):
                     os.remove(p)
             shutil.rmtree(gdir_old, ignore_errors=True)
-        done += 1
-    return done
+
+    _run_groups(_one, todo, max_concurrent_groups)
+    return len(todo)
 
 
 def drop_columns(out_dir: str, names: Sequence[str],
@@ -602,7 +611,8 @@ class _UpdateChunks:
 
 
 def update_where(out_dir: str, predicate, fn: Callable,
-                 gc: bool = True, concurrency=None) -> dict:
+                 gc: bool = True, concurrency=None,
+                 max_concurrent_groups: int = 4) -> dict:
     """UPDATE ... WHERE over an encoded corpus — the reference's
     ``modifyWhen`` (colonnade/src/Colonnade.hs:217-248) lifted to
     corpus lifecycle.  ``fn``: pa.Table of the MATCHING rows (full
@@ -619,6 +629,7 @@ def update_where(out_dir: str, predicate, fn: Callable,
     from .encode_pipeline import (
         LINEAGE_COLS,
         _meta_root,
+        _run_groups,
         active_groups,
     )
 
@@ -637,13 +648,15 @@ def update_where(out_dir: str, predicate, fn: Callable,
     pred_key = json.dumps(
         [[p[0], p[1], list(p[2]) if p[1] == "in" else p[2]] for p in preds],
         sort_keys=True, default=str)
-    done = 0
+    todo = []
     for gid in groups:
         lt = pq.read_table(os.path.join(lin_root, f"group-{gid}.parquet"),
                            columns=["stats_json"])
         sj = lt["stats_json"].to_pylist()
-        if not any(all(chunk_may_match(s, p) for p in preds) for s in sj):
-            continue  # zone maps prove: nothing to update in this group
+        if any(all(chunk_may_match(s, p) for p in preds) for s in sj):
+            todo.append(gid)  # else zone maps prove: nothing to update
+
+    def _one(gid: str) -> None:
         gdir_old = os.path.join(data_root, f"group-{gid}")
         files = sorted(
             os.path.join(gdir_old, f) for f in os.listdir(gdir_old)
@@ -682,9 +695,10 @@ def update_where(out_dir: str, predicate, fn: Callable,
                 if os.path.exists(p):
                     os.remove(p)
             shutil.rmtree(gdir_old, ignore_errors=True)
-        done += 1
-    return {"updated_groups": done,
-            "skipped_groups": len(groups) - done}
+
+    _run_groups(_one, todo, max_concurrent_groups)
+    return {"updated_groups": len(todo),
+            "skipped_groups": len(groups) - len(todo)}
 
 
 def replace_where(out_dir: str, predicate, values: dict,
