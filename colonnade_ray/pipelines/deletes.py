@@ -330,8 +330,10 @@ def vacuum_deletes(out_dir: str, gc: bool = True,
 
     from .encode_pipeline import (
         LINEAGE_COLS,
+        _gc_group,
         _meta_root,
         _run_groups,
+        _transitive_supersedes,
         active_groups,
     )
 
@@ -391,20 +393,15 @@ def vacuum_deletes(out_dir: str, gc: bool = True,
         with open(os.path.join(_meta_root(out_dir),
                                f"group-{ngid}.files.json"), "w") as fh:
             json.dump(sorted(covered), fh)
+        shadow = _transitive_supersedes(out_dir, [gid])
         with open(os.path.join(_meta_root(out_dir),
                                f"group-{ngid}.supersedes.json"), "w") as fh:
-            json.dump([gid], fh)
+            json.dump(shadow, fh)
         pq.write_table(lineage,
                        os.path.join(lin_root, f"group-{ngid}.parquet"))
         if gc:
-            for suffix, rootd in ((".parquet", lin_root),
-                                  (".files.json", _meta_root(out_dir)),
-                                  (".supersedes.json", _meta_root(out_dir))):
-                p = os.path.join(rootd, f"group-{gid}{suffix}")
-                if os.path.exists(p):
-                    os.remove(p)
-            shutil.rmtree(os.path.join(data_root, f"group-{gid}"),
-                          ignore_errors=True)
+            for g in shadow:
+                _gc_group(out_dir, g)
 
     _run_groups(_one, affected.items(), max_concurrent_groups)
     # every affected active group is committed -> retire the sidecars

@@ -690,6 +690,66 @@ def active_groups(out_dir: str) -> list:
     return [g for g in completed_groups(out_dir) if g not in shadowed]
 
 
+def _transitive_supersedes(out_dir: str, gids) -> list:
+    """``gids`` plus every group they transitively supersede — the
+    shadow list a replacement group must carry.  A rewrite whose gc
+    was interrupted by a crash leaves its OWN replaced group on disk,
+    shadowed only by its supersedes marker; if the next rewrite of the
+    chain recorded only its immediate parent and then gc-removed that
+    marker, the grandparent's lineage would resurface and its rows
+    would decode TWICE.  Carrying the closure keeps every ancestor
+    shadowed by the live head of the chain, and gc (``_gc_group`` over
+    this same list) finishes any interrupted ancestor cleanup."""
+    out: set = set()
+    stack = list(gids)
+    roots = set(gids)
+    while stack:
+        g = stack.pop()
+        if g in out:
+            continue
+        out.add(g)
+        sup = os.path.join(_meta_root(out_dir), f"group-{g}.supersedes.json")
+        if os.path.exists(sup):
+            try:
+                with open(sup) as fh:
+                    stack.extend(json.load(fh))
+            except (json.JSONDecodeError, OSError):
+                pass  # marker truncated by a crash mid-write: the
+                #       group carrying it was never committed, so it
+                #       shadows nothing
+    # prune ancestors with no artifacts left on disk: a group whose
+    # lineage marker is gone can never resurrect, and keeping it would
+    # grow the chain (and the gc loop) by one forever
+    def _extant(g):
+        return (g in roots
+                or os.path.exists(os.path.join(out_dir, "_lineage",
+                                               f"group-{g}.parquet"))
+                or os.path.exists(os.path.join(_meta_root(out_dir),
+                                               f"group-{g}.files.json"))
+                or os.path.exists(os.path.join(_meta_root(out_dir),
+                                               f"group-{g}.supersedes.json"))
+                or os.path.isdir(os.path.join(out_dir, "data",
+                                              f"group-{g}")))
+
+    return sorted(g for g in out if _extant(g))
+
+
+def _gc_group(out_dir: str, gid: str) -> None:
+    """Remove one superseded group's artifacts; lineage marker FIRST
+    (the instant it's gone the group is inactive, so a crash anywhere
+    in the rest leaves only invisible garbage)."""
+    lin_root = os.path.join(out_dir, "_lineage")
+    for p in (os.path.join(lin_root, f"group-{gid}.parquet"),
+              os.path.join(_meta_root(out_dir), f"group-{gid}.files.json"),
+              os.path.join(_meta_root(out_dir),
+                           f"group-{gid}.supersedes.json")):
+        if os.path.exists(p):
+            os.remove(p)
+    d = os.path.join(out_dir, "data", f"group-{gid}")
+    if os.path.isdir(d):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def compact_corpus(out_dir: str, gc: bool = True) -> dict:
     """Merge the committed groups into one consolidated group per
     encoded SCHEMA — the operational counterpart of ``append=True``:
@@ -746,22 +806,15 @@ def compact_corpus(out_dir: str, gc: bool = True) -> dict:
                     covered.update(json.load(fh))
         with open(os.path.join(_meta_root(out_dir), f"group-{ngid}.files.json"), "w") as fh:
             json.dump(sorted(covered), fh)
+        shadow = _transitive_supersedes(out_dir, gids)
         with open(os.path.join(_meta_root(out_dir), f"group-{ngid}.supersedes.json"), "w") as fh:
-            json.dump(sorted(gids), fh)
+            json.dump(shadow, fh)
         lineage = pq.read_table(gdir, columns=LINEAGE_COLS)
         pq.write_table(lineage, os.path.join(lin_root, f"group-{ngid}.parquet"))
         compacted += len(gids)
         if gc:
-            for g in gids:
-                roots = {".parquet": lin_root,
-                         ".files.json": _meta_root(out_dir),
-                         ".supersedes.json": _meta_root(out_dir)}
-                for suffix, root in roots.items():
-                    p = os.path.join(root, f"group-{g}{suffix}")
-                    if os.path.exists(p):
-                        os.remove(p)
-                shutil.rmtree(os.path.join(data_root, f"group-{g}"),
-                              ignore_errors=True)
+            for g in shadow:
+                _gc_group(out_dir, g)
     return {"compacted_groups": compacted, "cohorts": len(cohorts),
             "active_groups": len(active_groups(out_dir))}
 

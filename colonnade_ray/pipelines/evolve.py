@@ -163,9 +163,11 @@ def add_columns(out_dir: str, fn: Callable, input_columns: Sequence[str],
     from .deletes import committed_deletes
     from .encode_pipeline import (
         LINEAGE_COLS,
+        _gc_group,
         _meta_root,
         _register_dict_dir,
         _run_groups,
+        _transitive_supersedes,
         active_groups,
     )
 
@@ -244,27 +246,28 @@ def add_columns(out_dir: str, fn: Callable, input_columns: Sequence[str],
         with open(os.path.join(_meta_root(out_dir),
                                f"group-{ngid}.files.json"), "w") as fh:
             json.dump(sorted(covered), fh)
+        shadow = _transitive_supersedes(out_dir, [gid])
         with open(os.path.join(_meta_root(out_dir),
                                f"group-{ngid}.supersedes.json"), "w") as fh:
-            json.dump([gid], fh)
+            json.dump(shadow, fh)
         lineage = pq.read_table(gdir, columns=LINEAGE_COLS)
         pq.write_table(lineage,
                        os.path.join(lin_root, f"group-{ngid}.parquet"))
         if gc:
-            for suffix, rootd in ((".parquet", lin_root),
-                                  (".files.json", _meta_root(out_dir)),
-                                  (".supersedes.json", _meta_root(out_dir))):
-                p = os.path.join(rootd, f"group-{gid}{suffix}")
-                if os.path.exists(p):
-                    os.remove(p)
-            shutil.rmtree(gdir_old, ignore_errors=True)
+            for g in shadow:
+                _gc_group(out_dir, g)
 
-    _run_groups(_one, todo, max_concurrent_groups)
+    # commit the provenance record BEFORE any group rewrite (intent
+    # log): a crash after some groups carry the new columns but before
+    # the record landed would otherwise make the re-run see its own
+    # half-added columns as a foreign clash and refuse to converge
     merged = sorted(aug_record | set(names))
-    tmp = rec_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(merged, fh)
-    os.replace(tmp, rec_path)
+    if merged != sorted(aug_record):
+        tmp = rec_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(merged, fh)
+        os.replace(tmp, rec_path)
+    _run_groups(_one, todo, max_concurrent_groups)
     return {"augmented_groups": len(todo),
             "skipped_groups": len(groups) - len(todo),
             "columns": names}
@@ -375,8 +378,10 @@ def _rewrite_schema(out_dir: str, rewriter: _RewriteSchema, tag: str,
     from .deletes import committed_deletes
     from .encode_pipeline import (
         LINEAGE_COLS,
+        _gc_group,
         _meta_root,
         _run_groups,
+        _transitive_supersedes,
         active_groups,
     )
 
@@ -426,20 +431,16 @@ def _rewrite_schema(out_dir: str, rewriter: _RewriteSchema, tag: str,
         with open(os.path.join(_meta_root(out_dir),
                                f"group-{ngid}.files.json"), "w") as fh:
             json.dump(sorted(covered), fh)
+        shadow = _transitive_supersedes(out_dir, [gid])
         with open(os.path.join(_meta_root(out_dir),
                                f"group-{ngid}.supersedes.json"), "w") as fh:
-            json.dump([gid], fh)
+            json.dump(shadow, fh)
         lineage = pq.read_table(gdir, columns=LINEAGE_COLS)
         pq.write_table(lineage,
                        os.path.join(lin_root, f"group-{ngid}.parquet"))
         if gc:
-            for suffix, rootd in ((".parquet", lin_root),
-                                  (".files.json", _meta_root(out_dir)),
-                                  (".supersedes.json", _meta_root(out_dir))):
-                p = os.path.join(rootd, f"group-{gid}{suffix}")
-                if os.path.exists(p):
-                    os.remove(p)
-            shutil.rmtree(gdir_old, ignore_errors=True)
+            for g in shadow:
+                _gc_group(out_dir, g)
 
     _run_groups(_one, todo, max_concurrent_groups)
     return len(todo)
@@ -628,8 +629,10 @@ def update_where(out_dir: str, predicate, fn: Callable,
     from .deletes import committed_deletes
     from .encode_pipeline import (
         LINEAGE_COLS,
+        _gc_group,
         _meta_root,
         _run_groups,
+        _transitive_supersedes,
         active_groups,
     )
 
@@ -681,20 +684,16 @@ def update_where(out_dir: str, predicate, fn: Callable,
         with open(os.path.join(_meta_root(out_dir),
                                f"group-{ngid}.files.json"), "w") as fh:
             json.dump(sorted(covered), fh)
+        shadow = _transitive_supersedes(out_dir, [gid])
         with open(os.path.join(_meta_root(out_dir),
                                f"group-{ngid}.supersedes.json"), "w") as fh:
-            json.dump([gid], fh)
+            json.dump(shadow, fh)
         lineage = pq.read_table(gdir, columns=LINEAGE_COLS)
         pq.write_table(lineage,
                        os.path.join(lin_root, f"group-{ngid}.parquet"))
         if gc:
-            for suffix, rootd in ((".parquet", lin_root),
-                                  (".files.json", _meta_root(out_dir)),
-                                  (".supersedes.json", _meta_root(out_dir))):
-                p = os.path.join(rootd, f"group-{gid}{suffix}")
-                if os.path.exists(p):
-                    os.remove(p)
-            shutil.rmtree(gdir_old, ignore_errors=True)
+            for g in shadow:
+                _gc_group(out_dir, g)
 
     _run_groups(_one, todo, max_concurrent_groups)
     return {"updated_groups": len(todo),

@@ -91,3 +91,42 @@ def test_bloom_absent_is_conservative(ray_session, tmp_path):
     lin = load_lineage(out)
     assert all("__bloom__" not in json.loads(s)
                for s in lin["stats_json"].to_pylist())
+
+
+def test_bloom_not_stale_after_update(ray_session, tmp_path):
+    """A rewrite that changes values in a bloom-indexed column must not
+    carry the old filter forward: re-encoded chunks drop their blooms
+    (absence is conservative), so a point lookup for a value that only
+    exists POST-update still finds it."""
+    from colonnade_ray.pipelines import update_where
+    from colonnade_ray.state.lineage import load_lineage
+
+    inp, t = _shuffled_corpus(tmp_path, n=400)
+    out = str(tmp_path / "out")
+    encode_corpus(inp, out, batch_size=64, resume=False,
+                  bloom_cols=["uid"])
+    victim = t["uid"][42].as_py()
+    fresh = "u-freshly-minted"
+    assert count_where(out, ("uid", "==", fresh)) == 0
+
+    def swap(matched):
+        import pyarrow as _pa
+
+        cols = {n: matched[n] for n in matched.column_names}
+        cols["uid"] = _pa.array([fresh] * matched.num_rows, _pa.string())
+        return _pa.table(cols)
+
+    update_where(out, ("uid", "==", victim), swap)
+    # the new value is found (a stale bloom would prune every chunk)
+    assert count_where(out, ("uid", "==", fresh)) == 1
+    assert count_where(out, ("uid", "==", victim)) == 0
+    # untouched chunks keep their filters; rewritten ones dropped theirs
+    sj = [json.loads(s) for s in
+          load_lineage(out)["stats_json"].to_pylist()]
+    kept = sum("__bloom__" in s for s in sj)
+    assert 0 < kept < len(sj)
+    # and the kept filters still prune: some chunk proves fresh absent
+    pruned = sum(
+        not chunk_may_match(json.dumps(s), ("uid", "==", fresh))
+        for s in sj)
+    assert pruned > 0

@@ -1,0 +1,240 @@
+"""Crash-point injection over the lifecycle commit protocols.
+
+Every lifecycle operation commits through a driver-side choreography
+of filesystem mutations (write data dir -> files.json ->
+supersedes.json -> lineage marker; sidecar dir -> marker).  This sweep
+simulates a process death at EVERY such mutation in turn: the Nth
+driver-side mutation raises, every later one is suppressed (a dead
+process performs no further writes), the corpus must still decode to a
+consistent state, and re-running the operation must converge to the
+same final state a crash-free run produces.
+
+The per-op torn-write tests pin individual crash points; this sweep is
+exhaustive over the real mutation sequence, so a reordering of the
+choreography that breaks marker-last discipline fails here even if no
+hand-written case covers it.
+
+Worker-side writes (Ray tasks writing chunk parquet) are out of scope
+on purpose: they land in fresh group directories that are invisible
+until the driver-side marker commits, which is exactly the property
+this sweep verifies.
+"""
+
+import json
+import os
+import shutil
+import sys
+import threading
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from colonnade_ray.corpus import synth_rows
+from colonnade_ray.pipelines import (
+    add_columns,
+    compact_corpus,
+    count_where,
+    decode_corpus,
+    delete_where,
+    encode_corpus,
+    replace_where,
+    vacuum_deletes,
+)
+from colonnade_ray.pipelines.deletes import committed_deletes
+
+BASE_COLS = ["doc_id", "tokens", "n_tok", "source"]
+
+
+class CrashPoint(RuntimeError):
+    pass
+
+
+class _Injector:
+    """Patch driver-side mutators; the ``fire_at``-th call from
+    colonnade_ray code raises, and every subsequent colonnade_ray call
+    keeps raising (sticky — a crashed process writes nothing more).
+    Calls from other code (Ray internals, the test itself) pass
+    through untouched."""
+
+    TARGETS = [
+        (os, "replace"), (os, "remove"), (shutil, "rmtree"),
+        (pq, "write_table"), (json, "dump"),
+    ]
+
+    def __init__(self, fire_at: int):
+        self.fire_at = fire_at
+        self.count = 0
+        self.fired = False
+        self._lock = threading.Lock()
+        self._orig = []
+
+    def _wrap(self, fn):
+        def wrapped(*a, **kw):
+            mod = sys._getframe(1).f_globals.get("__name__", "")
+            if mod.startswith("colonnade_ray"):
+                with self._lock:
+                    if self.fired:
+                        raise CrashPoint("write after crash suppressed")
+                    self.count += 1
+                    if self.count == self.fire_at:
+                        self.fired = True
+                        raise CrashPoint(
+                            f"injected at mutation #{self.count}")
+            return fn(*a, **kw)
+        return wrapped
+
+    def __enter__(self):
+        for mod, attr in self.TARGETS:
+            fn = getattr(mod, attr)
+            self._orig.append((mod, attr, fn))
+            setattr(mod, attr, self._wrap(fn))
+        return self
+
+    def __exit__(self, *exc):
+        for mod, attr, fn in self._orig:
+            setattr(mod, attr, fn)
+        return False
+
+
+def crash_sweep(op, invariant, max_points=300):
+    """Run ``op`` with the crash injected at mutation 1, 2, 3, ... —
+    checking ``invariant`` after every crash — until an attempt
+    completes with the injection never reached (= every remaining
+    mutation point was covered; a convergent retry may legitimately
+    have FEWER points than a fresh run, e.g. a vacuum whose groups all
+    committed before the crash only retires sidecars).  Returns the
+    number of crash points exercised."""
+    for k in range(1, max_points + 1):
+        inj = _Injector(k)
+        crashed = False
+        with inj:
+            try:
+                op()
+            except CrashPoint:
+                crashed = True
+        invariant()
+        if not crashed and not inj.fired:
+            return k - 1
+    raise AssertionError("crash sweep did not terminate")
+
+
+def _setup(tmp_path, n_rows=200, files=2):
+    inp = str(tmp_path / "inp")
+    out = str(tmp_path / "out")
+    os.makedirs(inp, exist_ok=True)
+    per = n_rows // files
+    tabs = []
+    for i in range(files):
+        t = synth_rows(per, seed=3000 + i, start_id=i * per)
+        pq.write_table(t, os.path.join(inp, f"part-{i:03d}.parquet"))
+        tabs.append(t)
+    encode_corpus(inp, out, batch_size=64, resume=False, group_size=1)
+    return out, pa.concat_tables(tabs)
+
+
+def _live(out, columns=None):
+    df = decode_corpus(out, verify_checksum=True,
+                       columns=columns).to_pandas()
+    assert df["doc_id"].is_unique
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_crash_sweep_delete_where(ray_session, tmp_path):
+    out, orig = _setup(tmp_path)
+    nt = dict(zip(orig["doc_id"].to_pylist(), orig["n_tok"].to_pylist()))
+    med = int(np.median(orig["n_tok"].to_numpy()))
+    matched = {d for d, n in nt.items() if n >= med}
+
+    def invariant():
+        df = _live(out, columns=["doc_id", "n_tok"])
+        got = set(df["doc_id"])
+        # only matched docs may be missing; values never change
+        assert set(nt) - got <= matched
+        assert all(nt[d] == n for d, n in zip(df["doc_id"], df["n_tok"]))
+
+    n = crash_sweep(lambda: delete_where(out, ("n_tok", ">=", med)),
+                    invariant)
+    assert n >= 2  # at least sidecar write + marker rename crash points
+    assert set(_live(out, columns=["doc_id"])["doc_id"]) == \
+        set(nt) - matched
+
+
+def test_crash_sweep_vacuum(ray_session, tmp_path):
+    out, orig = _setup(tmp_path)
+    med = int(np.median(orig["n_tok"].to_numpy()))
+    delete_where(out, ("n_tok", ">=", med))
+    keep = {d for d, n in zip(orig["doc_id"].to_pylist(),
+                              orig["n_tok"].to_pylist()) if n < med}
+
+    def invariant():
+        # the live set is invariant under vacuum at EVERY crash point
+        assert set(_live(out, columns=["doc_id"])["doc_id"]) == keep
+
+    n = crash_sweep(
+        lambda: vacuum_deletes(out, max_concurrent_groups=1), invariant)
+    assert n >= 2  # group commit choreography + sidecar retirement
+    assert committed_deletes(out) == []  # sidecars retired
+    assert count_where(out, ("n_tok", ">=", med)) == 0
+
+
+def test_crash_sweep_replace_where(ray_session, tmp_path):
+    out, orig = _setup(tmp_path)
+    srcs = orig["source"].to_pylist()
+    victim = sorted(set(srcs))[0]
+    want = {d: ("redacted" if s == victim else s)
+            for d, s in zip(orig["doc_id"].to_pylist(), srcs)}
+
+    def invariant():
+        df = _live(out, columns=["doc_id", "source"])
+        assert len(df) == len(want)
+        for d, s in zip(df["doc_id"], df["source"]):
+            # victims are either rewritten or not yet; others untouched
+            assert s in ({victim, "redacted"} if want[d] == "redacted"
+                         else {want[d]})
+
+    crash_sweep(
+        lambda: replace_where(out, ("source", "==", victim),
+                              {"source": "redacted"}), invariant)
+    df = _live(out, columns=["doc_id", "source"])
+    assert all(want[d] == s for d, s in zip(df["doc_id"], df["source"]))
+
+
+def test_crash_sweep_compact(ray_session, tmp_path):
+    out, orig = _setup(tmp_path, files=3)
+    want = sorted(orig["doc_id"].to_pylist())
+
+    def invariant():
+        assert sorted(_live(out, columns=["doc_id"])["doc_id"]) == want
+
+    crash_sweep(lambda: compact_corpus(out), invariant)
+    from colonnade_ray.pipelines.encode_pipeline import active_groups
+    assert len(active_groups(out)) == 1
+
+
+def test_crash_sweep_add_columns(ray_session, tmp_path):
+    out, orig = _setup(tmp_path)
+    want_n = {d: n for d, n in zip(orig["doc_id"].to_pylist(),
+                                   orig["n_tok"].to_pylist())}
+
+    def bucket_fn(t):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        return {"tok_bucket": _pc.divide(t["n_tok"], 100).cast(_pa.int64())}
+
+    def invariant():
+        # mid-crash the corpus may be partially augmented; the ORIGINAL
+        # columns must stay fully readable and unchanged throughout
+        df = _live(out, columns=["doc_id", "n_tok"])
+        assert len(df) == len(want_n)
+        assert all(want_n[d] == n
+                   for d, n in zip(df["doc_id"], df["n_tok"]))
+
+    crash_sweep(
+        lambda: add_columns(out, bucket_fn, ["n_tok"],
+                            names=["tok_bucket"],
+                            max_concurrent_groups=1), invariant)
+    df = _live(out)
+    assert all(df["tok_bucket"] == df["n_tok"] // 100)
