@@ -506,7 +506,11 @@ def rename_columns(out_dir: str, mapping: dict,
                            columns=["plan_json"])
         plan = set(json.loads(lt["plan_json"][0].as_py())) if lt.num_rows \
             else set()
-        clash = (set(mapping.values()) & plan) - set(mapping)
+        # a genuine collision needs source AND target coexisting; a
+        # group carrying only the target was renamed by a prior
+        # (crashed) run and converges as a skip, not an error
+        clash = {v for k, v in mapping.items()
+                 if v in plan and k in plan} - set(mapping)
         if clash:
             raise ValueError(
                 f"rename target(s) {sorted(clash)} already exist in "
@@ -622,7 +626,15 @@ def update_where(out_dir: str, predicate, fn: Callable,
     (the latter without even decoding).  Groups whose lineage zone
     maps prove no chunk can match are skipped entirely.  Commits per
     group under the supersedes protocol; refuses while deletion masks
-    are pending (chunk ids change)."""
+    are pending (chunk ids change).
+
+    Retry semantics: groups commit independently, so re-running after
+    a mid-run failure re-applies ``fn`` to any rows that STILL match
+    the predicate — including rows an earlier committed group already
+    rewrote.  A retried update must therefore use an fn that is
+    idempotent on its own output (constant assignment whose result no
+    longer matches the predicate — ``replace_where`` — or a rewrite
+    that moves rows out of the matched set)."""
     import ray.data as rd
 
     from ..stages.decode import chunk_may_match, normalize_predicates

@@ -238,3 +238,64 @@ def test_crash_sweep_add_columns(ray_session, tmp_path):
                             max_concurrent_groups=1), invariant)
     df = _live(out)
     assert all(df["tok_bucket"] == df["n_tok"] // 100)
+
+
+def test_crash_sweep_encode_resume(ray_session, tmp_path):
+    """encode_corpus with resume=True converges through crashes in the
+    dict pre-pass and the per-group commit choreography; committed
+    groups decode consistently at every intermediate point."""
+    inp = str(tmp_path / "inp")
+    out = str(tmp_path / "out")
+    os.makedirs(inp, exist_ok=True)
+    tabs = []
+    for i in range(2):
+        t = synth_rows(100, seed=4000 + i, start_id=i * 100)
+        pq.write_table(t, os.path.join(inp, f"part-{i:03d}.parquet"))
+        tabs.append(t)
+    orig = pa.concat_tables(tabs)
+    want_n = dict(zip(orig["doc_id"].to_pylist(),
+                      orig["n_tok"].to_pylist()))
+
+    def invariant():
+        # whatever subset of groups committed must decode exactly
+        from colonnade_ray.pipelines.encode_pipeline import active_groups
+        if not active_groups(out):
+            return
+        df = _live(out, columns=["doc_id", "n_tok"])
+        assert all(want_n[d] == n
+                   for d, n in zip(df["doc_id"], df["n_tok"]))
+
+    crash_sweep(
+        lambda: encode_corpus(inp, out, batch_size=64, resume=True,
+                              group_size=1), invariant)
+    df = _live(out, columns=["doc_id", "n_tok"])
+    assert set(df["doc_id"]) == set(want_n)
+    # resumed groups reference the SAME deterministic shared dicts:
+    # a full verified decode of every column round-trips
+    full = decode_corpus(out, verify_checksum=True).to_pandas()
+    got_tok = dict(zip(full["doc_id"], full["tokens"]))
+    for d, tk in zip(orig["doc_id"].to_pylist(),
+                     orig["tokens"].to_pylist()):
+        assert list(got_tok[d]) == list(tk)
+
+
+def test_crash_sweep_rename(ray_session, tmp_path):
+    """rename_columns through crashes: the unaffected columns stay
+    readable at every point (a group is either renamed or not), and
+    the re-run converges to the fully renamed schema."""
+    from colonnade_ray.pipelines import rename_columns
+
+    out, orig = _setup(tmp_path)
+    want = sorted(orig["doc_id"].to_pylist())
+
+    def invariant():
+        df = _live(out, columns=["doc_id"])
+        assert sorted(df["doc_id"]) == want
+
+    crash_sweep(lambda: rename_columns(out, {"n_tok": "tok_count"}),
+                invariant)
+    dec = decode_corpus(out, verify_checksum=True)
+    names = set(dec.schema().names)
+    assert "tok_count" in names and "n_tok" not in names
+    df = dec.to_pandas()
+    assert sorted(df["tok_count"]) == sorted(orig["n_tok"].to_pylist())
