@@ -12,6 +12,7 @@ from .encode_pipeline import (
     encode_corpus,
     encode_dataset,
     roundtrip_verify,
+    sweep_orphans,
 )
 from .evolve import (
     add_columns,

@@ -819,6 +819,65 @@ def compact_corpus(out_dir: str, gc: bool = True) -> dict:
             "active_groups": len(active_groups(out_dir))}
 
 
+def sweep_orphans(out_dir: str) -> dict:
+    """Reclaim storage from ABANDONED rewrites: group data dirs and
+    meta sidecars with no lineage marker (a rewrite that crashed and
+    was never retried — retries clean their own torn state, so these
+    only accumulate when the operation is abandoned), shadowed groups
+    a ``gc=False`` rewrite left behind, and delete-sidecar dirs whose
+    commit marker never landed.  Everything removed is invisible to
+    every read path already (readers trust only lineage markers and
+    committed delete markers), so this changes no answer — it frees
+    bytes.
+
+    Offline maintenance: must not run concurrently with a writer (an
+    in-flight rewrite's uncommitted group dir looks exactly like an
+    abandoned one).  The 100-TB operational story is a periodic sweep
+    between ingest windows, like any LSM/lakehouse GC."""
+    from .deletes import DELETES_DIR, committed_deletes
+
+    completed = set(completed_groups(out_dir))
+    shadowed = shadowed_groups(out_dir)
+    removed = {"uncommitted_groups": 0, "shadowed_groups": 0,
+               "meta_sidecars": 0, "uncommitted_deletes": 0}
+    lin_root = os.path.join(out_dir, "_lineage")
+    for gid in sorted(shadowed):
+        if os.path.exists(os.path.join(lin_root, f"group-{gid}.parquet")) \
+                or os.path.isdir(os.path.join(out_dir, "data",
+                                              f"group-{gid}")):
+            _gc_group(out_dir, gid)
+            removed["shadowed_groups"] += 1
+    data_root = os.path.join(out_dir, "data")
+    if os.path.isdir(data_root):
+        for d in sorted(os.listdir(data_root)):
+            if not d.startswith("group-"):
+                continue
+            gid = d[len("group-"):]
+            if gid not in completed:
+                shutil.rmtree(os.path.join(data_root, d),
+                              ignore_errors=True)
+                removed["uncommitted_groups"] += 1
+    meta = _meta_root(out_dir)
+    if os.path.isdir(meta):
+        for f in sorted(os.listdir(meta)):
+            for suffix in (".files.json", ".supersedes.json"):
+                if f.startswith("group-") and f.endswith(suffix):
+                    gid = f[len("group-"):-len(suffix)]
+                    if gid not in completed:
+                        os.remove(os.path.join(meta, f))
+                        removed["meta_sidecars"] += 1
+    droot = os.path.join(out_dir, DELETES_DIR)
+    if os.path.isdir(droot):
+        live = set(committed_deletes(out_dir))
+        for d in sorted(os.listdir(droot)):
+            if d.startswith("del-") and not d.endswith(".json") \
+                    and os.path.isdir(os.path.join(droot, d)) \
+                    and d[len("del-"):] not in live:
+                shutil.rmtree(os.path.join(droot, d), ignore_errors=True)
+                removed["uncommitted_deletes"] += 1
+    return removed
+
+
 def decode_corpus(out_dir: str, verify_checksum: bool = True, concurrency=None,
                   columns: Optional[Sequence[str]] = None,
                   predicate: Optional[tuple] = None):

@@ -299,3 +299,55 @@ def test_crash_sweep_rename(ray_session, tmp_path):
     assert "tok_count" in names and "n_tok" not in names
     df = dec.to_pandas()
     assert sorted(df["tok_count"]) == sorted(orig["n_tok"].to_pylist())
+
+
+def test_sweep_orphans_reclaims_abandoned_state(ray_session, tmp_path):
+    """Abandoned crash states (never retried) are invisible to readers
+    but hold bytes; sweep_orphans reclaims exactly them."""
+    from colonnade_ray.pipelines import sweep_orphans
+    from colonnade_ray.pipelines.encode_pipeline import active_groups
+
+    out, orig = _setup(tmp_path)
+    want = sorted(orig["doc_id"].to_pylist())
+    med = int(np.median(orig["n_tok"].to_numpy()))
+
+    # abandon a delete mid-commit (sidecar dir written, marker not)
+    try:
+        with _Injector(1):
+            delete_where(out, ("n_tok", ">=", med))
+    except CrashPoint:
+        pass
+    # abandon a replace mid-commit at a few different points
+    for k in (1, 3):
+        try:
+            with _Injector(k):
+                replace_where(out, ("source", "==", "src0"),
+                              {"source": "x"})
+        except CrashPoint:
+            pass
+    # a gc=False rewrite leaves the old groups shadowed on disk
+    def bump(m):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        cols = {n: m[n] for n in m.column_names}
+        cols["n_tok"] = _pc.add(m["n_tok"], _pa.scalar(0, _pa.int32()))
+        return _pa.table(cols)
+    from colonnade_ray.pipelines import update_where
+    update_where(out, ("n_tok", ">=", 0), bump, gc=False)
+
+    before = sorted(_live(out, columns=["doc_id"])["doc_id"])
+    assert before == want
+    res = sweep_orphans(out)
+    assert res["shadowed_groups"] >= 1
+    assert res["uncommitted_groups"] + res["meta_sidecars"] >= 1
+    assert res["uncommitted_deletes"] == 1
+    # answers unchanged; a second sweep finds nothing
+    assert sorted(_live(out, columns=["doc_id"])["doc_id"]) == want
+    assert sweep_orphans(out) == {
+        "uncommitted_groups": 0, "shadowed_groups": 0,
+        "meta_sidecars": 0, "uncommitted_deletes": 0}
+    # on-disk state is now exactly the active groups
+    import os as _os
+    data = sorted(_os.listdir(_os.path.join(out, "data")))
+    assert data == [f"group-{g}" for g in sorted(active_groups(out))]
