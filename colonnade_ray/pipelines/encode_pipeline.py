@@ -926,13 +926,20 @@ def _read_encoded(out_dir: str, columns: Optional[Sequence[str]] = None,
             if not any(all(chunk_may_match(s, p) for p in preds) for s in sj):
                 continue  # zone maps prove: nothing in this group
         gdir = os.path.join(data_root, f"group-{gid}")
-        group_files[gid] = [
+        fs = [
             os.path.join(gdir, f) for f in sorted(os.listdir(gdir)) if f.endswith(".parquet")
-        ]
+        ] if os.path.isdir(gdir) else []
+        if fs:
+            group_files[gid] = fs
+        # else: a group vacuumed down to zero rows — its (empty)
+        # lineage marker exists only to carry the supersedes shadow;
+        # there is nothing to read, and the projection probe must not
+        # index into its empty manifest
     files = [f for fs in group_files.values() for f in fs]
     if not files:
-        if preds and active_groups(out_dir):
-            # every group zone-pruned: a valid empty result, not an error
+        if active_groups(out_dir):
+            # every group zone-pruned away — or vacuumed to zero rows:
+            # a valid empty result, not an error
             import ray.data as _rd
 
             return _rd.from_items([]), 1

@@ -206,3 +206,43 @@ def test_torn_vacuum_converges(ray_session, tmp_path):
     assert res["retired_deletes"] >= 1
     assert decode_corpus(out).count() == want
     assert deleted_row_count(out) == 0
+
+
+def test_vacuum_emptied_group_reads_fine(ray_session, tmp_path):
+    """A group whose every row is deleted vacuums to an EMPTY
+    replacement (its lineage marker exists only to carry the
+    supersedes shadow); every read path — full decode, projected
+    decode, pushdowns — must skip it, not crash on its empty
+    manifest.  Regression: the m10 lifecycle bench hit IndexError in
+    the projection probe."""
+    from colonnade_ray.corpus import synth_rows
+
+    inp = str(tmp_path / "inp")
+    out = str(tmp_path / "out")
+    os.makedirs(inp)
+    tabs = []
+    for i in range(3):
+        t = synth_rows(100, seed=5000 + i, start_id=i * 100)
+        pq.write_table(t, os.path.join(inp, f"part-{i}.parquet"))
+        tabs.append(t)
+    orig = pa.concat_tables(tabs)
+    encode_corpus(inp, out, batch_size=64, resume=False, group_size=1)
+    # doc_ids are fragment-contiguous: this wipes group 0 entirely
+    delete_where(out, ("doc_id", "<=", "doc-0000000099"))
+    vacuum_deletes(out)
+    live = orig.slice(100)
+    # projected decode (the crashing path), full decode, pushdowns
+    proj = decode_corpus(out, columns=["n_tok"])
+    assert sorted(r["n_tok"] for r in proj.take_all()) == \
+        sorted(live["n_tok"].to_pylist())
+    assert decode_corpus(out, verify_checksum=True).count() == 200
+    assert count_where(out, ("n_tok", ">=", 0)) == 200
+    assert aggregate_where(out, "sum", "n_tok") == \
+        int(np.sum(live["n_tok"].to_numpy()))
+    # wipe EVERYTHING: decode of a fully-empty corpus is empty, not
+    # an error
+    delete_where(out, ("n_tok", ">=", 0))
+    vacuum_deletes(out)
+    assert decode_corpus(out, columns=["n_tok"]).count() == 0
+    assert decode_corpus(out).count() == 0
+    assert count_where(out, ("n_tok", ">=", 0)) == 0
