@@ -269,9 +269,9 @@ def delete_where(out_dir: str, predicate, concurrency=None) -> dict:
 
 class _RewriteChunks:
     """Vacuum worker: encoded chunk rows -> re-encoded chunk rows with
-    deleted rows dropped.  Untouched chunks re-encode to byte-identical
-    content (same plan, same shared dictionaries, deterministic
-    codecs) — their chunk_id is stable by construction."""
+    deleted rows dropped.  Chunks with no mask move VERBATIM (no
+    decode, no re-encode — only the masked chunks of an affected
+    group pay); whole-chunk masks drop the row outright."""
 
     def __init__(self, out_dir: str, plan_names=None):
         self.out_dir = out_dir
@@ -295,12 +295,14 @@ class _RewriteChunks:
             dmask = masks.get((frag, cid))
             if isinstance(dmask, str):
                 continue  # whole chunk deleted
+            if dmask is None:
+                out_tables.append(batch.slice(r, 1))  # untouched chunk
+                continue
             row = {c: batch[c][r].as_py() for c in names}
             t = decode_chunk_row(row, verify_checksum=True)
-            if dmask is not None:
-                t = t.filter(pa.array(~dmask))
-                if t.num_rows == 0:
-                    continue
+            t = t.filter(pa.array(~dmask))
+            if t.num_rows == 0:
+                continue
             plan_names = json.loads(row["plan_json"])
             plan = CodecPlan.by_name(*plan_names)
             bound = bind_plan(plan, t.schema)

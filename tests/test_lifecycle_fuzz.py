@@ -60,13 +60,21 @@ def _shards(dir_, n_files, rows, seed0, start0):
     return pa.concat_tables(tabs)
 
 
-@pytest.mark.parametrize("seed", [11, 37, 101])
-def test_lifecycle_random_program_matches_model(ray_session, tmp_path, seed):
+# each seed also picks a different encode configuration, so the op
+# programs run over bloom-filtered, clustered, and per-file-group
+# layouts — the interaction space the per-op tests fix one at a time
+@pytest.mark.parametrize("seed,enc", [
+    (11, {}),
+    (37, {"bloom_cols": ["doc_id"], "group_size": 1}),
+    (101, {"cluster_by": "n_tok"}),
+])
+def test_lifecycle_random_program_matches_model(ray_session, tmp_path,
+                                                seed, enc):
     rng = np.random.default_rng(seed)
     inp = str(tmp_path / "inp")
     out = str(tmp_path / "out")
     model = _model_of(_shards(inp, 3, 120, seed0=seed * 1000, start0=0))
-    encode_corpus(inp, out, batch_size=64, resume=False)
+    encode_corpus(inp, out, batch_size=64, resume=False, **enc)
 
     state = {"icol": "n_tok", "scol": "source", "next_id": 100_000,
              "order": ["doc_id", "tokens", "n_tok", "source"]}

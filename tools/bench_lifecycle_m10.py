@@ -58,6 +58,18 @@ def main():
     res = {"rows": rows, "tokens": s["tokens"], "groups": n_groups,
            "encode_sec": round(t_encode, 2)}
 
+    # regime 0: sparse — masks on ~1/4 of ONE group's chunks; vacuum
+    # moves the group's unmasked chunks verbatim (no decode/re-encode)
+    t0 = time.time()
+    d0 = delete_where(out, ("doc_id", "<=", "doc-0000009999"))
+    res["sparse_delete_sec"] = round(time.time() - t0, 2)
+    res["sparse_chunks_touched"] = d0["chunks_touched"]
+    t0 = time.time()
+    v0 = vacuum_deletes(out, max_concurrent_groups=4)
+    res["sparse_vacuum_sec"] = round(time.time() - t0, 2)
+    res["sparse_vacuumed_groups"] = v0["vacuumed_groups"]
+    assert count_where(out, ("doc_id", "<=", "doc-0000009999")) == 0
+
     # regime 1: narrow band, fragment-contiguous ids
     t0 = time.time()
     d1 = delete_where(out, ("doc_id", "<=", "doc-0000099999"))
@@ -69,7 +81,7 @@ def main():
     res["narrow_vacuum_sec"] = round(time.time() - t0, 2)
     res["narrow_vacuumed_groups"] = v1["vacuumed_groups"]
     assert count_where(out, ("doc_id", "<=", "doc-0000099999")) == 0
-    live = rows - d1["rows_deleted"]
+    live = rows - d0["rows_deleted"] - d1["rows_deleted"]
     assert decode_corpus(out, columns=["n_tok"]).count() == live
 
     # regime 2: scattered predicate, every chunk a boundary chunk
