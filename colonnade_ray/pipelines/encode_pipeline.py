@@ -1334,7 +1334,16 @@ def group_counts(out_dir: str, group_col: str,
     ds = enc.map_batches(part, batch_format="pyarrow",
                          batch_size=max(1, cpt), zero_copy_batch=True,
                          concurrency=concurrency or default_concurrency())
+    import pandas as pd
+
     df = ds.to_pandas()
+    if df.empty:
+        # every group pruned/deleted: an empty frame with the right
+        # columns (a wiped corpus's blocks never reach `part`, so the
+        # frame arrives schemaless)
+        df = pd.DataFrame({"g": pd.Series([], dtype=str),
+                           "n": pd.Series([], dtype="int64"),
+                           "s": pd.Series([], dtype="int64")})
     out = df.groupby("g", as_index=False).agg(n_rows=("n", "sum"),
                                               s=("s", "sum"))
     out = out.rename(columns={"g": group_col})

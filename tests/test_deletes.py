@@ -246,3 +246,7 @@ def test_vacuum_emptied_group_reads_fine(ray_session, tmp_path):
     assert decode_corpus(out, columns=["n_tok"]).count() == 0
     assert decode_corpus(out).count() == 0
     assert count_where(out, ("n_tok", ">=", 0)) == 0
+    # every aggregate entry point answers on the wiped corpus too
+    assert aggregate_where(out, "sum", "n_tok") is None  # SQL: NULL
+    gc_df = group_counts(out, "source")
+    assert len(gc_df) == 0 and list(gc_df.columns) == ["source", "n_rows"]
