@@ -201,11 +201,35 @@ def test_lifecycle_random_program_matches_model(ray_session, tmp_path,
         ensure_vacuumed()
         m = live()
         if "tok_bucket" not in m.columns:
-            # negative case: the int column stores the list column's
-            # lengths (cross-column dedup ref) — dropping it while
-            # tokens survives must refuse
-            with pytest.raises(ValueError, match="lengths"):
-                drop_columns(out, [state["icol"]])
+            # negative case: while any chunk's tokens column stores
+            # its lengths as a ref to the int column (cross-column
+            # dedup), dropping the int column must refuse.  Updates
+            # that bump the int column legitimately break the ref on
+            # rewritten chunks (lengths go explicit); once NO chunk
+            # refs it the drop would be legal — skip, the program
+            # still needs the column.
+            import json as _json
+
+            from colonnade_ray.pipelines.encode_pipeline import (
+                active_groups,
+            )
+            lin_root = os.path.join(out, "_lineage")
+            ref = f"ref:{state['icol']}"
+            has_ref = False
+            for gid in active_groups(out):
+                lt = pq.read_table(
+                    os.path.join(lin_root, f"group-{gid}.parquet"),
+                    columns=["codecs_json"])
+                for cj in lt["codecs_json"].to_pylist():
+                    if any(e.get("lengths") == ref
+                           for e in _json.loads(cj)):
+                        has_ref = True
+                        break
+                if has_ref:
+                    break
+            if has_ref:
+                with pytest.raises(ValueError, match="lengths"):
+                    drop_columns(out, [state["icol"]])
             return
         drop_columns(out, ["tok_bucket"])
         state["model"] = m.drop(columns=["tok_bucket"])
