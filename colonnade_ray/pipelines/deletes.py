@@ -332,6 +332,7 @@ def vacuum_deletes(out_dir: str, gc: bool = True,
 
     from .encode_pipeline import (
         LINEAGE_COLS,
+        _commit_lineage,
         _gc_group,
         _meta_root,
         _run_groups,
@@ -399,8 +400,8 @@ def vacuum_deletes(out_dir: str, gc: bool = True,
         with open(os.path.join(_meta_root(out_dir),
                                f"group-{ngid}.supersedes.json"), "w") as fh:
             json.dump(shadow, fh)
-        pq.write_table(lineage,
-                       os.path.join(lin_root, f"group-{ngid}.parquet"))
+        _commit_lineage(lineage,
+                        os.path.join(lin_root, f"group-{ngid}.parquet"))
         if gc:
             for g in shadow:
                 _gc_group(out_dir, g)

@@ -582,7 +582,7 @@ def encode_corpus(
             json.dump(sorted(g), fh)
         # commit marker: lineage written only after the data lands
         lineage = pq.read_table(gdir, columns=LINEAGE_COLS)
-        pq.write_table(lineage, lin_path)
+        _commit_lineage(lineage, lin_path)
         return False
 
     if max_concurrent_groups <= 1 or len(groups) <= 1:
@@ -734,6 +734,18 @@ def _transitive_supersedes(out_dir: str, gids) -> list:
     return sorted(g for g in out if _extant(g))
 
 
+def _commit_lineage(table, path: str) -> None:
+    """The lineage marker IS a group's commit point, so its write must
+    be atomic: parquet to a ``.tmp`` sibling, then a same-directory
+    rename.  A real crash mid-write then leaves only the tmp file —
+    never a truncated marker that ``completed_groups`` would trust
+    (``pq.write_table`` alone creates the destination name first and
+    fills it incrementally)."""
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
 def _gc_group(out_dir: str, gid: str) -> None:
     """Remove one superseded group's artifacts; lineage marker FIRST
     (the instant it's gone the group is inactive, so a crash anywhere
@@ -810,7 +822,8 @@ def compact_corpus(out_dir: str, gc: bool = True) -> dict:
         with open(os.path.join(_meta_root(out_dir), f"group-{ngid}.supersedes.json"), "w") as fh:
             json.dump(shadow, fh)
         lineage = pq.read_table(gdir, columns=LINEAGE_COLS)
-        pq.write_table(lineage, os.path.join(lin_root, f"group-{ngid}.parquet"))
+        _commit_lineage(lineage,
+                        os.path.join(lin_root, f"group-{ngid}.parquet"))
         compacted += len(gids)
         if gc:
             for g in shadow:
@@ -866,6 +879,13 @@ def sweep_orphans(out_dir: str) -> dict:
                     if gid not in completed:
                         os.remove(os.path.join(meta, f))
                         removed["meta_sidecars"] += 1
+    # stray atomic-commit temporaries (_commit_lineage crashed between
+    # the parquet write and the rename)
+    if os.path.isdir(lin_root):
+        for f in sorted(os.listdir(lin_root)):
+            if f.endswith(".parquet.tmp"):
+                os.remove(os.path.join(lin_root, f))
+                removed["meta_sidecars"] += 1
     droot = os.path.join(out_dir, DELETES_DIR)
     if os.path.isdir(droot):
         live = set(committed_deletes(out_dir))

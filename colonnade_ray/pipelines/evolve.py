@@ -163,6 +163,7 @@ def add_columns(out_dir: str, fn: Callable, input_columns: Sequence[str],
     from .deletes import committed_deletes
     from .encode_pipeline import (
         LINEAGE_COLS,
+        _commit_lineage,
         _gc_group,
         _meta_root,
         _register_dict_dir,
@@ -251,8 +252,8 @@ def add_columns(out_dir: str, fn: Callable, input_columns: Sequence[str],
                                f"group-{ngid}.supersedes.json"), "w") as fh:
             json.dump(shadow, fh)
         lineage = pq.read_table(gdir, columns=LINEAGE_COLS)
-        pq.write_table(lineage,
-                       os.path.join(lin_root, f"group-{ngid}.parquet"))
+        _commit_lineage(lineage,
+                        os.path.join(lin_root, f"group-{ngid}.parquet"))
         if gc:
             for g in shadow:
                 _gc_group(out_dir, g)
@@ -378,6 +379,7 @@ def _rewrite_schema(out_dir: str, rewriter: _RewriteSchema, tag: str,
     from .deletes import committed_deletes
     from .encode_pipeline import (
         LINEAGE_COLS,
+        _commit_lineage,
         _gc_group,
         _meta_root,
         _run_groups,
@@ -436,8 +438,8 @@ def _rewrite_schema(out_dir: str, rewriter: _RewriteSchema, tag: str,
                                f"group-{ngid}.supersedes.json"), "w") as fh:
             json.dump(shadow, fh)
         lineage = pq.read_table(gdir, columns=LINEAGE_COLS)
-        pq.write_table(lineage,
-                       os.path.join(lin_root, f"group-{ngid}.parquet"))
+        _commit_lineage(lineage,
+                        os.path.join(lin_root, f"group-{ngid}.parquet"))
         if gc:
             for g in shadow:
                 _gc_group(out_dir, g)
@@ -641,6 +643,7 @@ def update_where(out_dir: str, predicate, fn: Callable,
     from .deletes import committed_deletes
     from .encode_pipeline import (
         LINEAGE_COLS,
+        _commit_lineage,
         _gc_group,
         _meta_root,
         _run_groups,
@@ -701,8 +704,8 @@ def update_where(out_dir: str, predicate, fn: Callable,
                                f"group-{ngid}.supersedes.json"), "w") as fh:
             json.dump(shadow, fh)
         lineage = pq.read_table(gdir, columns=LINEAGE_COLS)
-        pq.write_table(lineage,
-                       os.path.join(lin_root, f"group-{ngid}.parquet"))
+        _commit_lineage(lineage,
+                        os.path.join(lin_root, f"group-{ngid}.parquet"))
         if gc:
             for g in shadow:
                 _gc_group(out_dir, g)
