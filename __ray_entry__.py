@@ -878,6 +878,62 @@ def q_replace_where_rewrite(sf_dir: str):
                                 preserve_index=False)
 
 
+def q_merge_rows_upsert(sf_dir: str):
+    """Keyed MERGE / upsert IN the gate (pipelines/merge.py): encode
+    the documents table, upsert a batch of UPDATED rows (doc_id % 7
+    == 0 — n_chars bumped by 1000, source retagged 'merged') plus
+    brand-new keys (doc_id + 10M for doc_id % 97 == 0, source
+    'fresh'), then answer per-source counts + n_chars sums from the
+    merged corpus — must equal SQL's anti-join + UNION ALL."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    from colonnade_ray.pipelines import (
+        decode_corpus,
+        encode_corpus,
+        merge_rows,
+    )
+
+    work = _run_dir(sf_dir, "merge")
+    inp = os.path.join(work, "input")
+    out = os.path.join(work, "out")
+    cols = ["doc_id", "n_chars", "lang", "source"]
+    _tbl(sf_dir, "documents", cols).write_parquet(inp)
+    encode_corpus(inp, out, batch_size=512, resume=False)
+
+    # the merge batch is incremental by definition — driver-built here
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=cols)
+    ids = t["doc_id"].to_numpy()
+    upd = t.filter(pa.array(ids % 7 == 0))
+    ins = t.filter(pa.array(ids % 97 == 0))
+    batch = pa.concat_tables([
+        pa.table({"doc_id": upd["doc_id"],
+                  "n_chars": pc.add(upd["n_chars"], 1000),
+                  "lang": upd["lang"],
+                  "source": pa.array(["merged"] * upd.num_rows)}),
+        pa.table({"doc_id": pc.add(ins["doc_id"], 10_000_000),
+                  "n_chars": ins["n_chars"],
+                  "lang": ins["lang"],
+                  "source": pa.array(["fresh"] * ins.num_rows)}),
+    ])
+    bdir = os.path.join(work, "batch")
+    os.makedirs(bdir, exist_ok=True)
+    bp = os.path.join(bdir, "batch-0.parquet")
+    pq.write_table(batch, bp)
+    merge_rows(out, bp, key="doc_id", batch_size=512)
+
+    agg = decode_corpus(out, columns=["source", "n_chars"]) \
+        .groupby("source").aggregate(Count(), Sum("n_chars")) \
+        .to_pandas()
+    agg = agg.rename(columns={"count()": "n_docs",
+                              "sum(n_chars)": "sum_chars"})
+    agg["n_docs"] = agg["n_docs"].astype("int64")
+    agg["sum_chars"] = agg["sum_chars"].astype("int64")
+    return pa.Table.from_pandas(
+        agg[["source", "n_docs", "sum_chars"]], preserve_index=False)
+
+
 def q_bloom_point_lookup(sf_dir: str):
     """Per-chunk Bloom filters IN the gate (stages/bloomzone.py):
     encode documents with bloom_cols=["doc_id"], then answer point
@@ -1757,6 +1813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delete_where_count": q_delete_where_count,
         "evolve_add_column": q_evolve_add_column,
         "replace_where_rewrite": q_replace_where_rewrite,
+        "merge_rows_upsert": q_merge_rows_upsert,
         "bloom_point_lookup": q_bloom_point_lookup,
         "winsorize": q_winsorize,
         "mode_lang": q_mode_lang,
@@ -2386,6 +2443,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CASE WHEN lang = 'de' THEN 'redacted' ELSE source "
             "END AS source, CAST(COUNT(*) AS BIGINT) AS n_docs "
             "FROM documents GROUP BY 1 ORDER BY 1"
+        ),
+        "merge_rows_upsert": (
+            "WITH incoming AS ("
+            "SELECT doc_id, n_chars + 1000 AS n_chars, 'merged' AS source "
+            "FROM documents WHERE doc_id % 7 = 0 "
+            "UNION ALL "
+            "SELECT doc_id + 10000000, n_chars, 'fresh' "
+            "FROM documents WHERE doc_id % 97 = 0), "
+            "merged AS ("
+            "SELECT doc_id, n_chars, source FROM documents "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM incoming) "
+            "UNION ALL SELECT * FROM incoming) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+            "FROM merged GROUP BY source ORDER BY source"
         ),
         "bloom_point_lookup": (
             "SELECT CAST(COUNT(*) FILTER (doc_id = 123) AS BIGINT) "

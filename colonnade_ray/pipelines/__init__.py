@@ -28,3 +28,4 @@ from .deletes import (
     load_delete_masks,
     vacuum_deletes,
 )
+from .merge import merge_rows

@@ -145,13 +145,22 @@ def deleted_row_count(out_dir: str) -> int:
     return total
 
 
-def delete_where(out_dir: str, predicate, concurrency=None) -> dict:
+def delete_where(out_dir: str, predicate, concurrency=None,
+                 exclude_covering: Optional[set] = None) -> dict:
     """Mark every row matching ``predicate`` (TRUE rows only — SQL
     DELETE three-valued semantics, nulls survive) as deleted.
 
     Distributed: one zone-pruned pass over the encoded chunks; only
     boundary chunks decode their predicate columns.  The sidecar is
-    committed atomically (data dir, then marker)."""
+    committed atomically (data dir, then marker).
+
+    ``exclude_covering``: a set of input-file paths — active groups
+    whose coverage sidecar intersects it are left untouched.  This is
+    ``merge_rows``'s scoping hook: the upsert's key-delete must never
+    mask the rows it just appended, and the exclusion is derived from
+    the merge batch's input files (stable across crash-retries and
+    vacuum rewrites, which carry files.json forward) rather than from
+    a group id captured in driver memory."""
     from ..stages.decode import (
         chunk_all_match,
         chunk_may_match,
@@ -160,16 +169,35 @@ def delete_where(out_dir: str, predicate, concurrency=None) -> dict:
         predicate_mask,
     )
     from ..util import default_concurrency
-    from .encode_pipeline import _read_encoded, _register_dict_dir
+    from .encode_pipeline import (
+        _meta_root,
+        _read_encoded,
+        _register_dict_dir,
+        active_groups,
+    )
 
     preds = normalize_predicates(predicate)
     if not preds:
         raise ValueError("delete_where needs at least one predicate")
     cols = sorted({p[0] for p in preds})
+    groups = None
+    if exclude_covering:
+        excl = {os.path.realpath(p) for p in exclude_covering}
+        groups = []
+        for gid in active_groups(out_dir):
+            sc = os.path.join(_meta_root(out_dir), f"group-{gid}.files.json")
+            covered: set = set()
+            if os.path.exists(sc):
+                with open(sc) as fh:
+                    covered = {os.path.realpath(p) for p in json.load(fh)}
+            if not (covered & excl):
+                groups.append(gid)
     did = hashlib.blake2b(
         (json.dumps([list(p[:2]) + [p[2] if p[1] != "in" else list(p[2])]
                      for p in preds], sort_keys=True, default=str)
-         + "|" + ",".join(committed_deletes(out_dir))).encode(),
+         + "|" + ",".join(committed_deletes(out_dir))
+         + ("|scope:" + ",".join(groups) if groups is not None else "")
+         ).encode(),
         digest_size=10,
     ).hexdigest()
     root = _deletes_root(out_dir)
@@ -180,7 +208,8 @@ def delete_where(out_dir: str, predicate, concurrency=None) -> dict:
     if os.path.exists(marker):
         os.remove(marker)
 
-    enc, cpt = _read_encoded(out_dir, cols, concurrency, predicate=predicate)
+    enc, cpt = _read_encoded(out_dir, cols, concurrency, predicate=predicate,
+                             groups=groups)
 
     def part(batch: pa.Table) -> pa.Table:
         _register_dict_dir(out_dir)

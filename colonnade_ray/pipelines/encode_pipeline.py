@@ -780,20 +780,30 @@ def compact_corpus(out_dir: str, gc: bool = True) -> dict:
     lin_root = os.path.join(out_dir, "_lineage")
     olds = active_groups(out_dir)
     # cohorts by encoded schema: groups from different plans carry
-    # different colN columns and cannot share one parquet schema
+    # different colN columns and cannot share one parquet schema.
+    # Groups vacuumed to zero rows have no files (their empty lineage
+    # marker only carries a supersedes shadow) — folded into the first
+    # compacted cohort's shadow below so compaction retires them too.
     cohorts: dict = {}
+    empties: list = []
     for gid in olds:
         gdir = os.path.join(data_root, f"group-{gid}")
         fs = sorted(
             os.path.join(gdir, f) for f in os.listdir(gdir)
             if f.endswith(".parquet")
-        )
+        ) if os.path.isdir(gdir) else []
+        if not fs:
+            empties.append(gid)
+            continue
         key = tuple(pq.read_schema(fs[0]).names)
         cohorts.setdefault(key, []).append(gid)
     compacted = 0
     for key, gids in cohorts.items():
         if len(gids) < 2:
             continue
+        if empties:
+            gids = gids + empties
+            empties = []
         h = hashlib.blake2b(digest_size=8)
         for g in gids:
             h.update(g.encode())
@@ -805,6 +815,7 @@ def compact_corpus(out_dir: str, gc: bool = True) -> dict:
         files = [
             os.path.join(data_root, f"group-{g}", f)
             for g in gids
+            if os.path.isdir(os.path.join(data_root, f"group-{g}"))
             for f in sorted(os.listdir(os.path.join(data_root, f"group-{g}")))
             if f.endswith(".parquet")
         ]
@@ -919,7 +930,8 @@ def decode_corpus(out_dir: str, verify_checksum: bool = True, concurrency=None,
 
 
 def _read_encoded(out_dir: str, columns: Optional[Sequence[str]] = None,
-                  concurrency=None, predicate: Optional[tuple] = None):
+                  concurrency=None, predicate: Optional[tuple] = None,
+                  groups: Optional[Sequence[str]] = None):
     """Committed-group encoded chunk rows as a Dataset, plus the
     lineage-derived chunks-per-task sizing.  Shared by decode_corpus
     and the fused digest path.
@@ -928,7 +940,11 @@ def _read_encoded(out_dir: str, columns: Optional[Sequence[str]] = None,
     (small) carries every chunk's zone maps, so a group in which no
     chunk can match is dropped from the read list entirely — its
     payload bytes never leave storage (a time- or source-partitioned
-    corpus typically kills whole groups, not just chunks)."""
+    corpus typically kills whole groups, not just chunks).
+
+    ``groups`` restricts the read to a subset of the active group ids
+    (``merge_rows`` scopes its key-delete pass away from the group it
+    just appended); ``None`` reads every active group."""
     import ray.data as rd
 
     from ..stages.decode import chunk_may_match, normalize_predicates
@@ -937,7 +953,10 @@ def _read_encoded(out_dir: str, columns: Optional[Sequence[str]] = None,
     data_root = os.path.join(out_dir, "data")
     lin_root = os.path.join(out_dir, "_lineage")
     group_files: dict = {}
-    for gid in active_groups(out_dir):
+    scoped = active_groups(out_dir) if groups is None else [
+        g for g in active_groups(out_dir) if g in set(groups)
+    ]
+    for gid in scoped:
         if preds:
             lin = pq.read_table(
                 os.path.join(lin_root, f"group-{gid}.parquet"),

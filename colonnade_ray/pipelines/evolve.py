@@ -184,11 +184,22 @@ def add_columns(out_dir: str, fn: Callable, input_columns: Sequence[str],
         raise FileNotFoundError(f"no committed encode groups under {out_dir}")
 
     if names is None:
-        # probe one chunk for the output schema
+        # probe one chunk for the output schema — from the first group
+        # that HAS chunks (a group vacuumed to zero rows keeps only an
+        # empty lineage marker for its supersedes shadow)
         from ..stages.decode import decode_chunk_row
 
         _register_dict_dir(out_dir)
-        gdir = os.path.join(data_root, f"group-{groups[0]}")
+        probe_gid = next(
+            (g for g in groups
+             if os.path.isdir(os.path.join(data_root, f"group-{g}"))
+             and any(f.endswith(".parquet") for f in os.listdir(
+                 os.path.join(data_root, f"group-{g}")))),
+            None)
+        if probe_gid is None:
+            raise FileNotFoundError(
+                f"no group with data under {out_dir} to probe names from")
+        gdir = os.path.join(data_root, f"group-{probe_gid}")
         f0 = sorted(f for f in os.listdir(gdir) if f.endswith(".parquet"))[0]
         t0 = pq.read_table(os.path.join(gdir, f0)).slice(0, 1)
         row0 = {c: t0[c][0].as_py() for c in t0.column_names}
@@ -207,7 +218,9 @@ def add_columns(out_dir: str, fn: Callable, input_columns: Sequence[str],
     for gid in groups:
         lt = pq.read_table(os.path.join(lin_root, f"group-{gid}.parquet"),
                            columns=["plan_json"])
-        plan = json.loads(lt["plan_json"][0].as_py()) if lt.num_rows else []
+        if not lt.num_rows:
+            continue  # vacuumed-to-zero group: no chunks to augment
+        plan = json.loads(lt["plan_json"][0].as_py())
         present = set(names) & set(plan)
         foreign = present - aug_record
         if foreign:

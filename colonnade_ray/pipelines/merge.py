@@ -1,0 +1,122 @@
+"""Keyed MERGE (upsert) over encoded corpora.
+
+``merge_rows(out_dir, inputs, key=...)`` gives the corpus lifecycle
+its missing write primitive: every incoming row REPLACES the corpus
+row carrying the same key (update), and rows with unseen keys are
+plain inserts.  It composes the two existing crash-safe primitives —
+append-encode (new committed group) and merge-on-read deletion
+vectors (``delete_where``) — so no new commit machinery is invented:
+
+1. append-encode the merge batch (``encode_corpus(append=True)``);
+   the group's lineage marker is commit point A,
+2. mask ``key IN (incoming keys)`` in every OTHER active group
+   (``delete_where(..., exclude_covering=<merge input files>)``);
+   the delete sidecar marker is commit point B.
+
+Reference parity: the reference's closest analogs are incremental
+encoder composition (``mappend``/``<>`` over colonnades,
+colonnade/src/Colonnade.hs:189-215) plus predicate rewriting
+(``replaceWhen``, Colonnade.hs:236-248); merge_rows is that pair
+lifted to corpus lifecycle — "append this encoder's rows, replacing
+what they shadow".
+
+Crash contract (append-first, duplicates over data loss): a crash
+between commit A and commit B leaves BOTH versions of an updated key
+visible; no committed row is ever invisible.  Re-running the same
+``merge_rows`` call converges — the append step skips files a
+committed group already covers, and the delete step re-derives its
+scope from the merge batch's input files, so it never masks the
+appended rows.  ``tests/test_merge.py`` drives this window with
+crash injection.
+
+Ordering constraint (documented, asserted nowhere): don't run
+``compact_corpus`` between a merge's two commits (i.e. while a
+crashed merge awaits its re-run) — compaction unions coverage
+sidecars, which would widen the delete-scope exclusion to rows that
+still need masking.  Completed merges compose with compaction and
+vacuum freely: both carry files.json forward per group.
+
+Scale notes (100 TB): a merge batch is incremental by definition —
+its key column is read on the driver (batch-sized, not corpus-sized)
+and ships inside the delete predicate once per delete task.  The
+corpus-side cost is ``delete_where``'s: zone-map + Bloom pruned, so
+a clustered / bloom-indexed key column touches only the chunks that
+can contain the merged keys.  Payload bytes of untouched rows never
+move; the appended group is the only new data written.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .deletes import delete_where
+from .encode_pipeline import (
+    _list_input_files,
+    corpus_summary,
+    encode_corpus,
+    encoded_input_files,
+)
+
+
+def merge_rows(out_dir: str, inputs, key: str,
+               concurrency=None, **encode_kwargs) -> dict:
+    """Upsert the parquet files in ``inputs`` into the encoded corpus
+    at ``out_dir``: rows whose ``key`` matches an existing corpus row
+    supersede it; new keys append.  The merge batch must be
+    key-unique (an upsert with two versions of one key is ambiguous —
+    raises ``ValueError``).
+
+    ``encode_kwargs`` pass through to ``encode_corpus`` for the
+    append step (``cluster_by=``, ``bloom_cols=``, ``plan_names=`` …
+    must match how the corpus was built if schema compatibility
+    matters to downstream projected reads).
+
+    Returns ``{"appended_rows", "matched_keys", "masked_rows",
+    "delete_id"}`` — ``masked_rows`` counts corpus rows the key-delete
+    masked (0 when every incoming key was new).
+    """
+    files = _list_input_files(inputs)
+    if not files:
+        raise ValueError("merge_rows needs at least one input file")
+    keys: list = []
+    n_in = 0
+    for f in files:
+        t = pq.read_table(f, columns=[key])
+        n_in += t.num_rows
+        col = t[key]
+        if col.null_count:
+            raise ValueError(f"merge key {key!r} has nulls in {f}")
+        keys.extend(col.to_pylist())
+    uniq = sorted(set(keys))
+    if len(uniq) != len(keys):
+        raise ValueError(
+            f"merge batch is not key-unique on {key!r}: "
+            f"{len(keys)} rows, {len(uniq)} distinct keys"
+        )
+
+    already = encoded_input_files(out_dir) if os.path.isdir(
+        os.path.join(out_dir, "_lineage")) else set()
+    fresh = [f for f in files if f not in already]
+    # commit point A: the appended group's lineage marker
+    encode_corpus(files, out_dir, append=True,
+                  concurrency=concurrency, **encode_kwargs)
+
+    # commit point B: mask the superseded versions everywhere EXCEPT
+    # the group(s) covering the merge batch itself.  Scope comes from
+    # input files (stable across crash-retries), not a captured gid.
+    res = delete_where(out_dir, (key, "in", uniq),
+                       concurrency=concurrency,
+                       exclude_covering=set(files))
+    return {
+        "appended_rows": n_in if fresh else 0,
+        "appended_files": len(fresh),
+        "matched_keys": len(uniq),
+        "masked_rows": res["rows_deleted"],
+        "delete_id": res["delete_id"],
+    }

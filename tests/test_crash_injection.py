@@ -301,6 +301,54 @@ def test_crash_sweep_rename(ray_session, tmp_path):
     assert sorted(df["tok_count"]) == sorted(orig["n_tok"].to_pylist())
 
 
+def test_crash_sweep_merge_rows(ray_session, tmp_path):
+    """merge_rows through crashes at every driver-side mutation: no
+    committed row ever disappears (the documented duplicates-over-
+    data-loss window), untouched rows never change, and the re-run
+    converges to anti-join + union."""
+    from colonnade_ray.pipelines import merge_rows
+
+    out, orig = _setup(tmp_path)
+    upd = orig.slice(0, 40)
+    batch = pa.table({
+        "doc_id": upd["doc_id"],
+        "tokens": pa.array([[7] * 3] * 40, pa.list_(pa.int32())),
+        "n_tok": pa.array([3] * 40, pa.int32()),
+        "source": pa.array(["merged"] * 40, pa.string()),
+    })
+    bdir = tmp_path / "batch"
+    bdir.mkdir()
+    bp = str(bdir / "b0.parquet")
+    pq.write_table(batch, bp)
+    updated = set(upd["doc_id"].to_pylist())
+    old_src = dict(zip(orig["doc_id"].to_pylist(),
+                       orig["source"].to_pylist()))
+
+    def invariant():
+        df = decode_corpus(out, verify_checksum=True,
+                           columns=["doc_id", "source"]).to_pandas()
+        seen: dict = {}
+        for d, s in zip(df["doc_id"], df["source"]):
+            seen.setdefault(d, set()).add(s)
+        # every original key stays visible in SOME version
+        assert set(old_src) <= set(seen)
+        for d, versions in seen.items():
+            if d in updated:
+                # old, new, or (mid-window) both — never neither
+                assert versions <= {old_src[d], "merged"}
+            else:
+                assert versions == {old_src[d]}
+
+    n = crash_sweep(lambda: merge_rows(out, bp, key="doc_id",
+                                       batch_size=64), invariant)
+    assert n >= 3  # append commit choreography + delete sidecar+marker
+    df = decode_corpus(out).to_pandas()
+    assert df["doc_id"].is_unique and len(df) == orig.num_rows
+    got = dict(zip(df["doc_id"], df["source"]))
+    assert all(got[d] == ("merged" if d in updated else s)
+               for d, s in old_src.items())
+
+
 def test_sweep_orphans_reclaims_abandoned_state(ray_session, tmp_path):
     """Abandoned crash states (never retried) are invisible to readers
     but hold bytes; sweep_orphans reclaims exactly them."""

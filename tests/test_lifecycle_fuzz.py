@@ -266,18 +266,54 @@ def test_lifecycle_random_program_matches_model(ray_session, tmp_path,
         state["model"] = pd.concat(
             [m, _model_of(t2)], ignore_index=True)
 
+    def op_merge():
+        from colonnade_ray.pipelines import merge_rows
+
+        m = live()
+        if len(m) < 20:
+            return
+        n_upd = int(rng.integers(5, min(40, len(m))))
+        upd_keys = list(rng.choice(m["doc_id"].to_numpy(), size=n_upd,
+                                   replace=False))
+        n_new = int(rng.integers(3, 20))
+        t = synth_rows(n_new, seed=seed * 104729 + state["next_id"],
+                       start_id=state["next_id"])
+        state["next_id"] += n_new
+        tag = f"merged-{int(rng.integers(0, 100))}"
+        keys = upd_keys + t["doc_id"].to_pylist()
+        n = len(keys)
+        cols = {
+            "doc_id": pa.array(keys, pa.string()),
+            "tokens": pa.array([[int(rng.integers(0, 50))] * 2] * n,
+                               pa.list_(pa.int32())),
+            state["icol"]: pa.array([2] * n, pa.int32()),
+            state["scol"]: pa.array([tag] * n, pa.string()),
+        }
+        if "tok_bucket" in m.columns:
+            cols["tok_bucket"] = pa.array([0] * n, pa.int64())
+        t2 = pa.table({c: cols[c] for c in state["order"]})
+        d = str(tmp_path / f"mrg-{state['next_id']}")
+        os.makedirs(d, exist_ok=True)
+        bp = os.path.join(d, "part-000.parquet")
+        pq.write_table(t2, bp)
+        merge_rows(out, bp, key="doc_id", batch_size=64)
+        keep = m[~m["doc_id"].isin(keys)]
+        state["model"] = pd.concat(
+            [keep, _model_of(t2)], ignore_index=True)
+
     handlers = {"delete": op_delete, "vacuum": op_vacuum,
                 "compact": op_compact, "update": op_update,
                 "replace": op_replace, "add": op_add,
                 "drop": op_drop, "rename": op_rename,
-                "append": op_append}
+                "append": op_append, "merge": op_merge}
     state["model"] = model
 
     # every op at least once, the rest drawn by weight; the sequence
     # itself is part of the seed-determined program
     base = list(handlers)
     extra = list(rng.choice(
-        ["delete", "update", "vacuum", "append", "replace"], size=4))
+        ["delete", "update", "vacuum", "append", "replace", "merge"],
+        size=4))
     program = base + extra
     rng.shuffle(program)
 
