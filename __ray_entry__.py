@@ -934,6 +934,43 @@ def q_merge_rows_upsert(sf_dir: str):
         agg[["source", "n_docs", "sum_chars"]], preserve_index=False)
 
 
+def q_snapshot_time_travel(sf_dir: str):
+    """Time travel IN the gate (pipelines/snapshots.py): encode the
+    documents table, snapshot, DELETE WHERE lang = 'de', vacuum (the
+    live sidecars retire; the snapshot holds its own copy), then
+    answer per-source counts from BOTH the live corpus and the
+    snapshot — the snapshot must still see every row."""
+    from ray.data.aggregate import Count
+
+    from colonnade_ray.pipelines import (
+        create_snapshot,
+        decode_snapshot,
+        delete_where,
+        encode_corpus,
+        group_counts,
+        vacuum_deletes,
+    )
+
+    work = _run_dir(sf_dir, "snapshot")
+    inp = os.path.join(work, "input")
+    out = os.path.join(work, "out")
+    _tbl(sf_dir, "documents", ["doc_id", "lang", "source"]) \
+        .write_parquet(inp)
+    encode_corpus(inp, out, batch_size=512, resume=False)
+    create_snapshot(out, "t0")
+    delete_where(out, ("lang", "==", "de"))
+    vacuum_deletes(out)
+    snap = decode_snapshot(out, "t0", columns=["source"]) \
+        .groupby("source").aggregate(Count()).to_pandas() \
+        .rename(columns={"count()": "n_snap"})
+    live = group_counts(out, "source").rename(columns={"n_rows": "n_live"})
+    df = snap.merge(live, on="source", how="left")
+    df["n_live"] = df["n_live"].fillna(0).astype("int64")
+    df["n_snap"] = df["n_snap"].astype("int64")
+    return pa.Table.from_pandas(df[["source", "n_live", "n_snap"]],
+                                preserve_index=False)
+
+
 def q_bloom_point_lookup(sf_dir: str):
     """Per-chunk Bloom filters IN the gate (stages/bloomzone.py):
     encode documents with bloom_cols=["doc_id"], then answer point
@@ -1814,6 +1851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "evolve_add_column": q_evolve_add_column,
         "replace_where_rewrite": q_replace_where_rewrite,
         "merge_rows_upsert": q_merge_rows_upsert,
+        "snapshot_time_travel": q_snapshot_time_travel,
         "bloom_point_lookup": q_bloom_point_lookup,
         "winsorize": q_winsorize,
         "mode_lang": q_mode_lang,
@@ -2443,6 +2481,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CASE WHEN lang = 'de' THEN 'redacted' ELSE source "
             "END AS source, CAST(COUNT(*) AS BIGINT) AS n_docs "
             "FROM documents GROUP BY 1 ORDER BY 1"
+        ),
+        "snapshot_time_travel": (
+            "SELECT source, "
+            "CAST(COUNT(*) FILTER ((lang = 'de') IS NOT TRUE) AS BIGINT) "
+            "AS n_live, "
+            "CAST(COUNT(*) AS BIGINT) AS n_snap "
+            "FROM documents GROUP BY source ORDER BY source"
         ),
         "merge_rows_upsert": (
             "WITH incoming AS ("

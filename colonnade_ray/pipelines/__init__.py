@@ -29,3 +29,10 @@ from .deletes import (
     vacuum_deletes,
 )
 from .merge import merge_rows
+from .snapshots import (
+    create_snapshot,
+    decode_snapshot,
+    drop_snapshot,
+    list_snapshots,
+    pinned_groups,
+)

@@ -749,7 +749,14 @@ def _commit_lineage(table, path: str) -> None:
 def _gc_group(out_dir: str, gid: str) -> None:
     """Remove one superseded group's artifacts; lineage marker FIRST
     (the instant it's gone the group is inactive, so a crash anywhere
-    in the rest leaves only invisible garbage)."""
+    in the rest leaves only invisible garbage).  Groups a committed
+    snapshot pins are left untouched — still shadowed, so invisible
+    to live readers; reclaimable by sweep_orphans after
+    drop_snapshot."""
+    from .snapshots import pinned_groups
+
+    if gid in pinned_groups(out_dir):
+        return
     lin_root = os.path.join(out_dir, "_lineage")
     for p in (os.path.join(lin_root, f"group-{gid}.parquet"),
               os.path.join(_meta_root(out_dir), f"group-{gid}.files.json"),
@@ -859,9 +866,10 @@ def sweep_orphans(out_dir: str) -> dict:
     abandoned one).  The 100-TB operational story is a periodic sweep
     between ingest windows, like any LSM/lakehouse GC."""
     from .deletes import DELETES_DIR, committed_deletes
+    from .snapshots import pinned_groups
 
     completed = set(completed_groups(out_dir))
-    shadowed = shadowed_groups(out_dir)
+    shadowed = shadowed_groups(out_dir) - pinned_groups(out_dir)
     removed = {"uncommitted_groups": 0, "shadowed_groups": 0,
                "meta_sidecars": 0, "uncommitted_deletes": 0}
     lin_root = os.path.join(out_dir, "_lineage")
@@ -906,6 +914,14 @@ def sweep_orphans(out_dir: str) -> dict:
                     and d[len("del-"):] not in live:
                 shutil.rmtree(os.path.join(droot, d), ignore_errors=True)
                 removed["uncommitted_deletes"] += 1
+    # torn snapshot creates (staged dir never renamed to its final name)
+    from .snapshots import SNAP_DIR
+    sroot = os.path.join(out_dir, SNAP_DIR)
+    if os.path.isdir(sroot):
+        for d in sorted(os.listdir(sroot)):
+            if d.endswith(".tmp"):
+                shutil.rmtree(os.path.join(sroot, d), ignore_errors=True)
+                removed["meta_sidecars"] += 1
     return removed
 
 
@@ -942,9 +958,12 @@ def _read_encoded(out_dir: str, columns: Optional[Sequence[str]] = None,
     payload bytes never leave storage (a time- or source-partitioned
     corpus typically kills whole groups, not just chunks).
 
-    ``groups`` restricts the read to a subset of the active group ids
-    (``merge_rows`` scopes its key-delete pass away from the group it
-    just appended); ``None`` reads every active group."""
+    ``groups`` names the exact COMMITTED group ids to read instead of
+    the active set: ``merge_rows`` passes an active subset to scope
+    its key-delete away from the group it just appended, and
+    ``decode_snapshot`` passes a pinned set that may include groups a
+    later rewrite superseded (still on disk, shadowed).  Ids whose
+    lineage marker is gone are skipped."""
     import ray.data as rd
 
     from ..stages.decode import chunk_may_match, normalize_predicates
@@ -954,7 +973,8 @@ def _read_encoded(out_dir: str, columns: Optional[Sequence[str]] = None,
     lin_root = os.path.join(out_dir, "_lineage")
     group_files: dict = {}
     scoped = active_groups(out_dir) if groups is None else [
-        g for g in active_groups(out_dir) if g in set(groups)
+        g for g in groups
+        if os.path.exists(os.path.join(lin_root, f"group-{g}.parquet"))
     ]
     for gid in scoped:
         if preds:

@@ -301,18 +301,45 @@ def test_lifecycle_random_program_matches_model(ray_session, tmp_path,
         state["model"] = pd.concat(
             [keep, _model_of(t2)], ignore_index=True)
 
+    def op_snapshot():
+        from colonnade_ray.pipelines import create_snapshot
+
+        tag = f"s{len(state['snaps'])}"
+        create_snapshot(out, tag)
+        state["snaps"][tag] = live().copy()
+
+    def check_snapshots():
+        """Every snapshot must still decode to the model frozen at its
+        create time, whatever the program did since."""
+        from colonnade_ray.pipelines import decode_snapshot
+
+        for tag, frozen in state["snaps"].items():
+            got = decode_snapshot(out, tag,
+                                  verify_checksum=True).to_pandas()
+            got["tokens"] = got["tokens"].map(
+                lambda x: tuple(int(v) for v in x))
+            exp = frozen.sort_values("doc_id").reset_index(drop=True)
+            got = got.sort_values("doc_id").reset_index(drop=True)
+            assert set(got.columns) == set(exp.columns), tag
+            for c in exp.columns:
+                assert got[c].tolist() == exp[c].tolist(), \
+                    f"snapshot {tag} column {c}"
+
     handlers = {"delete": op_delete, "vacuum": op_vacuum,
                 "compact": op_compact, "update": op_update,
                 "replace": op_replace, "add": op_add,
                 "drop": op_drop, "rename": op_rename,
-                "append": op_append, "merge": op_merge}
+                "append": op_append, "merge": op_merge,
+                "snapshot": op_snapshot}
     state["model"] = model
+    state["snaps"] = {}
 
     # every op at least once, the rest drawn by weight; the sequence
     # itself is part of the seed-determined program
     base = list(handlers)
     extra = list(rng.choice(
-        ["delete", "update", "vacuum", "append", "replace", "merge"],
+        ["delete", "update", "vacuum", "append", "replace", "merge",
+         "snapshot"],
         size=4))
     program = base + extra
     rng.shuffle(program)
@@ -321,8 +348,14 @@ def test_lifecycle_random_program_matches_model(ray_session, tmp_path,
     for name in program:
         handlers[name]()
         check()
+        check_snapshots()
     # end the program with the masks materialized and the layout
-    # compacted, then one final full verification
+    # compacted, then one final full verification — snapshots must
+    # still reproduce their frozen state after the terminal
+    # vacuum+compact and an orphan sweep
     vacuum_deletes(out)
     compact_corpus(out)
+    from colonnade_ray.pipelines import sweep_orphans
+    sweep_orphans(out)
     check()
+    check_snapshots()
