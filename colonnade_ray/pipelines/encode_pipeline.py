@@ -1117,14 +1117,30 @@ def decode_digest_corpus(out_dir: str, columns: Sequence[str],
     return s, x, n
 
 
-def count_where(out_dir: str, predicate, concurrency=None) -> int:
+def _scope(out_dir: str, snapshot: Optional[str]):
+    """(groups, deletes_dir) a read should honor: the live state when
+    ``snapshot`` is None, else the pinned group list + the snapshot's
+    own mask copy — one helper so every pushdown answers "as of" the
+    same way decode_snapshot does."""
+    if snapshot is None:
+        return None, _deletes_dir_of(out_dir)
+    from .snapshots import _manifest, _snap_dir
+
+    m = _manifest(out_dir, snapshot)
+    return m["groups"], (
+        _snap_dir(out_dir, snapshot) if m["deletes"] else None)
+
+
+def count_where(out_dir: str, predicate, concurrency=None,
+                snapshot: Optional[str] = None) -> int:
     """COUNT(*) pushdown over the encoded corpus: chunks whose zone
     map proves NO row matches cost nothing, chunks proven ALL-match
     (min/max band inside the predicate + proven-zero null count, the
     `__nulls__` stats entry) contribute n_rows with ZERO payload
     decode, and only boundary chunks decode — and then only the
     predicate columns.  The aggregate answer ("how many docs pass
-    this gate") never materializes a row."""
+    this gate") never materializes a row.  ``snapshot=`` answers as
+    of a named snapshot (pipelines/snapshots.py) instead of live."""
     from ..stages.decode import (
         _exact_filter,
         chunk_all_match,
@@ -1139,9 +1155,9 @@ def count_where(out_dir: str, predicate, concurrency=None) -> int:
         raise ValueError("count_where needs at least one predicate; "
                          "use corpus_summary()['rows'] for the total")
     cols = sorted({p[0] for p in preds})
+    scope_groups, deletes_dir = _scope(out_dir, snapshot)
     enc, cpt = _read_encoded(out_dir, cols, concurrency,
-                             predicate=predicate)
-    deletes_dir = _deletes_dir_of(out_dir)
+                             predicate=predicate, groups=scope_groups)
 
     def part(batch: pa.Table) -> pa.Table:
         _register_dict_dir(out_dir)
@@ -1183,7 +1199,8 @@ def count_where(out_dir: str, predicate, concurrency=None) -> int:
 
 
 def aggregate_where(out_dir: str, agg: str, col: str,
-                    predicate=None, concurrency=None):
+                    predicate=None, concurrency=None,
+                    snapshot: Optional[str] = None):
     """MIN / MAX / SUM pushdown over one encoded column, optionally
     under a predicate — the same three-way chunk classification as
     ``count_where``:
@@ -1199,7 +1216,7 @@ def aggregate_where(out_dir: str, agg: str, col: str,
     With no predicate every chunk answers from metadata (old-format
     or float chunks fall back to decode).  Returns None on an empty
     match set.  SQL null semantics throughout (aggregates skip
-    nulls)."""
+    nulls).  ``snapshot=`` answers as of a named snapshot."""
     import pyarrow.compute as pc2
 
     from ..stages.decode import (
@@ -1215,8 +1232,9 @@ def aggregate_where(out_dir: str, agg: str, col: str,
         raise ValueError(f"unsupported agg {agg!r}")
     preds = normalize_predicates(predicate)
     cols = sorted({p[0] for p in preds} | {col})
+    scope_groups, deletes_dir = _scope(out_dir, snapshot)
     enc, cpt = _read_encoded(out_dir, cols, concurrency,
-                             predicate=predicate)
+                             predicate=predicate, groups=scope_groups)
 
     def _meta_answer(stats: dict):
         """Metadata answer for a chunk where ALL rows are in scope, or
@@ -1230,8 +1248,6 @@ def aggregate_where(out_dir: str, agg: str, col: str,
             return hi
         s = stats.get("__sums__", {}).get(col)
         return s  # None -> decode (old format / non-integer column)
-
-    deletes_dir = _deletes_dir_of(out_dir)
 
     def part(batch: pa.Table) -> pa.Table:
         _register_dict_dir(out_dir)
@@ -1298,7 +1314,8 @@ def aggregate_where(out_dir: str, agg: str, col: str,
 
 
 def group_counts(out_dir: str, group_col: str,
-                 value_col: Optional[str] = None, concurrency=None):
+                 value_col: Optional[str] = None, concurrency=None,
+                 snapshot: Optional[str] = None):
     """Per-group row counts (and optional integer-column sums) over
     the encoded corpus, metadata-first: a chunk whose ``group_col``
     zone band has lo == hi provably holds ONE group — its n_rows (and
@@ -1311,7 +1328,8 @@ def group_counts(out_dir: str, group_col: str,
     frame (group, n_rows[, sum_<value_col>]) sorted by group; group
     keys are returned as strings (zone bands and decoded values
     unify there), and null-group rows follow the zone convention
-    (only non-null groups are counted)."""
+    (only non-null groups are counted).  ``snapshot=`` answers as of
+    a named snapshot."""
     import json as _json
 
     import pandas as pd
@@ -1320,9 +1338,9 @@ def group_counts(out_dir: str, group_col: str,
     from ..util import default_concurrency
 
     cols = [group_col] + ([value_col] if value_col else [])
-    enc, cpt = _read_encoded(out_dir, cols, concurrency)
-
-    deletes_dir = _deletes_dir_of(out_dir)
+    scope_groups, deletes_dir = _scope(out_dir, snapshot)
+    enc, cpt = _read_encoded(out_dir, cols, concurrency,
+                             groups=scope_groups)
 
     def part(batch: pa.Table) -> pa.Table:
         _register_dict_dir(out_dir)

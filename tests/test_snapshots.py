@@ -11,13 +11,16 @@ import pytest
 
 from colonnade_ray.corpus import synth_corpus
 from colonnade_ray.pipelines import (
+    aggregate_where,
     compact_corpus,
+    count_where,
     create_snapshot,
     decode_corpus,
     decode_snapshot,
     delete_where,
     drop_snapshot,
     encode_corpus,
+    group_counts,
     list_snapshots,
     merge_rows,
     pinned_groups,
@@ -62,6 +65,20 @@ def test_snapshot_survives_delete_and_vacuum(ray_session, tmp_path):
                           predicate=("n_tok", ">=", lo))
     want = orig.filter(pa.compute.greater_equal(orig["n_tok"], lo))
     assert _ids(got) == sorted(want["doc_id"].to_pylist())
+    # pushdowns answer "as of" too: count/sum/group over t0 see every
+    # row, over t1 (and live) only the survivors
+    nt = orig["n_tok"].to_numpy()
+    assert count_where(out, ("n_tok", ">=", lo), snapshot="t0") == \
+        int((nt >= lo).sum())
+    assert aggregate_where(out, "sum", "n_tok", snapshot="t0") == \
+        int(nt.sum())
+    assert aggregate_where(out, "sum", "n_tok", snapshot="t1") == \
+        int(nt[nt < med].sum()) == aggregate_where(out, "sum", "n_tok")
+    gc_snap = group_counts(out, "source", snapshot="t0")
+    want_src = orig.to_pandas()["source"].value_counts()
+    assert {s: int(n) for s, n in zip(gc_snap["source"],
+                                      gc_snap["n_rows"])} == \
+        {s: int(n) for s, n in want_src.items()}
 
 
 def test_snapshot_survives_rewrites_and_merge(ray_session, tmp_path):
