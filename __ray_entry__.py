@@ -971,6 +971,39 @@ def q_snapshot_time_travel(sf_dir: str):
                                 preserve_index=False)
 
 
+def q_restore_snapshot(sf_dir: str):
+    """Rollback IN the gate (pipelines/snapshots.py restore_snapshot):
+    encode documents, DELETE lang='de' + vacuum, snapshot, then WRECK
+    the live state (every source rewritten) and roll back — the
+    per-source counts must equal the snapshot state (documents minus
+    the 'de' rows), while the wrecked state is gone."""
+    from colonnade_ray.pipelines import (
+        create_snapshot,
+        delete_where,
+        encode_corpus,
+        group_counts,
+        replace_where,
+        restore_snapshot,
+        vacuum_deletes,
+    )
+
+    work = _run_dir(sf_dir, "restore")
+    inp = os.path.join(work, "input")
+    out = os.path.join(work, "out")
+    _tbl(sf_dir, "documents", ["doc_id", "lang", "source"]) \
+        .write_parquet(inp)
+    encode_corpus(inp, out, batch_size=512, resume=False)
+    delete_where(out, ("lang", "==", "de"))
+    vacuum_deletes(out)
+    create_snapshot(out, "keep")
+    replace_where(out, ("doc_id", ">=", 0), {"source": "wrecked"})
+    restore_snapshot(out, "keep")
+    gc = group_counts(out, "source").rename(columns={"n_rows": "n_docs"})
+    assert "wrecked" not in set(gc["source"])
+    return pa.Table.from_pandas(gc[["source", "n_docs"]],
+                                preserve_index=False)
+
+
 def q_bloom_point_lookup(sf_dir: str):
     """Per-chunk Bloom filters IN the gate (stages/bloomzone.py):
     encode documents with bloom_cols=["doc_id"], then answer point
@@ -1852,6 +1885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "replace_where_rewrite": q_replace_where_rewrite,
         "merge_rows_upsert": q_merge_rows_upsert,
         "snapshot_time_travel": q_snapshot_time_travel,
+        "restore_snapshot": q_restore_snapshot,
         "bloom_point_lookup": q_bloom_point_lookup,
         "winsorize": q_winsorize,
         "mode_lang": q_mode_lang,
@@ -2481,6 +2515,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CASE WHEN lang = 'de' THEN 'redacted' ELSE source "
             "END AS source, CAST(COUNT(*) AS BIGINT) AS n_docs "
             "FROM documents GROUP BY 1 ORDER BY 1"
+        ),
+        "restore_snapshot": (
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs "
+            "FROM documents WHERE (lang = 'de') IS NOT TRUE "
+            "GROUP BY source ORDER BY source"
         ),
         "snapshot_time_travel": (
             "SELECT source, "

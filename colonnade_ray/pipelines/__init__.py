@@ -35,4 +35,5 @@ from .snapshots import (
     drop_snapshot,
     list_snapshots,
     pinned_groups,
+    restore_snapshot,
 )

@@ -300,11 +300,17 @@ class _RewriteChunks:
     """Vacuum worker: encoded chunk rows -> re-encoded chunk rows with
     deleted rows dropped.  Chunks with no mask move VERBATIM (no
     decode, no re-encode — only the masked chunks of an affected
-    group pay); whole-chunk masks drop the row outright."""
+    group pay); whole-chunk masks drop the row outright.
 
-    def __init__(self, out_dir: str, plan_names=None):
+    ``masks_dir`` overrides where the masks load from (default: the
+    corpus's live ``_deletes``): ``restore_snapshot`` rewrites pinned
+    chunks under the SNAPSHOT's mask copy."""
+
+    def __init__(self, out_dir: str, plan_names=None,
+                 masks_dir: Optional[str] = None):
         self.out_dir = out_dir
         self.plan_names = plan_names
+        self.masks_dir = masks_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..codecs.shared_dict import register_dir
@@ -315,7 +321,7 @@ class _RewriteChunks:
 
         register_dir(self.out_dir)
         shared = load_pinned_dicts(self.out_dir)
-        masks = load_delete_masks(self.out_dir)
+        masks = load_delete_masks(self.masks_dir or self.out_dir)
         names = batch.column_names
         out_tables = []
         for r in range(len(batch)):

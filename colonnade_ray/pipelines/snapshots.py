@@ -131,6 +131,115 @@ def pinned_groups(out_dir: str) -> set:
     return {g for m in list_snapshots(out_dir) for g in m["groups"]}
 
 
+def restore_snapshot(out_dir: str, tag: str, gc: bool = True,
+                     concurrency=None) -> dict:
+    """Roll the LIVE corpus back to snapshot ``tag``: materialize the
+    pinned groups (with the snapshot's masks applied — the restored
+    state needs no sidecars) as new committed groups that supersede
+    everything currently active.  The snapshot itself survives, so a
+    restore can be restored from again.
+
+    One commit per schema cohort of the snapshot (groups encoded under
+    different plans can't share a parquet schema).  Single-plan
+    corpora — the normal case — restore in ONE atomic commit; for
+    multi-cohort snapshots a crash between cohort commits hides the
+    not-yet-restored cohorts' rows until the re-run converges
+    (deterministic restore gids, torn dirs rebuilt).  Refuses while
+    live deletion masks are pending (they key on chunk ids the
+    restore abandons): vacuum or drop them first.
+
+    ``gc=True`` reclaims the superseded groups (snapshot-pinned ones
+    are spared by ``_gc_group`` as always)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .deletes import _RewriteChunks, committed_deletes
+    from .encode_pipeline import (
+        LINEAGE_COLS,
+        _commit_lineage,
+        _gc_group,
+        _meta_root,
+        _transitive_supersedes,
+        active_groups,
+    )
+
+    m = _manifest(out_dir, tag)
+    if committed_deletes(out_dir):
+        raise ValueError(
+            "restore_snapshot with pending live deletion masks would "
+            "orphan them: run vacuum_deletes(out_dir) first")
+    data_root = os.path.join(out_dir, "data")
+    lin_root = os.path.join(out_dir, "_lineage")
+    snap_masks = _snap_dir(out_dir, tag) if m["deletes"] else None
+    current = active_groups(out_dir)
+    if sorted(current) == sorted(m["groups"]) and not m["deletes"]:
+        return {"restored_cohorts": 0, "superseded_groups": 0}
+    # cohorts by encoded schema, as in compact_corpus
+    cohorts: dict = {}
+    for gid in m["groups"]:
+        gdir = os.path.join(data_root, f"group-{gid}")
+        fs = sorted(
+            os.path.join(gdir, f) for f in os.listdir(gdir)
+            if f.endswith(".parquet")
+        ) if os.path.isdir(gdir) else []
+        if not fs:
+            continue  # pinned group vacuumed to zero rows pre-snapshot
+        key = tuple(pq.read_schema(fs[0]).names)
+        cohorts.setdefault(key, []).extend(fs)
+    def _ngid(i: int) -> str:
+        h = hashlib.blake2b(digest_size=8)
+        h.update(f"restore:{tag}:{i}".encode())
+        for g in sorted(m["groups"]):
+            h.update(b"\x00" + g.encode())
+        return "r" + h.hexdigest()[:15]
+
+    # the shadow must never include the restore groups themselves: on
+    # a crash-retry the committed restore group IS active, and a shadow
+    # derived naively from the current active set would gc the very
+    # data the retry is converging to
+    restore_gids = {_ngid(i) for i in range(len(cohorts))}
+    shadow = [g for g in _transitive_supersedes(
+        out_dir, [g for g in current if g not in restore_gids])
+        if g not in restore_gids]
+    restored = 0
+    for i, (key, files) in enumerate(sorted(cohorts.items())):
+        ngid = _ngid(i)
+        lin_path = os.path.join(lin_root, f"group-{ngid}.parquet")
+        if os.path.exists(lin_path):
+            continue  # this cohort committed before a crash
+        gdir = os.path.join(data_root, f"group-{ngid}")
+        if os.path.exists(gdir):
+            shutil.rmtree(gdir)  # torn restore from a previous run
+        out = rd.read_parquet(files,
+                              override_num_blocks=max(1, len(files))) \
+            .map_batches(_RewriteChunks(out_dir, masks_dir=snap_masks),
+                         batch_format="pyarrow", batch_size=4,
+                         zero_copy_batch=True, concurrency=concurrency)
+        out.write_parquet(gdir, compression="none")
+        covered: set = set()
+        for g in m["groups"]:
+            sc = os.path.join(_meta_root(out_dir), f"group-{g}.files.json")
+            if os.path.exists(sc):
+                with open(sc) as fh:
+                    covered.update(json.load(fh))
+        with open(os.path.join(_meta_root(out_dir),
+                               f"group-{ngid}.files.json"), "w") as fh:
+            json.dump(sorted(covered), fh)
+        with open(os.path.join(_meta_root(out_dir),
+                               f"group-{ngid}.supersedes.json"), "w") as fh:
+            json.dump(shadow, fh)
+        lineage = pq.read_table(gdir, columns=LINEAGE_COLS)
+        _commit_lineage(lineage, lin_path)  # the cohort's commit point
+        restored += 1
+    if gc:
+        for g in shadow:
+            _gc_group(out_dir, g)
+    return {"restored_cohorts": restored,
+            "superseded_groups": len(shadow)}
+
+
 def decode_snapshot(out_dir: str, tag: str, verify_checksum: bool = True,
                     concurrency=None,
                     columns: Optional[Sequence[str]] = None,

@@ -349,6 +349,36 @@ def test_crash_sweep_merge_rows(ray_session, tmp_path):
                for d, s in old_src.items())
 
 
+def test_crash_sweep_restore_snapshot(ray_session, tmp_path):
+    """restore_snapshot on a single-cohort corpus is one commit: at
+    every crash point the live state is EITHER fully pre-restore or
+    fully post-restore, never a mix; the snapshot itself stays
+    readable; the re-run converges."""
+    from colonnade_ray.pipelines import (
+        create_snapshot,
+        decode_snapshot,
+        restore_snapshot,
+    )
+
+    out, orig = _setup(tmp_path)
+    create_snapshot(out, "t0")
+    med = int(np.median(orig["n_tok"].to_numpy()))
+    delete_where(out, ("n_tok", ">=", med))
+    vacuum_deletes(out)
+    all_ids = sorted(orig["doc_id"].to_pylist())
+    kept = sorted(d for d, n in zip(orig["doc_id"].to_pylist(),
+                                    orig["n_tok"].to_pylist()) if n < med)
+
+    def invariant():
+        ids = sorted(_live(out, columns=["doc_id"])["doc_id"])
+        assert ids in (all_ids, kept)  # atomically one state or the other
+        snap = decode_snapshot(out, "t0", columns=["doc_id"])
+        assert sorted(r["doc_id"] for r in snap.take_all()) == all_ids
+
+    crash_sweep(lambda: restore_snapshot(out, "t0"), invariant)
+    assert sorted(_live(out, columns=["doc_id"])["doc_id"]) == all_ids
+
+
 def test_sweep_orphans_reclaims_abandoned_state(ray_session, tmp_path):
     """Abandoned crash states (never retried) are invisible to readers
     but hold bytes; sweep_orphans reclaims exactly them."""

@@ -307,6 +307,21 @@ def test_lifecycle_random_program_matches_model(ray_session, tmp_path,
         tag = f"s{len(state['snaps'])}"
         create_snapshot(out, tag)
         state["snaps"][tag] = live().copy()
+        state["snap_schema"][tag] = (list(state["order"]),
+                                     state["icol"], state["scol"])
+
+    def op_restore():
+        from colonnade_ray.pipelines import restore_snapshot
+
+        if not state["snaps"]:
+            return
+        ensure_vacuumed()  # restore refuses while masks are pending
+        tag = rng.choice(sorted(state["snaps"]))
+        restore_snapshot(out, tag)
+        state["model"] = state["snaps"][tag].copy()
+        order, icol, scol = state["snap_schema"][tag]
+        state["order"] = list(order)
+        state["icol"], state["scol"] = icol, scol
 
     def check_snapshots():
         """Every snapshot must still decode to the model frozen at its
@@ -330,16 +345,17 @@ def test_lifecycle_random_program_matches_model(ray_session, tmp_path,
                 "replace": op_replace, "add": op_add,
                 "drop": op_drop, "rename": op_rename,
                 "append": op_append, "merge": op_merge,
-                "snapshot": op_snapshot}
+                "snapshot": op_snapshot, "restore": op_restore}
     state["model"] = model
     state["snaps"] = {}
+    state["snap_schema"] = {}
 
     # every op at least once, the rest drawn by weight; the sequence
     # itself is part of the seed-determined program
     base = list(handlers)
     extra = list(rng.choice(
         ["delete", "update", "vacuum", "append", "replace", "merge",
-         "snapshot"],
+         "snapshot", "restore"],
         size=4))
     program = base + extra
     rng.shuffle(program)

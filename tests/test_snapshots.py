@@ -141,6 +141,68 @@ def test_snapshot_pins_groups_against_gc(ray_session, tmp_path):
     assert len(_ids(decode_corpus(out))) == orig.num_rows
 
 
+def test_restore_snapshot_rolls_back(ray_session, tmp_path):
+    from colonnade_ray.pipelines import restore_snapshot
+
+    inp, out, orig = _setup(tmp_path)
+    create_snapshot(out, "t0")
+    med = int(np.median(orig["n_tok"].to_numpy()))
+    delete_where(out, ("n_tok", ">=", med))
+    # refuses while masks are pending
+    with pytest.raises(ValueError, match="vacuum_deletes"):
+        restore_snapshot(out, "t0")
+    vacuum_deletes(out)
+    replace_where(out, ("n_tok", ">=", 0), {"source": "rewritten"})
+    res = restore_snapshot(out, "t0")
+    assert res["restored_cohorts"] >= 1
+    live = decode_corpus(out, verify_checksum=True).to_pandas()
+    exp = orig.to_pandas()
+    live["tokens"] = live["tokens"].map(tuple)
+    exp["tokens"] = exp["tokens"].map(lambda x: tuple(int(v) for v in x))
+    live = live.sort_values("doc_id").reset_index(drop=True)
+    exp = exp.sort_values("doc_id").reset_index(drop=True)[live.columns]
+    assert live.equals(exp)
+    # idempotent: a re-run (or crash-retry) finds its cohorts committed
+    assert restore_snapshot(out, "t0")["restored_cohorts"] == 0
+    # the snapshot survives its own restore
+    assert _ids(decode_snapshot(out, "t0")) == \
+        sorted(orig["doc_id"].to_pylist())
+    # pushdowns answer on the restored state
+    assert count_where(out, ("n_tok", ">=", med)) == \
+        int((orig["n_tok"].to_numpy() >= med).sum())
+
+
+def test_restore_snapshot_with_pending_mask_snapshot(ray_session, tmp_path):
+    """A snapshot taken WITH masks pending restores to the masked
+    state, materialized (no sidecars in the restored corpus)."""
+    from colonnade_ray.pipelines import restore_snapshot
+    from colonnade_ray.pipelines.deletes import committed_deletes
+
+    inp, out, orig = _setup(tmp_path)
+    med = int(np.median(orig["n_tok"].to_numpy()))
+    delete_where(out, ("n_tok", ">=", med))
+    create_snapshot(out, "masked")
+    vacuum_deletes(out)
+    batch = pa.table({
+        "doc_id": pa.array(["doc-x1", "doc-x2"], pa.string()),
+        "tokens": pa.array([[1], [2]], pa.list_(pa.int32())),
+        "n_tok": pa.array([1, 1], pa.int32()),
+        "source": pa.array(["m", "m"], pa.string()),
+    })
+    bdir = tmp_path / "rb"
+    bdir.mkdir()
+    bp = str(bdir / "b0.parquet")
+    pq.write_table(batch, bp)
+    merge_rows(out, bp, key="doc_id", batch_size=64)
+    vacuum_deletes(out)  # merge's keyed masks: none matched, but retire
+    restore_snapshot(out, "masked")
+    keep = sorted(
+        d for d, n in zip(orig["doc_id"].to_pylist(),
+                          orig["n_tok"].to_pylist()) if n < med)
+    assert _ids(decode_corpus(out)) == keep
+    assert committed_deletes(out) == []
+
+
 def test_snapshot_validation_and_torn_create(ray_session, tmp_path):
     inp, out, orig = _setup(tmp_path, n_rows=200)
     with pytest.raises(ValueError, match="tag"):

@@ -98,6 +98,60 @@ def main():
     assert count_where(out, ("source", "==", "src7")) == 0
     assert decode_corpus(out, columns=["n_tok"]).count() == live
 
+    # regime 3: keyed merge — 20k scattered updates + 2k inserts
+    # (~1% of rows).  The cost to watch is the keyed delete: one
+    # doc_id-projected scan with an `in` mask, bounded by the touched
+    # fraction like any delete
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from colonnade_ray.pipelines import merge_rows
+
+    upd_ids = [f"doc-{i:010d}" for i in range(200_000, 2_000_000, 90)]
+    new_ids = [f"doc-3{i:09d}" for i in range(2_000)]
+    keys = upd_ids + new_ids
+    batch = pa.table({
+        "doc_id": pa.array(keys, pa.string()),
+        "tokens": pa.array([[1, 2, 3]] * len(keys), pa.list_(pa.int32())),
+        "n_tok": pa.array([3] * len(keys), pa.int32()),
+        "source": pa.array(["merged"] * len(keys), pa.string()),
+    })
+    bdir = "/tmp/lifecycle_m10/batch"
+    os.makedirs(bdir, exist_ok=True)
+    bp = os.path.join(bdir, "batch-0.parquet")
+    pq.write_table(batch, bp)
+    t0 = time.time()
+    mres = merge_rows(out, bp, key="doc_id")
+    res["merge_sec"] = round(time.time() - t0, 2)
+    res["merge_keys"] = mres["matched_keys"]
+    res["merge_masked_rows"] = mres["masked_rows"]
+    live += len(keys) - mres["masked_rows"]
+    assert count_where(out, ("source", "==", "merged")) == len(keys)
+
+    # regime 4: snapshots are O(manifest) — create, read as-of, and
+    # survive a vacuum that materializes the merge's masks
+    from colonnade_ray.pipelines import (
+        count_where as _cw,
+        create_snapshot,
+        decode_snapshot,
+    )
+
+    t0 = time.time()
+    create_snapshot(out, "bench")
+    res["snapshot_create_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_snap = decode_snapshot(out, "bench", columns=["n_tok"]).count()
+    res["snapshot_decode_sec"] = round(time.time() - t0, 2)
+    assert n_snap == live
+    t0 = time.time()
+    vacuum_deletes(out, max_concurrent_groups=4)
+    res["merge_vacuum_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    assert _cw(out, ("source", "==", "merged"), snapshot="bench") == \
+        len(keys)
+    res["snapshot_count_sec"] = round(time.time() - t0, 2)
+    assert decode_snapshot(out, "bench", columns=["n_tok"]).count() == live
+
     print(json.dumps(res))
     shutil.rmtree("/tmp/lifecycle_m10", ignore_errors=True)
     ray.shutdown()
