@@ -934,6 +934,62 @@ def q_merge_rows_upsert(sf_dir: str):
         agg[["source", "n_docs", "sum_chars"]], preserve_index=False)
 
 
+def q_cdc_apply_changes(sf_dir: str):
+    """CDC apply IN the gate (pipelines/merge.py apply_changes):
+    encode documents, apply one change batch carrying upserts
+    (doc_id % 11 == 0 — n_chars bumped 500, source 'upd') and deletes
+    (doc_id % 13 == 0, not also an upsert), answer per-source counts
+    + sums — must equal SQL's anti-join + filtered union."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    from colonnade_ray.pipelines import (
+        apply_changes,
+        decode_corpus,
+        encode_corpus,
+    )
+
+    work = _run_dir(sf_dir, "cdc")
+    inp = os.path.join(work, "input")
+    out = os.path.join(work, "out")
+    cols = ["doc_id", "n_chars", "lang", "source"]
+    _tbl(sf_dir, "documents", cols).write_parquet(inp)
+    encode_corpus(inp, out, batch_size=512, resume=False)
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=cols)
+    ids = t["doc_id"].to_numpy()
+    upd = t.filter(pa.array(ids % 11 == 0))
+    dele = t.filter(pa.array((ids % 13 == 0) & (ids % 11 != 0)))
+    batch = pa.concat_tables([
+        pa.table({"doc_id": upd["doc_id"],
+                  "n_chars": pc.add(upd["n_chars"], 500),
+                  "lang": upd["lang"],
+                  "source": pa.array(["upd"] * upd.num_rows),
+                  "op": pa.array(["upsert"] * upd.num_rows)}),
+        pa.table({"doc_id": dele["doc_id"],
+                  "n_chars": dele["n_chars"],
+                  "lang": dele["lang"],
+                  "source": dele["source"],
+                  "op": pa.array(["delete"] * dele.num_rows)}),
+    ])
+    bdir = os.path.join(work, "changes")
+    os.makedirs(bdir, exist_ok=True)
+    bp = os.path.join(bdir, "changes-0.parquet")
+    pq.write_table(batch, bp)
+    apply_changes(out, bp, key="doc_id", batch_size=512)
+
+    agg = decode_corpus(out, columns=["source", "n_chars"]) \
+        .groupby("source").aggregate(Count(), Sum("n_chars")) \
+        .to_pandas()
+    agg = agg.rename(columns={"count()": "n_docs",
+                              "sum(n_chars)": "sum_chars"})
+    agg["n_docs"] = agg["n_docs"].astype("int64")
+    agg["sum_chars"] = agg["sum_chars"].astype("int64")
+    return pa.Table.from_pandas(
+        agg[["source", "n_docs", "sum_chars"]], preserve_index=False)
+
+
 def q_snapshot_time_travel(sf_dir: str):
     """Time travel IN the gate (pipelines/snapshots.py): encode the
     documents table, snapshot, DELETE WHERE lang = 'de', vacuum (the
@@ -1886,6 +1942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_rows_upsert": q_merge_rows_upsert,
         "snapshot_time_travel": q_snapshot_time_travel,
         "restore_snapshot": q_restore_snapshot,
+        "cdc_apply_changes": q_cdc_apply_changes,
         "bloom_point_lookup": q_bloom_point_lookup,
         "winsorize": q_winsorize,
         "mode_lang": q_mode_lang,
@@ -2520,6 +2577,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs "
             "FROM documents WHERE (lang = 'de') IS NOT TRUE "
             "GROUP BY source ORDER BY source"
+        ),
+        "cdc_apply_changes": (
+            "WITH changes AS ("
+            "SELECT doc_id, n_chars + 500 AS n_chars, 'upd' AS source, "
+            "'upsert' AS op FROM documents WHERE doc_id % 11 = 0 "
+            "UNION ALL "
+            "SELECT doc_id, n_chars, source, 'delete' "
+            "FROM documents WHERE doc_id % 13 = 0 AND doc_id % 11 <> 0), "
+            "final AS ("
+            "SELECT doc_id, n_chars, source FROM documents "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM changes) "
+            "UNION ALL SELECT doc_id, n_chars, source FROM changes "
+            "WHERE op = 'upsert') "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+            "FROM final GROUP BY source ORDER BY source"
         ),
         "snapshot_time_travel": (
             "SELECT source, "

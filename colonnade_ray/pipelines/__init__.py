@@ -28,7 +28,7 @@ from .deletes import (
     load_delete_masks,
     vacuum_deletes,
 )
-from .merge import merge_rows
+from .merge import apply_changes, merge_rows
 from .snapshots import (
     create_snapshot,
     decode_snapshot,

@@ -64,6 +64,11 @@ from .encode_pipeline import (
 )
 
 
+def _already(out_dir: str) -> set:
+    return encoded_input_files(out_dir) if os.path.isdir(
+        os.path.join(out_dir, "_lineage")) else set()
+
+
 def merge_rows(out_dir: str, inputs, key: str,
                concurrency=None, **encode_kwargs) -> dict:
     """Upsert the parquet files in ``inputs`` into the encoded corpus
@@ -100,8 +105,7 @@ def merge_rows(out_dir: str, inputs, key: str,
             f"{len(keys)} rows, {len(uniq)} distinct keys"
         )
 
-    already = encoded_input_files(out_dir) if os.path.isdir(
-        os.path.join(out_dir, "_lineage")) else set()
+    already = _already(out_dir)
     fresh = [f for f in files if f not in already]
     # commit point A: the appended group's lineage marker
     encode_corpus(files, out_dir, append=True,
@@ -120,3 +124,71 @@ def merge_rows(out_dir: str, inputs, key: str,
         "masked_rows": res["rows_deleted"],
         "delete_id": res["delete_id"],
     }
+
+
+def apply_changes(out_dir: str, inputs, key: str, op_col: str = "op",
+                  concurrency=None, **encode_kwargs) -> dict:
+    """CDC apply: each row of ``inputs`` carries ``op_col`` with
+    ``"upsert"`` (replace-or-insert the row, ``op_col`` stripped) or
+    ``"delete"`` (remove the key; the row's other columns are
+    ignored).  One key per batch — a key appearing twice (even as
+    upsert+delete) is ambiguous and raises.
+
+    Composed from the same two commits as ``merge_rows``: the upsert
+    half stages an op-stripped parquet under ``_staged/`` (atomic
+    tmp+rename, content-addressed by the input file list, so a
+    crash-retry reuses it and the append-skip still holds) and
+    merges it; the delete half is one more ``delete_where(key IN
+    delete-keys)`` scoped away from the staged file.  Crash contract
+    and convergence follow merge_rows: re-run to converge; windows
+    show stale versions (upserts) or not-yet-deleted rows, never
+    missing committed data."""
+    files = _list_input_files(inputs)
+    if not files:
+        raise ValueError("apply_changes needs at least one input file")
+    tables = [pq.read_table(f) for f in files]
+    batch = pa.concat_tables(tables)
+    if op_col not in batch.column_names:
+        raise ValueError(f"op column {op_col!r} not in change batch")
+    ops = set(batch[op_col].to_pylist())
+    if not ops <= {"upsert", "delete"}:
+        raise ValueError(
+            f"unsupported ops {sorted(ops - {'upsert', 'delete'})!r}")
+    kcol = batch[key]
+    if kcol.null_count:
+        raise ValueError(f"change key {key!r} has nulls")
+    keys = kcol.to_pylist()
+    if len(set(keys)) != len(keys):
+        raise ValueError(
+            f"change batch is not key-unique on {key!r}: a key must "
+            "appear once with its final op")
+
+    is_upsert = pc.equal(batch[op_col], "upsert")
+    ups = batch.filter(is_upsert).drop_columns([op_col])
+    del_keys = sorted(batch.filter(pc.invert(is_upsert))[key].to_pylist())
+
+    res = {"upserts": ups.num_rows, "deletes": len(del_keys),
+           "masked_rows_upsert": 0, "masked_rows_delete": 0}
+    staged = None
+    if ups.num_rows:
+        import hashlib
+
+        h = hashlib.blake2b(digest_size=10)
+        for f in files:
+            h.update(os.path.realpath(f).encode() + b"\x00")
+        sdir = os.path.join(out_dir, "_staged")
+        os.makedirs(sdir, exist_ok=True)
+        staged = os.path.join(sdir, f"cdc-{h.hexdigest()}.parquet")
+        if staged not in _already(out_dir):
+            tmp = staged + ".tmp"
+            pq.write_table(ups, tmp)
+            os.replace(tmp, staged)
+        m = merge_rows(out_dir, staged, key=key,
+                       concurrency=concurrency, **encode_kwargs)
+        res["masked_rows_upsert"] = m["masked_rows"]
+    if del_keys:
+        d = delete_where(out_dir, (key, "in", del_keys),
+                         concurrency=concurrency,
+                         exclude_covering={staged} if staged else None)
+        res["masked_rows_delete"] = d["rows_deleted"]
+    return res

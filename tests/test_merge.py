@@ -204,3 +204,73 @@ def test_delete_scope_excludes_covering_groups(ray_session, tmp_path):
     assert res["rows_deleted"] == 0  # every group excluded
     got = decode_corpus(out).take_all()
     assert len(got) == orig.num_rows
+
+
+def _write_changes(tmp_path, rows, tag):
+    t = pa.table({
+        "doc_id": pa.array(rows["doc_id"], pa.string()),
+        "tokens": pa.array(rows["tokens"], pa.list_(pa.int32())),
+        "n_tok": pa.array(rows["n_tok"], pa.int32()),
+        "source": pa.array(rows["source"], pa.string()),
+        "op": pa.array(rows["op"], pa.string()),
+    })
+    d = tmp_path / f"cdc-{tag}"
+    d.mkdir(exist_ok=True)
+    p = str(d / "changes-0.parquet")
+    pq.write_table(t, p)
+    return p, t
+
+
+def test_apply_changes_upserts_and_deletes(ray_session, tmp_path):
+    from colonnade_ray.pipelines import apply_changes
+
+    inp, out, orig = _setup(tmp_path)
+    ids = orig["doc_id"].to_pylist()
+    upd, dele, new = ids[:30], ids[100:140], [f"doc-cdc-{i}" for i in range(10)]
+    p, _ = _write_changes(tmp_path, {
+        "doc_id": upd + new + dele,
+        "tokens": [[5]] * (len(upd) + len(new)) + [[0]] * len(dele),
+        "n_tok": [1] * (len(upd) + len(new) + len(dele)),
+        "source": ["cdc"] * (len(upd) + len(new) + len(dele)),
+        "op": ["upsert"] * (len(upd) + len(new)) + ["delete"] * len(dele),
+    }, "a")
+    res = apply_changes(out, p, key="doc_id", batch_size=64)
+    assert res["upserts"] == 40 and res["deletes"] == 40
+    assert res["masked_rows_upsert"] == 30  # new keys masked nothing
+    assert res["masked_rows_delete"] == 40
+    got = _visible(out)
+    exp = {d: (list(t), s) for d, t, s in zip(
+        orig["doc_id"].to_pylist(), orig["tokens"].to_pylist(),
+        orig["source"].to_pylist()) if d not in set(upd) | set(dele)}
+    for d in upd + new:
+        exp[d] = ([5], "cdc")
+    assert got == exp
+    # re-run converges (append skipped, masks re-OR)
+    apply_changes(out, p, key="doc_id", batch_size=64)
+    assert _visible(out) == exp
+    # vacuum composes
+    vacuum_deletes(out)
+    assert _visible(out) == exp
+
+
+def test_apply_changes_validation(ray_session, tmp_path):
+    from colonnade_ray.pipelines import apply_changes
+
+    inp, out, orig = _setup(tmp_path, n_rows=200)
+    base = {"tokens": [[1], [2]], "n_tok": [1, 1], "source": ["x", "x"]}
+    p, _ = _write_changes(tmp_path, {
+        "doc_id": ["a", "a"], "op": ["upsert", "delete"], **base}, "dup")
+    with pytest.raises(ValueError, match="not key-unique"):
+        apply_changes(out, p, key="doc_id", batch_size=64)
+    p, _ = _write_changes(tmp_path, {
+        "doc_id": ["a", "b"], "op": ["upsert", "truncate"], **base}, "op")
+    with pytest.raises(ValueError, match="unsupported ops"):
+        apply_changes(out, p, key="doc_id", batch_size=64)
+    # delete-only batch works (no staged file, no append)
+    victims = orig["doc_id"].to_pylist()[:5]
+    p, _ = _write_changes(tmp_path, {
+        "doc_id": victims, "tokens": [[0]] * 5, "n_tok": [0] * 5,
+        "source": ["-"] * 5, "op": ["delete"] * 5}, "del")
+    res = apply_changes(out, p, key="doc_id", batch_size=64)
+    assert res["upserts"] == 0 and res["masked_rows_delete"] == 5
+    assert len(_visible(out)) == orig.num_rows - 5
