@@ -277,6 +277,42 @@ def run_bench() -> dict:
             replace_where(out_dir, ("n_tok", ">=", 500),
                           {"source": "capped"})
             timings["replace_where"] = round(time.time() - t0, 3)
+
+            # merge + snapshot, the session-7 lifecycle surface
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            from colonnade_ray.pipelines import (
+                create_snapshot,
+                decode_snapshot,
+                merge_rows,
+            )
+
+            dec1 = decode_corpus(out_dir, columns=["doc_id"])
+            some = [r["doc_id"] for r in dec1.take(2_000)]
+            n = len(some) + 500
+            batch = _pa.table({
+                "doc_id": _pa.array(
+                    some + [f"doc-m-{i:07d}" for i in range(500)]),
+                "tokens": _pa.array([[1, 2, 3]] * n, _pa.list_(_pa.int32())),
+                "n_tok": _pa.array([3] * n, _pa.int32()),
+                "source": _pa.array(["merged"] * n),
+            })
+            bdir = f"/tmp/colonnade_bench/merge-sf{sf}-m{mult}"
+            os.makedirs(bdir, exist_ok=True)
+            bp = os.path.join(bdir, "batch-0.parquet")
+            _pq.write_table(batch, bp)
+            t0 = time.time()
+            merge_rows(out_dir, bp, key="doc_id")
+            timings["merge_rows"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            create_snapshot(out_dir, "bench")
+            timings["create_snapshot"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            n_snap = decode_snapshot(out_dir, "bench",
+                                     columns=["n_tok"]).count()
+            timings["decode_snapshot"] = round(time.time() - t0, 3)
+            assert n_snap > 0
         except Exception as exc:  # pragma: no cover
             timings["lifecycle_error"] = str(exc)[:200]
 
