@@ -769,12 +769,20 @@ def _gc_group(out_dir: str, gid: str) -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
-def compact_corpus(out_dir: str, gc: bool = True) -> dict:
+def compact_corpus(out_dir: str, gc: bool = True,
+                   only_smaller_than: Optional[int] = None) -> dict:
     """Merge the committed groups into one consolidated group per
     encoded SCHEMA — the operational counterpart of ``append=True``:
     after many incremental runs the corpus is thousands of small
     groups, and compaction rewrites only the already-encoded chunk
     ROWS (no re-encode, payloads move verbatim) into one directory.
+
+    ``only_smaller_than`` (bytes) makes the pass size-aware — the
+    100-TB shape of periodic compaction: only groups whose data dir
+    is under the threshold join the merge; consolidated groups above
+    it never pay the rewrite again, so repeated compact calls over a
+    growing corpus cost O(small tail), not O(corpus).  ``None`` keeps
+    the original everything-per-cohort behavior.
 
     Crash-safe ordering: new data dir -> merged input-file sidecar ->
     .supersedes.json -> lineage marker (the commit point; every read
@@ -786,6 +794,14 @@ def compact_corpus(out_dir: str, gc: bool = True) -> dict:
     data_root = os.path.join(out_dir, "data")
     lin_root = os.path.join(out_dir, "_lineage")
     olds = active_groups(out_dir)
+    if only_smaller_than is not None:
+        def _gsize(gid: str) -> int:
+            d = os.path.join(data_root, f"group-{gid}")
+            if not os.path.isdir(d):
+                return 0
+            return sum(os.path.getsize(os.path.join(d, f))
+                       for f in os.listdir(d) if f.endswith(".parquet"))
+        olds = [g for g in olds if _gsize(g) < only_smaller_than]
     # cohorts by encoded schema: groups from different plans carry
     # different colN columns and cannot share one parquet schema.
     # Groups vacuumed to zero rows have no files (their empty lineage

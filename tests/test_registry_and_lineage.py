@@ -86,3 +86,52 @@ def test_lineage_report(tmp_path, ray_session):
     assert any(k.startswith("values=") for k in hist)
     rep = lineage_report(out)
     assert "B/token" in rep and "codec wins" in rep and "+" in rep
+
+
+def test_compact_only_smaller_than(ray_session, tmp_path):
+    """Size-aware compaction merges only the small tail: big groups
+    never pay the rewrite again, and answers are unchanged."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from colonnade_ray.corpus import synth_rows
+    from colonnade_ray.pipelines import (
+        compact_corpus,
+        decode_corpus,
+        encode_corpus,
+    )
+    from colonnade_ray.pipelines.encode_pipeline import active_groups
+
+    inp = str(tmp_path / "inp")
+    out = str(tmp_path / "out")
+    os.makedirs(inp)
+    # one big file + four small ones, each its own commit group
+    sizes = [2000, 60, 60, 60, 60]
+    start = 0
+    for i, n in enumerate(sizes):
+        pq.write_table(synth_rows(n, seed=7000 + i, start_id=start),
+                       os.path.join(inp, f"part-{i:03d}.parquet"))
+        start += n
+    encode_corpus(inp, out, batch_size=64, resume=False, group_size=1)
+    assert len(active_groups(out)) == 5
+    data_root = os.path.join(out, "data")
+
+    def gsize(gid):
+        d = os.path.join(data_root, f"group-{gid}")
+        return sum(os.path.getsize(os.path.join(d, f))
+                   for f in os.listdir(d))
+
+    big = max(active_groups(out), key=gsize)
+    thresh = gsize(big)  # strictly-under keeps exactly the big one out
+    n_before = decode_corpus(out).count()
+    res = compact_corpus(out, only_smaller_than=thresh)
+    assert res["compacted_groups"] == 4
+    after = active_groups(out)
+    assert big in after and len(after) == 2  # big untouched + 1 merged
+    assert decode_corpus(out, verify_checksum=True).count() == n_before
+    # a second size-aware pass has only ONE small group left (the
+    # merged one) — nothing to pair, so it's a no-op
+    assert compact_corpus(out, only_smaller_than=thresh)[
+        "compacted_groups"] == 0
+    assert len(active_groups(out)) == 2
