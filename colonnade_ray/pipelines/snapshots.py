@@ -88,7 +88,7 @@ def create_snapshot(out_dir: str, tag: str) -> dict:
     with open(os.path.join(tmp, "manifest.json"), "w") as fh:
         json.dump({"tag": tag, "groups": sorted(groups),
                    "deletes": sorted(dels)}, fh, indent=1)
-    os.rename(tmp, final)  # the commit point
+    os.replace(tmp, final)  # the commit point
     return {"tag": tag, "groups": len(groups), "deletes": len(dels)}
 
 

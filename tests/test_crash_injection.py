@@ -349,6 +349,42 @@ def test_crash_sweep_merge_rows(ray_session, tmp_path):
                for d, s in old_src.items())
 
 
+def test_crash_sweep_create_snapshot(ray_session, tmp_path):
+    """create_snapshot through crashes: the snapshot is atomically
+    absent or fully readable (mask copy included) at every point; a
+    committed create makes the retry's 'already exists' refusal the
+    convergence signal."""
+    from colonnade_ray.pipelines import (
+        create_snapshot,
+        decode_snapshot,
+        delete_where,
+        list_snapshots,
+    )
+
+    out, orig = _setup(tmp_path)
+    med = int(np.median(orig["n_tok"].to_numpy()))
+    delete_where(out, ("n_tok", ">=", med))  # masks ride the snapshot
+    kept = sorted(d for d, n in zip(orig["doc_id"].to_pylist(),
+                                    orig["n_tok"].to_pylist()) if n < med)
+
+    def op():
+        try:
+            create_snapshot(out, "s")
+        except ValueError as e:
+            if "exists" not in str(e):
+                raise
+
+    def invariant():
+        tags = [m["tag"] for m in list_snapshots(out)]
+        assert tags in ([], ["s"])
+        if tags:
+            snap = decode_snapshot(out, "s", columns=["doc_id"])
+            assert sorted(r["doc_id"] for r in snap.take_all()) == kept
+
+    crash_sweep(op, invariant)
+    assert [m["tag"] for m in list_snapshots(out)] == ["s"]
+
+
 def test_crash_sweep_restore_snapshot(ray_session, tmp_path):
     """restore_snapshot on a single-cohort corpus is one commit: at
     every crash point the live state is EITHER fully pre-restore or

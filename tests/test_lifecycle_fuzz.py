@@ -325,8 +325,9 @@ def test_lifecycle_random_program_matches_model(ray_session, tmp_path,
 
     def check_snapshots():
         """Every snapshot must still decode to the model frozen at its
-        create time, whatever the program did since."""
-        from colonnade_ray.pipelines import decode_snapshot
+        create time, whatever the program did since — and the
+        pushdowns must answer as-of the same state."""
+        from colonnade_ray.pipelines import aggregate_where, decode_snapshot
 
         for tag, frozen in state["snaps"].items():
             got = decode_snapshot(out, tag,
@@ -339,6 +340,11 @@ def test_lifecycle_random_program_matches_model(ray_session, tmp_path,
             for c in exp.columns:
                 assert got[c].tolist() == exp[c].tolist(), \
                     f"snapshot {tag} column {c}"
+            icol_then = state["snap_schema"][tag][1]
+            if len(exp):
+                assert aggregate_where(out, "sum", icol_then,
+                                       snapshot=tag) == \
+                    int(exp[icol_then].sum()), f"snapshot {tag} sum"
 
     handlers = {"delete": op_delete, "vacuum": op_vacuum,
                 "compact": op_compact, "update": op_update,
