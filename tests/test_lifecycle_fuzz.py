@@ -67,6 +67,8 @@ def _shards(dir_, n_files, rows, seed0, start0):
     (11, {}),
     (37, {"bloom_cols": ["doc_id"], "group_size": 1}),
     (101, {"cluster_by": "n_tok"}),
+    (59, {"bloom_cols": ["doc_id"], "cluster_by": "n_tok",
+          "group_size": 1}),
 ])
 def test_lifecycle_random_program_matches_model(ray_session, tmp_path,
                                                 seed, enc):
