@@ -938,6 +938,19 @@ def sweep_orphans(out_dir: str) -> dict:
             if d.endswith(".tmp"):
                 shutil.rmtree(os.path.join(sroot, d), ignore_errors=True)
                 removed["meta_sidecars"] += 1
+    # abandoned CDC stages: an apply_changes that crashed before its
+    # merge committed leaves a staged parquet no group covers.  (A
+    # covered stage is load-bearing — the append-skip resume contract
+    # reads coverage by exact path — and stays.)
+    stroot = os.path.join(out_dir, "_staged")
+    if os.path.isdir(stroot):
+        covered = encoded_input_files(out_dir)
+        for f in sorted(os.listdir(stroot)):
+            p = os.path.join(stroot, f)
+            if f.endswith(".tmp") or (
+                    f.endswith(".parquet") and p not in covered):
+                os.remove(p)
+                removed["meta_sidecars"] += 1
     return removed
 
 

@@ -274,3 +274,26 @@ def test_apply_changes_validation(ray_session, tmp_path):
     res = apply_changes(out, p, key="doc_id", batch_size=64)
     assert res["upserts"] == 0 and res["masked_rows_delete"] == 5
     assert len(_visible(out)) == orig.num_rows - 5
+
+
+def test_sweep_reclaims_abandoned_cdc_stage(ray_session, tmp_path):
+    """An apply_changes crash before its merge commit leaves an
+    uncovered staged parquet; sweep_orphans reclaims exactly it and
+    leaves covered (load-bearing) stages alone."""
+    from colonnade_ray.pipelines import apply_changes, sweep_orphans
+
+    inp, out, orig = _setup(tmp_path, n_rows=200)
+    p, _ = _write_changes(tmp_path, {
+        "doc_id": ["doc-z1"], "tokens": [[1]], "n_tok": [1],
+        "source": ["cdc"], "op": ["upsert"]}, "live")
+    apply_changes(out, p, key="doc_id", batch_size=64)
+    staged_dir = os.path.join(out, "_staged")
+    covered_stage = sorted(os.listdir(staged_dir))
+    # fabricate an abandoned stage (crash before merge committed)
+    orphan = os.path.join(staged_dir, "cdc-deadbeef.parquet")
+    pq.write_table(pa.table({"doc_id": ["x"]}), orphan)
+    open(os.path.join(staged_dir, "cdc-torn.parquet.tmp"), "w").close()
+    sweep_orphans(out)
+    assert sorted(os.listdir(staged_dir)) == covered_stage
+    # the live corpus is untouched, and the CDC row survives
+    assert "doc-z1" in _visible(out)
