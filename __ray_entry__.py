@@ -293,6 +293,35 @@ def q_asof_clicks(sf_dir: str):
     )
 
 
+def q_range_join_events(sf_dir: str):
+    """Keyed range join (custom operator, SURVEY §2.7): every event
+    inside the 2-hour window after a purchase by the same user —
+    overlapping windows, multi-match inner semantics, one key-hash ×
+    day-bin shuffle, vectorized merge+mask per bucket
+    (relational.range_join; window replication exercises the hot-key
+    time-binning path)."""
+    from colonnade_ray.functions.relational import range_join
+
+    ev = _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def mk_windows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "purchase"))
+        hi = pc.add(t["ts"], pa.scalar(2 * 3600 * 1_000_000, pa.duration("us")))
+        return pa.table({"window_id": t["event_id"], "user_id": t["user_id"],
+                         "lo": t["ts"], "hi": hi})
+
+    win = ev.map_batches(mk_windows, batch_format="pyarrow")
+    joined = range_join(ev, win, on="user_id", ts_col="ts",
+                        time_bin_s=86400.0)
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.not_equal(b["event_id"], b["window_id_right"]))
+        return pa.table({"event_id": t["event_id"], "event_type": t["event_type"],
+                         "user_id": t["user_id"], "window_id": t["window_id_right"]})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def q_dedup_exact(sf_dir: str):
     from colonnade_ray.functions.dedup import exact_dedup
 
@@ -1959,6 +1988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mix": q_temperature_mix,
         "sessions": q_sessions,
         "asof_clicks": q_asof_clicks,
+        "range_join_events": q_range_join_events,
         "dedup_exact": q_dedup_exact,
         "similarity_topk": q_similarity_topk,
         "cosine_near_dups": q_cosine_near_dups,
@@ -2180,6 +2210,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type='purchase') p "
             "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') c "
             "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "range_join_events": (
+            "SELECT e.event_id, e.event_type, e.user_id, w.event_id AS window_id "
+            "FROM events e JOIN events w ON e.user_id = w.user_id "
+            "AND w.event_type = 'purchase' "
+            "AND e.ts >= w.ts AND e.ts < w.ts + INTERVAL 2 HOUR "
+            "AND e.event_id <> w.event_id"
         ),
         "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
         "similarity_topk": (

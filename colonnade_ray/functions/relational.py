@@ -437,6 +437,112 @@ def asof_join(left, right, on: str, ts_col: str = "ts",
     return tagged.groupby("__b").map_groups(per_bucket, batch_format="pandas")
 
 
+def range_join(left, right, on: str, ts_col: str = "ts",
+               lo_col: str = "lo", hi_col: str = "hi",
+               right_suffix: str = "_right", num_buckets: int = 64,
+               time_bin_s: Optional[float] = None):
+    """Keyed range (interval-overlap) join: every (left, right) pair
+    with equal key and ``lo <= left.ts < hi`` — the brief's remaining
+    custom-operator example (as-of join and windowed aggregates are
+    ``asof_join`` / ``hopping_windows``; the broadcast non-overlapping
+    variant is ``interval_join``).  Both sides may be arbitrarily
+    large Datasets and windows may OVERLAP: a left row matching k
+    windows yields k output rows (inner-join semantics).
+
+    Composition (Dataset primitives only): tag-union both sides, one
+    shuffle on ``hash(key) % num_buckets`` (optionally × a coarse time
+    bin), one vectorized pandas merge + interval mask per bucket.
+
+    Partitioning assumptions (documented per SURVEY.md §2 contract):
+
+    - all rows of one key co-locate in one bucket (hash on key);
+    - the per-bucket work is the per-key events × windows product.  A
+      hot key with many events AND many windows is defused by
+      ``time_bin_s``: left rows route to exactly one ``(key, bin)``
+      bucket while windows replicate to every bin they overlap, so the
+      product is bounded per bin and each matching pair still appears
+      exactly once (only the window copy in the event's own bin can
+      match it).  Keep window length ≲ a few bins or replication
+      itself becomes the cost.
+    """
+    ls, rs = left.schema(), right.schema()
+    lcols = [n for n in ls.names if n != on]
+    rcols = [n for n in rs.names if n != on]
+    ltypes = dict(zip(ls.names, ls.types))
+    rtypes = dict(zip(rs.names, rs.types))
+    ren = {c: c + right_suffix for c in rcols}
+
+    def _ns(ser: pd.Series) -> np.ndarray:
+        # normalize numeric or datetime to int64 ns for binning
+        if np.issubdtype(ser.dtype, np.datetime64):
+            return ser.astype("datetime64[ns]").astype("int64").to_numpy()
+        return (ser.to_numpy(dtype=np.float64) * 1e9).astype(np.int64)
+
+    bin_ns = int(time_bin_s * 1e9) if time_bin_s else None
+
+    def tag(side: str, other_cols, other_types):
+        def fn(b: pa.Table) -> pa.Table:
+            t = b.append_column("__side", pa.array([side] * len(b)))
+            for c in other_cols:
+                t = t.append_column(c, pa.nulls(len(b), type=other_types[c]))
+            hb = pd.util.hash_pandas_object(
+                b[on].to_pandas(), index=False
+            ).to_numpy() % np.uint64(num_buckets)
+            t = t.append_column("__b", pa.array(hb.astype(np.int64)))
+            if bin_ns is None:
+                return t.append_column("__tb", pa.array(np.zeros(len(b), np.int64)))
+            if side == "L":
+                tb = _ns(b[ts_col].to_pandas()) // bin_ns
+                return t.append_column("__tb", pa.array(tb))
+            # windows replicate to every bin they overlap
+            lo = _ns(b[lo_col].to_pandas())
+            hi = _ns(b[hi_col].to_pandas())
+            first = lo // bin_ns
+            last = np.maximum((hi - 1) // bin_ns, first)
+            reps = (last - first + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(b)), reps)
+            # bin offset within each repeated run
+            offs = np.arange(reps.sum(), dtype=np.int64) - np.repeat(
+                np.cumsum(reps) - reps, reps
+            )
+            t = t.take(idx)
+            return t.append_column("__tb", pa.array(np.repeat(first, reps) + offs))
+
+        return fn
+
+    tagged = left.map_batches(tag("L", rcols, rtypes), batch_format="pyarrow").union(
+        right.map_batches(tag("R", lcols, ltypes), batch_format="pyarrow")
+    )
+
+    out_cols = [on] + lcols + [ren[c] for c in rcols]
+    # the tag-union leaves typed nulls in the other side's columns, so
+    # an int64 column reaches pandas as float64/object inside the group;
+    # inner-join survivors are null-free, so cast back to the Arrow type
+    _NP_INT = {pa.int8(): np.int8, pa.int16(): np.int16, pa.int32(): np.int32,
+               pa.int64(): np.int64, pa.uint8(): np.uint8, pa.uint16(): np.uint16,
+               pa.uint32(): np.uint32, pa.uint64(): np.uint64}
+    out_int = {c: _NP_INT[ltypes[c]] for c in [on] + lcols if ltypes.get(c) in _NP_INT}
+    out_int.update({ren[c]: _NP_INT[rtypes[c]] for c in rcols if rtypes[c] in _NP_INT})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "L"][[on] + lcols]
+        rg = g[g["__side"] == "R"][[on] + rcols].rename(columns=ren)
+        if lg.empty or rg.empty:
+            out = pd.DataFrame({c: [] for c in out_cols})
+        else:
+            m = lg.merge(rg, on=on)
+            keep = (m[ren[lo_col]] <= m[ts_col]) & (m[ts_col] < m[ren[hi_col]])
+            out = m.loc[keep, out_cols]
+        for c, dt in out_int.items():
+            if str(out[c].dtype) != np.dtype(dt).name:
+                out[c] = out[c].astype(dt)
+        return out
+
+    return tagged.groupby(["__b", "__tb"]).map_groups(
+        per_bucket, batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hopping (sliding) windows
 

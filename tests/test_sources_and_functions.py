@@ -1331,6 +1331,51 @@ def test_interval_join(ray_session):
                                     "label": ["x", "y"]}), value_col="v")
 
 
+def test_range_join(ray_session):
+    import ray.data as rd
+
+    from colonnade_ray.functions.relational import range_join
+
+    rng = np.random.default_rng(11)
+    n_ev, n_w = 2000, 300
+    ev = pd.DataFrame({"eid": np.arange(n_ev),
+                       "k": rng.integers(0, 40, n_ev),
+                       "ts": rng.uniform(0, 500, n_ev)})
+    w = pd.DataFrame({"wid": np.arange(n_w),
+                      "k": rng.integers(0, 40, n_w)})
+    w["lo"] = rng.uniform(0, 490, n_w)
+    w["hi"] = w["lo"] + rng.uniform(1, 30, n_w)  # overlapping windows
+
+    m = ev.merge(w, on="k")
+    truth = (m[(m.lo <= m.ts) & (m.ts < m.hi)][["eid", "wid"]]
+             .sort_values(["eid", "wid"]).reset_index(drop=True))
+    assert truth.eid.duplicated().any()  # multi-match is exercised
+
+    for tb in (None, 25.0):  # key-hash only, and key×time-bin replication
+        out = range_join(rd.from_pandas(ev), rd.from_pandas(w), on="k",
+                         ts_col="ts", time_bin_s=tb).to_pandas()
+        assert out.eid.dtype == np.int64 and out.wid_right.dtype == np.int64
+        got = (out[["eid", "wid_right"]].rename(columns={"wid_right": "wid"})
+               .sort_values(["eid", "wid"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, truth)
+
+    # datetime ts/lo/hi path (binning normalizes to ns)
+    base = pd.Timestamp("2024-01-01")
+    ev2 = ev.assign(ts=base + pd.to_timedelta(ev.ts, unit="h"))
+    w2 = w.assign(lo=base + pd.to_timedelta(w.lo, unit="h"),
+                  hi=base + pd.to_timedelta(w.hi, unit="h"))
+    out2 = range_join(rd.from_pandas(ev2), rd.from_pandas(w2), on="k",
+                      ts_col="ts", time_bin_s=86400.0).to_pandas()
+    got2 = (out2[["eid", "wid_right"]].rename(columns={"wid_right": "wid"})
+            .sort_values(["eid", "wid"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got2, truth)
+
+    # empty right side: no matches, schema still well-formed
+    empty = range_join(rd.from_pandas(ev),
+                       rd.from_pandas(w.iloc[:0]), on="k", ts_col="ts")
+    assert empty.count() == 0
+
+
 def test_grouped_topk(ray_session):
     import ray.data as rd
 
