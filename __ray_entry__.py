@@ -809,6 +809,30 @@ def q_encoded_count_where(sf_dir: str):
                                 preserve_index=False)
 
 
+def q_encoded_zorder_pushdown(sf_dir: str):
+    """Z-order layout IN the gate: encode the documents table clustered
+    on (n_chars, doc_id) — block-local Morton interleave of ranks, so
+    zone bands narrow on BOTH columns — then answer band-predicate
+    counts on each column and on their conjunction via count_where.
+    The layout is an implementation detail; answers must match plain
+    SQL over the raw table."""
+    from colonnade_ray.pipelines import count_where, encode_corpus
+
+    work = _run_dir(sf_dir, "zorder")
+    inp = os.path.join(work, "input")
+    out = os.path.join(work, "out")
+    _tbl(sf_dir, "documents", ["doc_id", "n_chars", "source"]) \
+        .write_parquet(inp)
+    encode_corpus(inp, out, batch_size=512, resume=False,
+                  cluster_by=["n_chars", "doc_id"])
+    n_chars_hi = count_where(out, ("n_chars", ">=", 600))
+    doc_lo = count_where(out, ("doc_id", "<", 100))
+    both = count_where(out, [("n_chars", ">=", 600), ("doc_id", ">=", 100)])
+    return pa.table({"n_chars_ge_600": pa.array([n_chars_hi], pa.int64()),
+                     "doc_id_lt_100": pa.array([doc_lo], pa.int64()),
+                     "both": pa.array([both], pa.int64())})
+
+
 def q_delete_where_count(sf_dir: str):
     """Merge-on-read deletion vectors IN the gate
     (pipelines/deletes.py): encode the documents table, DELETE WHERE
@@ -1965,6 +1989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_v2": q_curation_v2,
         "active_customers": q_active_customers,
         "encoded_count_where": q_encoded_count_where,
+        "encoded_zorder_pushdown": q_encoded_zorder_pushdown,
         "delete_where_count": q_delete_where_count,
         "evolve_add_column": q_evolve_add_column,
         "replace_where_rewrite": q_replace_where_rewrite,
@@ -2588,6 +2613,13 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents "
             "WHERE n_chars >= 600) AS n_ge_600 "
             "FROM documents GROUP BY source ORDER BY source"
+        ),
+        "encoded_zorder_pushdown": (
+            "SELECT CAST(COUNT(*) FILTER (n_chars >= 600) AS BIGINT) "
+            "AS n_chars_ge_600, "
+            "CAST(COUNT(*) FILTER (doc_id < 100) AS BIGINT) AS doc_id_lt_100, "
+            "CAST(COUNT(*) FILTER (n_chars >= 600 AND doc_id >= 100) AS BIGINT) "
+            "AS both FROM documents"
         ),
         "delete_where_count": (
             # DELETE WHERE p removes only p = TRUE rows (nulls survive)

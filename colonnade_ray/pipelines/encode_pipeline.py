@@ -382,6 +382,39 @@ def _prep_batch(b: pa.Table, spec: dict, frag_idx: dict) -> pa.Table:
     return b
 
 
+def _zorder_sort(t: pa.Table, cols: Sequence[str], bits: int = 16) -> pa.Table:
+    """Block-local Z-order (Morton) clustering over 2+ columns: each
+    column is rank-normalized within the block to ``bits`` bits
+    (robust to scale, skew and type — ranks, not raw values), the bit
+    strings are interleaved into one key, and the block is sorted by
+    it.  Chunks sliced from the sorted block then carry zone bands
+    that are narrow on EVERY clustered column at once, so
+    count_where / aggregate_where / selective decode prune on any of
+    them — the multi-predicate generalization of the single-column
+    ``cluster_by`` (same zero-exchange contract: the sort fuses into
+    the read task; a global Z-order would be an all-to-all and is
+    deliberately not this knob)."""
+    import numpy as np
+
+    n = len(t)
+    if n <= 1:
+        return t
+    k = len(cols)
+    key = np.zeros(n, dtype=np.uint64)
+    for ci, c in enumerate(cols):
+        col = t[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ranks = pc.rank(col, sort_keys="ascending",
+                        null_placement="at_end",
+                        tiebreaker="first").to_numpy() - 1
+        q = ((ranks.astype(np.float64) * ((1 << bits) - 1))
+             / max(n - 1, 1)).astype(np.uint64)
+        for b in range(bits):
+            key |= ((q >> np.uint64(b)) & np.uint64(1)) << np.uint64(b * k + ci)
+    return t.take(np.argsort(key, kind="stable"))
+
+
 # ---------------------------------------------------------------------------
 # Corpus-level orchestration with lineage + resume
 
@@ -427,7 +460,7 @@ def encode_corpus(
     stateless: Optional[bool] = None,
     append: bool = False,
     post_compress: Optional[str] = None,
-    cluster_by: Optional[str] = None,
+    cluster_by: Optional[str | Sequence[str]] = None,  # list => Z-order
     shared_dicts: bool = True,
     bloom_cols: Optional[Sequence[str]] = None,
 ) -> dict:
@@ -547,9 +580,16 @@ def encode_corpus(
             # selective decode prove most chunks from metadata.  The
             # classic zone-map layout lever (file-local ORDER BY);
             # a GLOBAL sort would be an all-to-all — deliberately not
-            # this knob.
+            # this knob.  A list of columns Z-orders instead (Morton
+            # interleave of block-local ranks) so zone bands narrow on
+            # every listed column at once — see _zorder_sort.
+            if isinstance(cluster_by, str):
+                sort_fn = lambda b: b.sort_by(cluster_by)  # noqa: E731
+            else:
+                zcols = list(cluster_by)
+                sort_fn = lambda b: _zorder_sort(b, zcols)  # noqa: E731
             ds = ds.map_batches(
-                lambda b: b.sort_by(cluster_by),
+                sort_fn,
                 batch_format="pyarrow", batch_size=None,
                 zero_copy_batch=True,
             )

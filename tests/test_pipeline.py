@@ -773,6 +773,68 @@ def test_cluster_by_narrows_zone_bands(corpus_dir, tmp_path, ray_session):
     assert r_clus > r_plain                 # clustering strictly helps
 
 
+def test_zorder_cluster_prunes_both_columns(tmp_path, ray_session):
+    """cluster_by=[x, y] Z-orders each read block (Morton interleave of
+    block-local ranks): round-trip stays bit-identical, answers are
+    layout-invariant, and band predicates on EITHER column become
+    metadata-provable for most chunks — where the single-column sort
+    only helps its own column."""
+    import ray.data as rd
+
+    from colonnade_ray.pipelines import count_where, decode_corpus
+    from colonnade_ray.stages.decode import chunk_all_match, chunk_may_match
+
+    rng = np.random.default_rng(5)
+    n = 2048
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:06d}" for i in range(n)]),
+        "x": pa.array(rng.integers(0, 10_000, n), pa.int64()),
+        "y": pa.array(rng.integers(0, 10_000, n), pa.int64()),
+    })
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(t, src / "part-000.parquet")
+
+    layouts = {}
+    for name, cb in [("plain", None), ("xsort", "x"), ("zorder", ["x", "y"])]:
+        out = str(tmp_path / name)
+        encode_corpus(str(src), out, batch_size=128, cluster_by=cb)
+        layouts[name] = out
+
+    original = rd.read_parquet(str(src))
+    res = roundtrip_verify(original, decode_corpus(layouts["zorder"]),
+                           ["doc_id", "x", "y"])
+    assert res["match"], res
+
+    med_x = int(np.median(t["x"].to_numpy()))
+    med_y = int(np.median(t["y"].to_numpy()))
+    truth_x = int((t["x"].to_numpy() >= med_x).sum())
+    truth_y = int((t["y"].to_numpy() >= med_y).sum())
+
+    def proof_rate(out, pred):
+        lin = os.path.join(out, "_lineage")
+        sj = []
+        for f in os.listdir(lin):
+            if f.endswith(".parquet"):
+                sj += pq.read_table(os.path.join(lin, f),
+                                    columns=["stats_json"]
+                                    )["stats_json"].to_pylist()
+        proven = sum(1 for s in sj
+                     if chunk_all_match(s, pred) or not chunk_may_match(s, pred))
+        return proven / len(sj)
+
+    px, py = ("x", ">=", med_x), ("y", ">=", med_y)
+    for name, out in layouts.items():
+        assert count_where(out, px) == truth_x, name
+        assert count_where(out, py) == truth_y, name
+
+    zx, zy = proof_rate(layouts["zorder"], px), proof_rate(layouts["zorder"], py)
+    assert zx >= 0.5 and zy >= 0.5, (zx, zy)
+    assert zy > proof_rate(layouts["xsort"], py)   # x-sort can't prune y
+    assert zx > proof_rate(layouts["plain"], px)
+    assert zy > proof_rate(layouts["plain"], py)
+
+
 def test_group_counts_metadata_first(corpus_dir, tmp_path, ray_session):
     """group_counts equals the decoded ground truth on both layouts;
     on the source-partitioned corpus the per-source chunks are
