@@ -833,6 +833,31 @@ def q_encoded_zorder_pushdown(sf_dir: str):
                      "both": pa.array([both], pa.int64())})
 
 
+def q_encoded_topk(sf_dir: str):
+    """ORDER BY ... LIMIT k pushdown IN the gate: encode the documents
+    table clustered on n_chars, then answer the top-12 longest docs
+    (and the top-8 under a source predicate) via topk_where — zone
+    bands bound the k-th value so only reachable chunks decode; the
+    answer must match plain SQL over the raw table."""
+    from colonnade_ray.pipelines import encode_corpus, topk_where
+
+    work = _run_dir(sf_dir, "topk")
+    inp = os.path.join(work, "input")
+    out = os.path.join(work, "out")
+    _tbl(sf_dir, "documents", ["doc_id", "n_chars", "source"]) \
+        .write_parquet(inp)
+    encode_corpus(inp, out, batch_size=512, resume=False,
+                  cluster_by="n_chars")
+    top = topk_where(out, "n_chars", k=12, tie_cols=["doc_id"],
+                     columns=["source"])
+    sub = topk_where(out, "n_chars", k=8, tie_cols=["doc_id"],
+                     predicate=("source", "==", "src7"))
+    sub = sub.append_column("part", pa.array(["src7"] * len(sub)))
+    top = top.select(["doc_id", "n_chars"]).append_column(
+        "part", pa.array(["all"] * len(top)))
+    return pa.concat_tables([top, sub.select(["doc_id", "n_chars", "part"])])
+
+
 def q_delete_where_count(sf_dir: str):
     """Merge-on-read deletion vectors IN the gate
     (pipelines/deletes.py): encode the documents table, DELETE WHERE
@@ -1990,6 +2015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_customers": q_active_customers,
         "encoded_count_where": q_encoded_count_where,
         "encoded_zorder_pushdown": q_encoded_zorder_pushdown,
+        "encoded_topk": q_encoded_topk,
         "delete_where_count": q_delete_where_count,
         "evolve_add_column": q_evolve_add_column,
         "replace_where_rewrite": q_replace_where_rewrite,
@@ -2613,6 +2639,13 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents "
             "WHERE n_chars >= 600) AS n_ge_600 "
             "FROM documents GROUP BY source ORDER BY source"
+        ),
+        "encoded_topk": (
+            "(SELECT doc_id, n_chars, 'all' AS part FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 12) "
+            "UNION ALL "
+            "(SELECT doc_id, n_chars, 'src7' AS part FROM documents "
+            "WHERE source = 'src7' ORDER BY n_chars DESC, doc_id LIMIT 8)"
         ),
         "encoded_zorder_pushdown": (
             "SELECT CAST(COUNT(*) FILTER (n_chars >= 600) AS BIGINT) "

@@ -13,6 +13,7 @@ from .encode_pipeline import (
     encode_dataset,
     roundtrip_verify,
     sweep_orphans,
+    topk_where,
 )
 from .evolve import (
     add_columns,

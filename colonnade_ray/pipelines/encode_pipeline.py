@@ -1382,6 +1382,190 @@ def aggregate_where(out_dir: str, agg: str, col: str,
     return sum(vals)
 
 
+def topk_where(out_dir: str, col: str, k: int = 10,
+               columns: Optional[Sequence[str]] = None,
+               descending: bool = True, predicate=None,
+               tie_cols: Sequence[str] = (), concurrency=None,
+               snapshot: Optional[str] = None,
+               return_stats: bool = False) -> pa.Table:
+    """ORDER BY col LIMIT k pushdown over the encoded corpus: only
+    chunks whose zone band can still reach the top-k decode.
+
+    Two phases.  Phase 1 is metadata-only, over the lineage manifests
+    (chunk-count rows of JSON stats — KBs per group, never payload):
+    sort chunks by their zone *min* (descending order; *max* when
+    ascending), accumulate live non-null rows until ≥ k — every one
+    of those rows is ≥ the last accumulated chunk's min, so that min
+    is a valid bound T on the k-th value.  Phase 2 reads only the
+    groups holding a chunk whose *max* ≥ T, decodes only those
+    chunks, and only ``col`` + ``tie_cols`` + ``columns``; each task
+    emits a local top-k partial and the ≤ k × tasks survivor rows
+    merge on the driver.  Ties at rank k resolve by ``tie_cols``
+    (pass them for deterministic output).  Rows with a null ``col``
+    never rank (SQL NULLS LAST ∩ LIMIT semantics).  ``predicate``
+    AND-filters rows before ranking (zone-pruned like count_where).
+    ``snapshot=`` answers as of a named snapshot."""
+    from ..stages.decode import (
+        _exact_filter,
+        chunk_all_match,
+        chunk_may_match,
+        decode_chunk_row,
+        normalize_predicates,
+    )
+    from ..util import default_concurrency
+
+    preds = normalize_predicates(predicate) if predicate is not None else []
+    scope_groups, deletes_dir = _scope(out_dir, snapshot)
+    lin_root = os.path.join(out_dir, "_lineage")
+    gids = active_groups(out_dir) if scope_groups is None else [
+        g for g in scope_groups
+        if os.path.exists(os.path.join(lin_root, f"group-{g}.parquet"))
+    ]
+    del_masks = {}
+    if deletes_dir is not None:
+        from .deletes import load_delete_masks
+
+        del_masks = load_delete_masks(deletes_dir)
+
+    # phase 1: bound T on the k-th value from zone bands alone
+    cands = []  # (near_bound, far_bound, n_live_nonnull, gid)
+    for gid in gids:
+        lin = pq.read_table(os.path.join(lin_root, f"group-{gid}.parquet"),
+                            columns=["stats_json", "n_rows",
+                                     "fragment", "chunk_id"])
+        for sj, n, frag, cid in zip(lin["stats_json"].to_pylist(),
+                                    lin["n_rows"].to_pylist(),
+                                    lin["fragment"].to_pylist(),
+                                    lin["chunk_id"].to_pylist()):
+            if preds and not all(chunk_may_match(sj, p) for p in preds):
+                continue
+            stats = json.loads(sj) if sj else {}
+            band = stats.get(col)
+            dmask = del_masks.get((frag, cid))
+            if isinstance(dmask, str):
+                continue  # whole chunk deleted
+            n_live = int(n) - (int(dmask.sum()) if dmask is not None else 0)
+            if n_live <= 0:
+                continue
+            if band is None:
+                # no zone band (old format): must always decode
+                cands.append((None, None, 0, gid))
+                continue
+            # unknown null count: contribute 0 to the accumulation
+            # (conservative — keeps T a true lower bound); the chunk
+            # still decodes if its band reaches T.  Under a predicate
+            # only PROVEN all-match chunks may contribute — a
+            # may-match chunk's rows aren't guaranteed to survive the
+            # filter, so counting them would overstate acc and push T
+            # past the true k-th passing value.
+            nt = stats.get("__nulls__")
+            # a column absent from a present __nulls__ table has zero
+            # nulls (decode.py convention); a missing table entirely is
+            # the pre-__nulls__ format — unprovable, contribute 0
+            n_nonnull = max(0, n_live - int(nt.get(col, 0))) \
+                if nt is not None else 0
+            if preds and not all(chunk_all_match(sj, p) for p in preds):
+                n_nonnull = 0
+            lo, hi = band
+            near, far = (hi, lo) if descending else (lo, hi)
+            cands.append((far, near, n_nonnull, gid))
+    if not cands:
+        base = list(dict.fromkeys([col, *tie_cols, *(columns or [])]))
+        empty = pa.table({c: pa.array([]) for c in base})
+        if return_stats:
+            return empty, {"chunks_total": 0, "chunks_candidate": 0,
+                           "groups_total": len(gids),
+                           "groups_candidate": 0, "threshold": None}
+        return empty
+
+    banded = sorted((c for c in cands if c[0] is not None),
+                    key=lambda c: c[0], reverse=descending)
+    T = None
+    acc = 0
+    for far, _near, nn, _g in banded:
+        acc += nn
+        if acc >= k:
+            T = far  # k rows each ≥ (≤) this chunk's far bound
+            break
+
+    def reaches(c):
+        if c[1] is None or T is None:
+            return True  # bandless chunk / no bound provable: decode
+        return (c[1] >= T) if descending else (c[1] <= T)
+
+    n_cand = sum(1 for c in cands if reaches(c))
+    cand_groups = sorted({g for *_x, g in [c for c in cands if reaches(c)]})
+    stats_out = {"chunks_total": len(cands), "chunks_candidate": n_cand,
+                 "groups_total": len(gids),
+                 "groups_candidate": len(cand_groups), "threshold": T}
+    out_cols = list(dict.fromkeys([col, *tie_cols, *(columns or [])]))
+    # predicate columns must decode too (filtered out before project)
+    dec_cols = list(dict.fromkeys(out_cols + [p[0] for p in preds]))
+    enc, cpt = _read_encoded(out_dir, dec_cols, concurrency,
+                             groups=cand_groups)
+
+    def part(batch: pa.Table) -> pa.Table:
+        _register_dict_dir(out_dir)
+        dm = {}
+        if deletes_dir is not None:
+            from .deletes import load_delete_masks as _ldm
+
+            dm = _ldm(deletes_dir)
+        names = batch.column_names
+        parts = []
+        for r in range(len(batch)):
+            sj = batch["stats_json"][r].as_py()
+            if preds and not all(chunk_may_match(sj, p) for p in preds):
+                continue
+            stats = json.loads(sj) if sj else {}
+            band = stats.get(col)
+            if band is not None and T is not None:
+                near = band[1] if descending else band[0]
+                if (near < T) if descending else (near > T):
+                    continue  # zone band proves: below the k-th value
+            dmask = dm.get((batch["fragment"][r].as_py(),
+                            batch["chunk_id"][r].as_py())) if dm else None
+            if isinstance(dmask, str):
+                continue
+            row = {c: batch[c][r].as_py() for c in names}
+            t = decode_chunk_row(row, verify_checksum=False,
+                                 columns=dec_cols)
+            if dmask is not None:
+                t = t.filter(pa.array(~dmask))
+            for p in preds:
+                t = _exact_filter(t, p)
+            t = t.filter(pc.is_valid(t[col]))
+            if t.num_rows:
+                parts.append(t.select(out_cols))
+        if not parts:
+            return pa.table({})
+        t = pa.concat_tables(parts)
+        order = [(col, "descending" if descending else "ascending")] + [
+            (c, "ascending") for c in tie_cols
+        ]
+        return t.take(pc.sort_indices(t, sort_keys=order)[:k])
+
+    ds = enc.map_batches(
+        part, batch_format="pyarrow", batch_size=max(1, cpt),
+        zero_copy_batch=True,
+        concurrency=concurrency or default_concurrency(),
+    )
+    # ≤ k rows per decode task survive; merge them Arrow-native so
+    # dtypes round-trip exactly (take_all's dict rows would re-infer)
+    blocks = [b for b in ds.iter_batches(batch_format="pyarrow",
+                                         batch_size=None)
+              if b.num_columns and b.num_rows]
+    if not blocks:
+        empty = pa.table({c: pa.array([]) for c in out_cols})
+        return (empty, stats_out) if return_stats else empty
+    merged = pa.concat_tables(blocks, promote_options="default")
+    order = [(col, "descending" if descending else "ascending")] + [
+        (c, "ascending") for c in tie_cols
+    ]
+    res = merged.take(pc.sort_indices(merged, sort_keys=order)[:k])
+    return (res, stats_out) if return_stats else res
+
+
 def group_counts(out_dir: str, group_col: str,
                  value_col: Optional[str] = None, concurrency=None,
                  snapshot: Optional[str] = None):

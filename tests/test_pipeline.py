@@ -9,6 +9,7 @@ import json
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -771,6 +772,65 @@ def test_cluster_by_narrows_zone_bands(corpus_dir, tmp_path, ray_session):
     assert n_clus >= 8                      # enough chunks to mean anything
     assert r_clus >= 0.6, (r_clus, n_clus)  # most chunks metadata-provable
     assert r_clus > r_plain                 # clustering strictly helps
+
+
+def test_topk_where_pushdown(tmp_path, ray_session):
+    """ORDER BY col LIMIT k over the encoded corpus: exact on every
+    layout, deletes and predicates honored, and on a clustered layout
+    the zone-band threshold proves most chunks can't reach the top-k
+    (only those decode)."""
+    from colonnade_ray.pipelines import delete_where, topk_where
+
+    rng = np.random.default_rng(9)
+    n = 4096
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:06d}" for i in range(n)]),
+        "v": pa.array(rng.integers(0, 1_000_000, n), pa.int64()),
+        "g": pa.array(rng.integers(0, 5, n), pa.int64()),
+    })
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(t, src / "p0.parquet")
+    df = t.to_pandas()
+
+    for name, cb in [("plain", None), ("clustered", "v")]:
+        out = str(tmp_path / name)
+        encode_corpus(str(src), out, batch_size=128, cluster_by=cb)
+
+        want = df.sort_values(["v", "doc_id"],
+                              ascending=[False, True]).head(10)
+        got, st = topk_where(out, "v", k=10, tie_cols=["doc_id"],
+                             columns=["g"], return_stats=True)
+        got = got.to_pandas()
+        pd.testing.assert_frame_equal(
+            got[["v", "doc_id", "g"]].reset_index(drop=True),
+            want[["v", "doc_id", "g"]].reset_index(drop=True))
+        if cb == "v":
+            # clustered: the k-th bound kills almost every chunk
+            assert st["chunks_candidate"] <= st["chunks_total"] // 4, st
+
+        want_asc = df.sort_values(["v", "doc_id"]).head(7)
+        got_asc = topk_where(out, "v", k=7, descending=False,
+                             tie_cols=["doc_id"]).to_pandas()
+        pd.testing.assert_frame_equal(
+            got_asc[["v", "doc_id"]].reset_index(drop=True),
+            want_asc[["v", "doc_id"]].reset_index(drop=True))
+
+        # deletes + predicate: deleted rows never rank, filter is exact
+        delete_where(out, ("g", "==", 2))
+        live = df[df.g != 2]
+        want_p = live[live.g >= 3].sort_values(
+            ["v", "doc_id"], ascending=[False, True]).head(5)
+        got_p = topk_where(out, "v", k=5, predicate=("g", ">=", 3),
+                           tie_cols=["doc_id"]).to_pandas()
+        pd.testing.assert_frame_equal(
+            got_p[["v", "doc_id"]].reset_index(drop=True),
+            want_p[["v", "doc_id"]].reset_index(drop=True))
+
+    # k larger than the corpus: returns every live row, still exact
+    out = str(tmp_path / "clustered")
+    allv = topk_where(out, "v", k=10_000, tie_cols=["doc_id"]).to_pandas()
+    assert len(allv) == len(df[df.g != 2])
 
 
 def test_zorder_cluster_prunes_both_columns(tmp_path, ray_session):
