@@ -38,6 +38,7 @@ from colonnade_ray.pipelines import (
     encode_corpus,
     rename_columns,
     replace_where,
+    topk_where,
     update_where,
     vacuum_deletes,
 )
@@ -69,6 +70,7 @@ def _shards(dir_, n_files, rows, seed0, start0):
     (101, {"cluster_by": "n_tok"}),
     (59, {"bloom_cols": ["doc_id"], "cluster_by": "n_tok",
           "group_size": 1}),
+    (73, {"cluster_by": ["n_tok", "doc_id"]}),  # Z-order layout
 ])
 def test_lifecycle_random_program_matches_model(ray_session, tmp_path,
                                                 seed, enc):
@@ -98,6 +100,14 @@ def test_lifecycle_random_program_matches_model(ray_session, tmp_path,
             assert count_where(out, (icol, ">=", v)) == \
                 int((exp[icol] >= v).sum())
             assert aggregate_where(out, "sum", icol) == int(exp[icol].sum())
+            k = 7
+            want = exp[[icol, "doc_id"]].dropna(subset=[icol]).sort_values(
+                [icol, "doc_id"], ascending=[False, True]).head(k)
+            got_k = topk_where(out, icol, k=k,
+                               tie_cols=["doc_id"]).to_pandas()
+            assert [int(x) for x in got_k[icol]] == \
+                [int(x) for x in want[icol]]
+            assert got_k["doc_id"].tolist() == want["doc_id"].tolist()
 
     def ensure_vacuumed():
         """Rewrites refuse while masks are pending: assert the guard
