@@ -253,6 +253,13 @@ def run_bench() -> dict:
         timings["count_where"] = round(time.time() - t0, 3)
         assert cw_rows == sel_rows, (cw_rows, sel_rows)
 
+        from colonnade_ray.pipelines import topk_where
+
+        t0 = time.time()
+        tk = topk_where(out_dir, "n_tok", k=10, tie_cols=["doc_id"])
+        timings["topk_where"] = round(time.time() - t0, 3)
+        assert len(tk) == 10
+
         comp = competitor_sizes(
             corpus_dir, f"/tmp/colonnade_bench/comp-sf{sf}-m{mult}.json"
         )
@@ -461,7 +468,8 @@ def run_ops() -> dict:
         "chunk_sequences", "collocations", "temperature_mix", "bloom_probe",
         "local_supplier_volume", "retention", "funnel", "curation_v2",
         "winsorize", "bpe_merges", "vocab_drift", "mode_lang",
-        "active_customers", "encoded_count_where",
+        "active_customers", "encoded_count_where", "encoded_topk",
+        "encoded_zorder_pushdown", "range_join_events",
     ) if n in q]
     out = {}
     for name in names:
