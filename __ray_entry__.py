@@ -858,6 +858,36 @@ def q_encoded_topk(sf_dir: str):
     return pa.concat_tables([top, sub.select(["doc_id", "n_chars", "part"])])
 
 
+def q_approx_distinct(sf_dir: str):
+    """HLL sketch pushdown IN the gate: encode the documents table with
+    per-chunk HyperLogLog registers on (lang, source, doc_id), then
+    answer APPROX COUNT(DISTINCT) from lineage metadata alone.  Small
+    cardinalities sit in the linear-counting regime where the estimate
+    rounds to the exact answer (compared to SQL COUNT(DISTINCT)); the
+    high-cardinality doc_id is asserted as est/exact rounded to 10/10
+    (i.e. within 5%), which the deterministic hashes make stable."""
+    from colonnade_ray.pipelines import approx_distinct, encode_corpus
+
+    work = _run_dir(sf_dir, "hll")
+    inp = os.path.join(work, "input")
+    out = os.path.join(work, "out")
+    docs = _tbl(sf_dir, "documents", ["doc_id", "lang", "source"])
+    n_exact = docs.count()  # doc_id is unique in the table
+    docs.write_parquet(inp)
+    encode_corpus(inp, out, batch_size=512, resume=False,
+                  hll_cols=["doc_id", "lang", "source"])
+    est_lang, st = approx_distinct(out, "lang", return_stats=True)
+    assert st["chunks_scanned"] == 0, st  # metadata-only
+    est_src = approx_distinct(out, "source")
+    est_doc = approx_distinct(out, "doc_id")
+    return pa.table({
+        "lang_distinct": pa.array([int(round(est_lang))], pa.int64()),
+        "source_distinct": pa.array([int(round(est_src))], pa.int64()),
+        "doc_ratio_x10": pa.array([int(round(est_doc / n_exact * 10))],
+                                  pa.int64()),
+    })
+
+
 def q_delete_where_count(sf_dir: str):
     """Merge-on-read deletion vectors IN the gate
     (pipelines/deletes.py): encode the documents table, DELETE WHERE
@@ -2016,6 +2046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_count_where": q_encoded_count_where,
         "encoded_zorder_pushdown": q_encoded_zorder_pushdown,
         "encoded_topk": q_encoded_topk,
+        "approx_distinct": q_approx_distinct,
         "delete_where_count": q_delete_where_count,
         "evolve_add_column": q_evolve_add_column,
         "replace_where_rewrite": q_replace_where_rewrite,
@@ -2639,6 +2670,11 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents "
             "WHERE n_chars >= 600) AS n_ge_600 "
             "FROM documents GROUP BY source ORDER BY source"
+        ),
+        "approx_distinct": (
+            "SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS lang_distinct, "
+            "CAST(COUNT(DISTINCT source) AS BIGINT) AS source_distinct, "
+            "CAST(10 AS BIGINT) AS doc_ratio_x10 FROM documents"
         ),
         "encoded_topk": (
             "(SELECT doc_id, n_chars, 'all' AS part FROM documents "

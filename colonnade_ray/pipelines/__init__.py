@@ -1,5 +1,6 @@
 from .encode_pipeline import (
     active_groups,
+    approx_distinct,
     compact_corpus,
     completed_groups,
     aggregate_where,

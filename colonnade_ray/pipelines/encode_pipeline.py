@@ -244,6 +244,7 @@ def encode_dataset(
     post_compress: Optional[str] = None,
     shared_dicts=None,
     bloom_cols: Optional[Sequence[str]] = None,
+    hll_cols: Optional[Sequence[str]] = None,
 ):
     """Dataset of raw rows -> Dataset of encoded chunk rows (lazy).
 
@@ -263,6 +264,7 @@ def encode_dataset(
                 b, list(plan_names) if plan_names else None, frag_names,
                 post_compress=post_compress, shared_dicts=shared_dicts,
                 bloom_cols=list(bloom_cols) if bloom_cols else None,
+                hll_cols=list(hll_cols) if hll_cols else None,
             )
 
         return ds.map_batches(
@@ -291,6 +293,7 @@ def encode_dataset(
             "post_compress": post_compress,
             "shared_dicts": shared_dicts,
             "bloom_cols": list(bloom_cols) if bloom_cols else None,
+            "hll_cols": list(hll_cols) if hll_cols else None,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -463,6 +466,7 @@ def encode_corpus(
     cluster_by: Optional[str | Sequence[str]] = None,  # list => Z-order
     shared_dicts: bool = True,
     bloom_cols: Optional[Sequence[str]] = None,
+    hll_cols: Optional[Sequence[str]] = None,
 ) -> dict:
     """Encode a parquet corpus to out_dir with lineage + exact resume.
 
@@ -613,7 +617,7 @@ def encode_corpus(
             ds, plan_names, batch_size, concurrency, shared_fsst=shared_fsst,
             transport=spec or None, fragments=frag_names,
             stateless=use_stateless, post_compress=post_compress,
-            shared_dicts=sd_ref, bloom_cols=bloom_cols,
+            shared_dicts=sd_ref, bloom_cols=bloom_cols, hll_cols=hll_cols,
         )
         enc.write_parquet(gdir, compression="none")
         # input-file sidecar first (append mode reads it), THEN the
@@ -1564,6 +1568,133 @@ def topk_where(out_dir: str, col: str, k: int = 10,
     ]
     res = merged.take(pc.sort_indices(merged, sort_keys=order)[:k])
     return (res, stats_out) if return_stats else res
+
+
+def approx_distinct(out_dir: str, col: str, predicate=None,
+                    concurrency=None, snapshot: Optional[str] = None,
+                    return_stats: bool = False):
+    """APPROX COUNT(DISTINCT col) over the encoded corpus, sketch-first.
+
+    Chunks that stored an HLL entry (``encode_corpus(hll_cols=[...])``,
+    stages/bloomzone.py — 1 KiB of registers per chunk riding the
+    stats channel) merge register-wise from the lineage manifests
+    alone: at 100 TB the common case answers from group metadata with
+    ZERO payload reads, because register max is exactly the sketch of
+    the union.  Chunks without a sketch, with delete-masked rows (HLL
+    can't subtract), or only may-matching the ``predicate`` fall back
+    to decoding ``col`` and folding their live qualifying values into
+    the same registers — a distributed scan of just those chunks, so
+    a freshly-deleted 1% of the corpus costs 1% of a scan, not a full
+    re-read.  Estimator error ~3.2% (p=10, Flajolet et al. 2007).
+    ``snapshot=`` answers as of a named snapshot."""
+    import base64
+
+    import numpy as np
+
+    from ..stages.bloomzone import (
+        HLL_P,
+        hash_into_hll,
+        hll_estimate,
+        hll_registers,
+    )
+    from ..stages.decode import (
+        _exact_filter,
+        chunk_all_match,
+        chunk_may_match,
+        decode_chunk_row,
+        normalize_predicates,
+    )
+    from ..util import default_concurrency
+
+    preds = normalize_predicates(predicate) if predicate is not None else []
+    scope_groups, deletes_dir = _scope(out_dir, snapshot)
+    lin_root = os.path.join(out_dir, "_lineage")
+    gids = active_groups(out_dir) if scope_groups is None else [
+        g for g in scope_groups
+        if os.path.exists(os.path.join(lin_root, f"group-{g}.parquet"))
+    ]
+    del_masks = {}
+    if deletes_dir is not None:
+        from .deletes import load_delete_masks
+
+        del_masks = load_delete_masks(deletes_dir)
+
+    regs = np.zeros(1 << HLL_P, dtype=np.uint8)
+    scan_keys = set()   # (fragment, chunk_id) needing a decode
+    scan_groups = set()
+    n_sketched = n_total = 0
+    for gid in gids:
+        lin = pq.read_table(os.path.join(lin_root, f"group-{gid}.parquet"),
+                            columns=["stats_json", "fragment", "chunk_id"])
+        for sj, frag, cid in zip(lin["stats_json"].to_pylist(),
+                                 lin["fragment"].to_pylist(),
+                                 lin["chunk_id"].to_pylist()):
+            if preds and not all(chunk_may_match(sj, p) for p in preds):
+                continue
+            n_total += 1
+            dmask = del_masks.get((frag, cid))
+            if isinstance(dmask, str):
+                n_total -= 1
+                continue  # whole chunk deleted
+            stats = json.loads(sj) if sj else {}
+            he = stats.get("__hll__", {}).get(col)
+            usable = (he is not None and he.get("p") == HLL_P
+                      and dmask is None
+                      and (not preds
+                           or all(chunk_all_match(sj, p) for p in preds)))
+            if usable:
+                regs = np.maximum(regs, hll_registers(he))
+                n_sketched += 1
+            else:
+                scan_keys.add((frag, cid))
+                scan_groups.add(gid)
+
+    if scan_keys:
+        dec_cols = list(dict.fromkeys([col] + [p[0] for p in preds]))
+        enc, cpt = _read_encoded(out_dir, dec_cols, concurrency,
+                                 groups=sorted(scan_groups))
+
+        def part(batch: pa.Table) -> pa.Table:
+            _register_dict_dir(out_dir)
+            dm = {}
+            if deletes_dir is not None:
+                from .deletes import load_delete_masks as _ldm
+
+                dm = _ldm(deletes_dir)
+            r = np.zeros(1 << HLL_P, dtype=np.uint8)
+            names = batch.column_names
+            for i in range(len(batch)):
+                key = (batch["fragment"][i].as_py(),
+                       batch["chunk_id"][i].as_py())
+                if key not in scan_keys:
+                    continue
+                dmask = dm.get(key) if dm else None
+                if isinstance(dmask, str):
+                    continue
+                row = {c: batch[c][i].as_py() for c in names}
+                t = decode_chunk_row(row, verify_checksum=False,
+                                     columns=dec_cols)
+                if dmask is not None:
+                    t = t.filter(pa.array(~dmask))
+                for p in preds:
+                    t = _exact_filter(t, p)
+                if t.num_rows:
+                    r = hash_into_hll(t[col], r)
+            return pa.table({"regs": pa.array(
+                [base64.b64encode(r.tobytes()).decode()])})
+
+        for d in enc.map_batches(
+                part, batch_format="pyarrow", batch_size=max(1, cpt),
+                zero_copy_batch=True,
+                concurrency=concurrency or default_concurrency()).take_all():
+            regs = np.maximum(regs, np.frombuffer(
+                base64.b64decode(d["regs"]), dtype=np.uint8))
+
+    est = float(hll_estimate(regs))
+    if return_stats:
+        return est, {"chunks_total": n_total, "chunks_sketched": n_sketched,
+                     "chunks_scanned": len(scan_keys)}
+    return est
 
 
 def group_counts(out_dir: str, group_col: str,

@@ -115,3 +115,76 @@ def probe_bloom(entry: dict, value) -> bool:
         np.frombuffer(base64.b64decode(entry["b64"]), dtype=np.uint8),
         count=m).astype(bool)
     return bool(bits[_positions(_hash_u64(v), m)].all())
+
+
+# ---------------------------------------------------------------------------
+# Per-chunk HyperLogLog registers: metadata-only APPROX COUNT(DISTINCT)
+
+HLL_P = 10  # 1024 registers -> ~3.2% relative error, ~1.4 KB b64/chunk
+
+
+def _rho(w: np.ndarray, width: int) -> np.ndarray:
+    """Position (1-based) of the leftmost 1 bit in the top ``width``
+    bits of each uint64, ``width + 1`` when they are all zero —
+    vectorized as one masked pass per bit (width <= 54 numpy ops on
+    the chunk, no per-value Python)."""
+    rho = np.full(w.size, width + 1, dtype=np.uint8)
+    found = np.zeros(w.size, dtype=bool)
+    for bit in range(width):
+        m = ~found & (((w >> np.uint64(63 - bit)) & np.uint64(1)) == 1)
+        rho[m] = bit + 1
+        found |= m
+    return rho
+
+
+def build_hll(arr, p: int = HLL_P) -> Optional[dict]:
+    """Chunk column -> HLL entry dict (same value domain as the bloom:
+    integers and strings; floats return None)."""
+    vals = _prep_values(arr)
+    if vals is None:
+        return None
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    if vals.size:
+        h = _hash_u64(vals).astype(np.uint64)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        np.maximum.at(regs, idx, _rho(h << np.uint64(p), 64 - p))
+    return {"p": int(p),
+            "b64": base64.b64encode(regs.tobytes()).decode()}
+
+
+def hll_registers(entry: dict) -> np.ndarray:
+    return np.frombuffer(base64.b64decode(entry["b64"]),
+                         dtype=np.uint8).copy()
+
+
+def merge_hll(regs_a: np.ndarray, regs_b: np.ndarray) -> np.ndarray:
+    """Register-wise max — the lossless union property that makes the
+    sketch shard-parallel: sketch(A ∪ B) == max(sketch(A), sketch(B))."""
+    return np.maximum(regs_a, regs_b)
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator (Flajolet et al. 2007) with the
+    small-range linear-counting correction; no large-range correction
+    (64-bit hashes don't saturate)."""
+    m = regs.size
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)
+    return float(est)
+
+
+def hash_into_hll(arr, regs: np.ndarray, p: int = HLL_P) -> np.ndarray:
+    """Fold a decoded column's values into existing registers — the
+    exact-scan fallback for chunks without a stored sketch (or whose
+    rows are delete-masked)."""
+    vals = _prep_values(arr)
+    if vals is None or vals.size == 0:
+        return regs
+    h = _hash_u64(vals).astype(np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    np.maximum.at(regs, idx, _rho(h << np.uint64(p), 64 - p))
+    return regs

@@ -156,6 +156,7 @@ def encode_chunk(
     post_compress: Optional[str] = None,
     shared_dicts: Optional[dict] = None,
     bloom_cols: Optional[Sequence[str]] = None,
+    hll_cols: Optional[Sequence[str]] = None,
 ) -> dict:
     """Encode one Arrow chunk under a bound plan -> dict of columns
     for a one-row encoded table.
@@ -204,6 +205,12 @@ def encode_chunk(
             be = build_bloom(arr)
             if be is not None:
                 stats.setdefault("__bloom__", {})[bc.field.name] = be
+        if hll_cols and bc.field.name in hll_cols:
+            from .bloomzone import build_hll
+
+            he = build_hll(arr)
+            if he is not None:
+                stats.setdefault("__hll__", {})[bc.field.name] = he
         zs = _zone_stat(arr)  # pc.min_max accepts chunked arrays
         if zs is not None:
             stats[bc.field.name] = zs
@@ -309,9 +316,11 @@ class EncoderActor:
         post_compress: Optional[str] = None,
         shared_dicts=None,
         bloom_cols: Optional[list] = None,
+        hll_cols: Optional[list] = None,
     ):
         self._post_compress = post_compress
         self._bloom_cols = list(bloom_cols) if bloom_cols else None
+        self._hll_cols = list(hll_cols) if hll_cols else None
         self._shared_dicts = _resolve_shared_dicts(shared_dicts)
         self._plan_names = plan_names
         self._shared_fsst = shared_fsst
@@ -369,14 +378,16 @@ class EncoderActor:
         return encode_chunk(data, bound, self._fsst_for(data, bound), fragment,
                             post_compress=self._post_compress,
                             shared_dicts=self._shared_dicts,
-                            bloom_cols=self._bloom_cols)
+                            bloom_cols=self._bloom_cols,
+                            hll_cols=self._hll_cols)
 
 
 def encode_batch(batch: pa.Table, plan_names: Optional[list] = None,
                  fragments: Optional[list] = None,
                  post_compress: Optional[str] = None,
                  shared_dicts=None,
-                 bloom_cols: Optional[list] = None) -> dict:
+                 bloom_cols: Optional[list] = None,
+                 hll_cols: Optional[list] = None) -> dict:
     """Stateless task form — strictly deterministic (FSST tables
     trained per chunk; ``shared_dicts`` are PRE-trained fixed inputs,
     so they keep the determinism contract), used where bit-identical
@@ -388,4 +399,4 @@ def encode_batch(batch: pa.Table, plan_names: Optional[list] = None,
     return encode_chunk(data, bound, None, fragment,
                         post_compress=post_compress,
                         shared_dicts=_resolve_shared_dicts(shared_dicts),
-                        bloom_cols=bloom_cols)
+                        bloom_cols=bloom_cols, hll_cols=hll_cols)

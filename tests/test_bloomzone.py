@@ -130,3 +130,92 @@ def test_bloom_not_stale_after_update(ray_session, tmp_path):
         not chunk_may_match(json.dumps(s), ("uid", "==", fresh))
         for s in sj)
     assert pruned > 0
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog sketches (approx COUNT DISTINCT pushdown)
+
+
+def test_hll_kernel_accuracy_and_merge():
+    from colonnade_ray.stages.bloomzone import (
+        build_hll,
+        hll_estimate,
+        hll_registers,
+        merge_hll,
+    )
+
+    # error stays inside ~4 sigma of the p=10 bound across 4 decades
+    for n in (50, 500, 5_000, 50_000):
+        arr = pa.array([f"v{i}" for i in range(n)])
+        est = hll_estimate(hll_registers(build_hll(arr)))
+        assert abs(est - n) / n < 0.13, (n, est)
+    # register max IS the union sketch (what makes shards mergeable)
+    a = pa.array([f"v{i}" for i in range(0, 3000)])
+    b = pa.array([f"v{i}" for i in range(1500, 5000)])
+    u = pa.array([f"v{i}" for i in range(5000)])
+    merged = merge_hll(hll_registers(build_hll(a)),
+                       hll_registers(build_hll(b)))
+    assert (merged == hll_registers(build_hll(u))).all()
+    # int and string hash domains are independent but both supported
+    assert build_hll(pa.array([1, 2, 3], pa.int64())) is not None
+    # floats are not sketchable (same contract as the bloom)
+    assert build_hll(pa.array([1.5, 2.5])) is None
+    # nulls don't count as a value
+    e = hll_estimate(hll_registers(build_hll(
+        pa.array(["x", None, "x", None]))))
+    assert abs(e - 1) < 0.2
+
+
+def test_approx_distinct_sketch_first(ray_session, tmp_path):
+    """encode(hll_cols=[...]) answers approx_distinct from lineage
+    metadata alone; deletes/predicates scan only the affected chunks;
+    estimates track the exact answer on every path."""
+    from colonnade_ray.pipelines import approx_distinct, delete_where
+
+    rng = np.random.default_rng(17)
+    n = 16_000
+    vals = rng.integers(0, 4_000, n)
+    g = rng.integers(0, 4, n)
+    t = pa.table({"doc_id": pa.array([f"d{i:06d}" for i in range(n)]),
+                  "u": pa.array(vals, pa.int64()),
+                  "g": pa.array(g, pa.int64())})
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(t, src / "p0.parquet")
+    out = str(tmp_path / "enc")
+    # clustered on g so predicate chunks prove all-match -> sketch path
+    encode_corpus(str(src), out, batch_size=512, cluster_by="g",
+                  hll_cols=["u", "doc_id"])
+
+    truth = len(np.unique(vals))
+    est, st = approx_distinct(out, "u", return_stats=True)
+    assert st["chunks_scanned"] == 0 and st["chunks_sketched"] > 0, st
+    assert abs(est - truth) / truth < 0.10, (est, truth)
+
+    est_id, st_id = approx_distinct(out, "doc_id", return_stats=True)
+    assert st_id["chunks_scanned"] == 0
+    assert abs(est_id - n) / n < 0.10
+
+    # predicate on the clustered column: interior chunks prove
+    # all-match and keep the sketch path; only boundary chunks scan
+    tp = len(np.unique(vals[g >= 2]))
+    estp, stp = approx_distinct(out, "u", predicate=("g", ">=", 2),
+                                return_stats=True)
+    assert stp["chunks_sketched"] > 0, stp
+    assert stp["chunks_scanned"] <= 4, stp  # g-boundary chunks only
+    assert abs(estp - tp) / tp < 0.10
+
+    # a delete masks some chunks: those scan (HLL can't subtract),
+    # untouched chunks keep answering from their sketch
+    delete_where(out, ("g", "==", 0))
+    live_truth = len(np.unique(vals[g != 0]))
+    estd, std = approx_distinct(out, "u", return_stats=True)
+    assert std["chunks_sketched"] > 0 and std["chunks_scanned"] > 0, std
+    assert abs(estd - live_truth) / live_truth < 0.10
+
+    # corpus encoded WITHOUT sketches: pure-scan fallback still answers
+    out2 = str(tmp_path / "plain")
+    encode_corpus(str(src), out2, batch_size=512)
+    est2, st2 = approx_distinct(out2, "u", return_stats=True)
+    assert st2["chunks_sketched"] == 0 and st2["chunks_scanned"] > 0
+    assert abs(est2 - truth) / truth < 0.10
