@@ -644,6 +644,42 @@ def encode_corpus(
     return summary
 
 
+_LIN_CACHE: dict = {}
+_LIN_CACHE_CAP = int(os.environ.get("COLONNADE_LINEAGE_CACHE", "1024"))
+
+
+def lineage_table(out_dir: str, gid: str) -> pa.Table:
+    """One group's lineage marker, process-cached by (path, mtime_ns,
+    size) — a pushdown reads each manifest once per query for
+    pruning, once for task sizing, once for projection resolution,
+    and the driver repeats that per query; at 1e5 groups those
+    re-reads dominate driver time.  The identity key makes the cache
+    crash/rewrite-safe for free: markers only ever change by
+    tmp+rename (new mtime/size => miss) or by gc removal (stat raises
+    => the caller's existence check already skipped it).  LRU-bounded
+    (COLONNADE_LINEAGE_CACHE entries, default 1024) so a 1e5-group
+    corpus doesn't pin every manifest in driver heap."""
+    path = os.path.join(out_dir, "_lineage", f"group-{gid}.parquet")
+    st = os.stat(path)
+    key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    hit = _LIN_CACHE.get(key)
+    if hit is not None:
+        _LIN_CACHE[key] = _LIN_CACHE.pop(key)  # mark most-recent
+        return hit
+    t = pq.read_table(path)
+    _LIN_CACHE[key] = t
+    while len(_LIN_CACHE) > _LIN_CACHE_CAP:
+        _LIN_CACHE.pop(next(iter(_LIN_CACHE)))
+    return t
+
+
+def _lin_of(lin_root: str, gid: str) -> pa.Table:
+    """lineage_table addressed by the _lineage dir (call-site shape)."""
+    return lineage_table(os.path.dirname(lin_root), gid) \
+        if os.path.basename(lin_root) == "_lineage" else pq.read_table(
+            os.path.join(lin_root, f"group-{gid}.parquet"))
+
+
 def _meta_root(out_dir: str) -> str:
     """Sidecar dir (input-file coverage, supersedes lists) — kept OUT
     of _lineage so that directory stays a pure parquet dataset (tools
@@ -1051,10 +1087,7 @@ def _read_encoded(out_dir: str, columns: Optional[Sequence[str]] = None,
     ]
     for gid in scoped:
         if preds:
-            lin = pq.read_table(
-                os.path.join(lin_root, f"group-{gid}.parquet"),
-                columns=["stats_json"])
-            sj = lin["stats_json"].to_pylist()
+            sj = _lin_of(lin_root, gid)["stats_json"].to_pylist()
             if not any(all(chunk_may_match(s, p) for p in preds) for s in sj):
                 continue  # zone maps prove: nothing in this group
         gdir = os.path.join(data_root, f"group-{gid}")
@@ -1088,8 +1121,7 @@ def _read_encoded(out_dir: str, columns: Optional[Sequence[str]] = None,
     n_chunks = 0
     total_tokens = 0
     for gid in group_files:
-        lin = pq.read_table(os.path.join(lin_root, f"group-{gid}.parquet"),
-                            columns=["n_tokens"])  # manifest-sized, not data
+        lin = _lin_of(lin_root, gid)  # manifest-sized, cached, not data
         n_chunks += lin.num_rows
         total_tokens += int(pc.sum(lin["n_tokens"]).as_py() or 0)
     eff = concurrency if concurrency is not None else default_concurrency()
@@ -1114,8 +1146,7 @@ def _read_encoded(out_dir: str, columns: Optional[Sequence[str]] = None,
         # for the rest.  Groups sharing a projection list are read
         # together; differing plans get their own read, unioned.
         def _proj(gid: str) -> tuple:
-            lin = os.path.join(lin_root, f"group-{gid}.parquet")
-            lt = pq.read_table(lin, columns=["plan_json", "codecs_json"])
+            lt = _lin_of(lin_root, gid)
             plan = json.loads(lt["plan_json"][0].as_py())
             missing = set(columns) - set(plan)
             if missing:
@@ -1434,9 +1465,7 @@ def topk_where(out_dir: str, col: str, k: int = 10,
     # phase 1: bound T on the k-th value from zone bands alone
     cands = []  # (near_bound, far_bound, n_live_nonnull, gid)
     for gid in gids:
-        lin = pq.read_table(os.path.join(lin_root, f"group-{gid}.parquet"),
-                            columns=["stats_json", "n_rows",
-                                     "fragment", "chunk_id"])
+        lin = _lin_of(lin_root, gid)
         for sj, n, frag, cid in zip(lin["stats_json"].to_pylist(),
                                     lin["n_rows"].to_pylist(),
                                     lin["fragment"].to_pylist(),
@@ -1624,8 +1653,7 @@ def approx_distinct(out_dir: str, col: str, predicate=None,
     scan_groups = set()
     n_sketched = n_total = 0
     for gid in gids:
-        lin = pq.read_table(os.path.join(lin_root, f"group-{gid}.parquet"),
-                            columns=["stats_json", "fragment", "chunk_id"])
+        lin = _lin_of(lin_root, gid)
         for sj, frag, cid in zip(lin["stats_json"].to_pylist(),
                                  lin["fragment"].to_pylist(),
                                  lin["chunk_id"].to_pylist()):
