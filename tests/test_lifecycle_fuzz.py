@@ -66,11 +66,13 @@ def _shards(dir_, n_files, rows, seed0, start0):
 # layouts — the interaction space the per-op tests fix one at a time
 @pytest.mark.parametrize("seed,enc", [
     (11, {}),
-    (37, {"bloom_cols": ["doc_id"], "group_size": 1}),
+    (37, {"bloom_cols": ["doc_id"], "hll_cols": ["doc_id"],
+          "group_size": 1}),
     (101, {"cluster_by": "n_tok"}),
     (59, {"bloom_cols": ["doc_id"], "cluster_by": "n_tok",
           "group_size": 1}),
-    (73, {"cluster_by": ["n_tok", "doc_id"]}),  # Z-order layout
+    (73, {"cluster_by": ["n_tok", "doc_id"],    # Z-order layout
+          "hll_cols": ["doc_id"]}),
 ])
 def test_lifecycle_random_program_matches_model(ray_session, tmp_path,
                                                 seed, enc):
@@ -108,6 +110,16 @@ def test_lifecycle_random_program_matches_model(ray_session, tmp_path,
             assert [int(x) for x in got_k[icol]] == \
                 [int(x) for x in want[icol]]
             assert got_k["doc_id"].tolist() == want["doc_id"].tolist()
+            if "hll_cols" in enc:
+                # sketches survive whatever lifecycle just happened
+                # (rewritten chunks drop theirs and re-scan); appends
+                # encode WITHOUT hll_cols, exercising the mixed path
+                from colonnade_ray.pipelines import approx_distinct
+
+                est = approx_distinct(out, "doc_id")
+                exact = exp["doc_id"].nunique()
+                assert abs(est - exact) / max(exact, 1) < 0.10, \
+                    (est, exact)
 
     def ensure_vacuumed():
         """Rewrites refuse while masks are pending: assert the guard
