@@ -201,6 +201,16 @@ def main() -> None:
     cw = count_where(out_dir, ("n_tok", ">=", 400))
     cw_s = round(time.time() - t0, 2)
 
+    from colonnade_ray.pipelines import approx_distinct, topk_where
+
+    t0 = time.time()
+    tk, tk_stats = topk_where(out_dir, "n_tok", k=10, tie_cols=["doc_id"],
+                              return_stats=True)
+    tk_s = round(time.time() - t0, 2)
+    t0 = time.time()
+    ad, ad_stats = approx_distinct(out_dir, "source", return_stats=True)
+    ad_s = round(time.time() - t0, 2)
+
     sampler.stop.set()
     sampler.join()
 
@@ -230,6 +240,12 @@ def main() -> None:
         "count_where_sec": cw_s,
         "count_where_rows": int(cw),
         "count_where_match": bool(cw == sel_rows),
+        "topk_sec": tk_s,
+        "topk_chunks_candidate": tk_stats["chunks_candidate"],
+        "topk_chunks_total": tk_stats["chunks_total"],
+        "approx_distinct_sec": ad_s,
+        "approx_distinct_est": round(float(ad), 1),
+        "approx_distinct_scanned": ad_stats["chunks_scanned"],
         "mem": {
             "baseline_node_used_gb": round(sampler.baseline_used / 2**30, 2),
             "peak_node_used_gb": round(sampler.peak_used / 2**30, 2),
