@@ -858,6 +858,24 @@ def q_encoded_topk(sf_dir: str):
     return pa.concat_tables([top, sub.select(["doc_id", "n_chars", "part"])])
 
 
+def q_encoded_group_aggs(sf_dir: str):
+    """Per-group COUNT/SUM/MIN/MAX pushdown IN the gate: encode the
+    documents table clustered on source so chunks are single-group and
+    all four aggregates answer from zone bands + __sums__ metadata;
+    hash-compared to plain SQL GROUP BY over the raw table."""
+    from colonnade_ray.pipelines import encode_corpus, group_aggregates
+
+    work = _run_dir(sf_dir, "gaggs")
+    inp = os.path.join(work, "input")
+    out = os.path.join(work, "out")
+    _tbl(sf_dir, "documents", ["doc_id", "n_chars", "source"]) \
+        .write_parquet(inp)
+    encode_corpus(inp, out, batch_size=512, resume=False,
+                  cluster_by="source")
+    df = group_aggregates(out, "source", "n_chars")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_approx_distinct(sf_dir: str):
     """HLL sketch pushdown IN the gate: encode the documents table with
     per-chunk HyperLogLog registers on (lang, source, doc_id), then
@@ -2047,6 +2065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_zorder_pushdown": q_encoded_zorder_pushdown,
         "encoded_topk": q_encoded_topk,
         "approx_distinct": q_approx_distinct,
+        "encoded_group_aggs": q_encoded_group_aggs,
         "delete_where_count": q_delete_where_count,
         "evolve_add_column": q_evolve_add_column,
         "replace_where_rewrite": q_replace_where_rewrite,
@@ -2669,6 +2688,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents "
             "WHERE n_chars >= 600) AS n_ge_600 "
+            "FROM documents GROUP BY source ORDER BY source"
+        ),
+        "encoded_group_aggs": (
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars, "
+            "CAST(MIN(n_chars) AS BIGINT) AS min_n_chars, "
+            "CAST(MAX(n_chars) AS BIGINT) AS max_n_chars "
             "FROM documents GROUP BY source ORDER BY source"
         ),
         "approx_distinct": (

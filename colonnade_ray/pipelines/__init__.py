@@ -5,6 +5,7 @@ from .encode_pipeline import (
     completed_groups,
     aggregate_where,
     corpus_summary,
+    group_aggregates,
     group_counts,
     count_where,
     decode_corpus,

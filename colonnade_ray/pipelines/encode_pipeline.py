@@ -1843,6 +1843,119 @@ def group_counts(out_dir: str, group_col: str,
     return out.sort_values(group_col).reset_index(drop=True)
 
 
+def group_aggregates(out_dir: str, group_col: str, value_col: str,
+                     concurrency=None, snapshot: Optional[str] = None):
+    """Per-group COUNT / SUM / MIN / MAX over one integer column of
+    the encoded corpus — ``group_counts`` extended with the min/max
+    bounds the zone maps already store: a chunk proven single-group
+    (group band lo == hi, zero group nulls) and un-masked contributes
+    its n_rows, its exact ``__sums__`` entry, AND its value band's
+    [lo, hi] as the group's chunk-local min/max, all with zero payload
+    decode.  Only mixed-group or delete-masked chunks decode (group +
+    value columns only).  Returns a pandas frame (group, n_rows,
+    sum_/min_/max_<value_col>) sorted by group; groups are stringified
+    like ``group_counts``; value nulls follow SQL semantics (skipped
+    by SUM/MIN/MAX, counted by n_rows).  ``snapshot=`` as usual."""
+    import json as _json
+
+    import pandas as pd
+
+    from ..stages.decode import decode_chunk_row
+    from ..util import default_concurrency
+
+    cols = [group_col, value_col]
+    scope_groups, deletes_dir = _scope(out_dir, snapshot)
+    enc, cpt = _read_encoded(out_dir, cols, concurrency,
+                             groups=scope_groups)
+
+    def part(batch: pa.Table) -> pa.Table:
+        _register_dict_dir(out_dir)
+        del_masks = {}
+        if deletes_dir is not None:
+            from .deletes import load_delete_masks
+
+            del_masks = load_delete_masks(deletes_dir)
+        agg: dict = {}  # g -> [n, s, mn, mx]
+
+        def fold(g, n, s, mn, mx):
+            cur = agg.setdefault(g, [0, 0, None, None])
+            cur[0] += int(n)
+            cur[1] += int(s)
+            if mn is not None:
+                cur[2] = mn if cur[2] is None else min(cur[2], mn)
+            if mx is not None:
+                cur[3] = mx if cur[3] is None else max(cur[3], mx)
+
+        names = batch.column_names
+        for r in range(len(batch)):
+            sj = batch["stats_json"][r].as_py()
+            stats = _json.loads(sj) if sj else {}
+            dmask = del_masks.get((batch["fragment"][r].as_py(),
+                                   batch["chunk_id"][r].as_py())) \
+                if del_masks else None
+            if isinstance(dmask, str):
+                continue
+            band = stats.get(group_col)
+            vband = stats.get(value_col)
+            ssum = stats.get("__sums__", {}).get(value_col)
+            proven = (
+                band is not None and band[0] == band[1]
+                and "__nulls__" in stats
+                and not stats["__nulls__"].get(group_col)
+            )
+            if proven and dmask is None and ssum is not None \
+                    and vband is not None:
+                fold(band[0], batch["n_rows"][r].as_py(), ssum,
+                     int(vband[0]), int(vband[1]))
+                continue
+            row = {c: batch[c][r].as_py() for c in names}
+            t = decode_chunk_row(row, verify_checksum=False, columns=cols)
+            if dmask is not None:
+                t = t.filter(pa.array(~dmask))
+                if t.num_rows == 0:
+                    continue
+            gv = t[group_col].to_pandas()
+            vv = pd.Series(t[value_col].to_pandas())
+            grp = vv.groupby(gv)
+            counts = gv.groupby(gv).size()
+            sums, mns, mxs = grp.sum(), grp.min(), grp.max()
+            for g in counts.index:
+                mn, mx = mns.get(g), mxs.get(g)
+                fold(g, counts[g], 0 if pd.isna(sums.get(g)) else sums[g],
+                     None if pd.isna(mn) else int(mn),
+                     None if pd.isna(mx) else int(mx))
+        ks = sorted(agg)
+        return pa.table({
+            "g": pa.array([str(k) for k in ks], pa.string()),
+            "n": pa.array([agg[k][0] for k in ks], pa.int64()),
+            "s": pa.array([agg[k][1] for k in ks], pa.int64()),
+            "mn": pa.array([agg[k][2] for k in ks], pa.int64()),
+            "mx": pa.array([agg[k][3] for k in ks], pa.int64()),
+        })
+
+    ds = enc.map_batches(part, batch_format="pyarrow",
+                         batch_size=max(1, cpt), zero_copy_batch=True,
+                         concurrency=concurrency or default_concurrency())
+    df = ds.to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"g": pd.Series([], dtype=str),
+                           "n": pd.Series([], dtype="int64"),
+                           "s": pd.Series([], dtype="int64"),
+                           "mn": pd.Series([], dtype="int64"),
+                           "mx": pd.Series([], dtype="int64")})
+    out = df.groupby("g", as_index=False).agg(
+        n_rows=("n", "sum"), s=("s", "sum"),
+        mn=("mn", "min"), mx=("mx", "max"))
+    out = out.rename(columns={"g": group_col,
+                              "s": f"sum_{value_col}",
+                              "mn": f"min_{value_col}",
+                              "mx": f"max_{value_col}"})
+    for c in (f"min_{value_col}", f"max_{value_col}"):
+        if out[c].notna().all():
+            out[c] = out[c].astype("int64")
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
 def roundtrip_verify(original_ds, decoded_ds, columns: Sequence[str]) -> dict:
     """Order-insensitive multiset equality of per-row fingerprints
     (the propIsoStream graft at dataset scale)."""

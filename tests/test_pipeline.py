@@ -895,6 +895,43 @@ def test_zorder_cluster_prunes_both_columns(tmp_path, ray_session):
     assert zy > proof_rate(layouts["plain"], py)
 
 
+def test_group_aggregates_pushdown(tmp_path, ray_session):
+    """Per-group COUNT/SUM/MIN/MAX over the encoded corpus equals
+    pandas truth on plain, group-clustered, and delete-masked layouts
+    (single-group chunks answer count+sum+min+max from metadata)."""
+    from colonnade_ray.pipelines import delete_where, group_aggregates
+
+    rng = np.random.default_rng(21)
+    n = 5000
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:06d}" for i in range(n)]),
+        "src": pa.array([f"s{x}" for x in rng.integers(0, 6, n)]),
+        "v": pa.array(rng.integers(-50, 10_000, n), pa.int64()),
+    })
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    pq.write_table(t, src_dir / "p0.parquet")
+    df = t.to_pandas()
+
+    def truth(frame):
+        return (frame.groupby("src", as_index=False)
+                .agg(n_rows=("v", "size"), sum_v=("v", "sum"),
+                     min_v=("v", "min"), max_v=("v", "max"))
+                .sort_values("src").reset_index(drop=True))
+
+    for cb in (None, "src"):
+        out = str(tmp_path / f"enc-{cb}")
+        encode_corpus(str(src_dir), out, batch_size=256, cluster_by=cb)
+        got = group_aggregates(out, "src", "v").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, truth(df))
+
+    out = str(tmp_path / "enc-del")
+    encode_corpus(str(src_dir), out, batch_size=256, cluster_by="src")
+    delete_where(out, ("v", ">=", 9000))
+    got = group_aggregates(out, "src", "v").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, truth(df[df.v < 9000]))
+
+
 def test_group_counts_metadata_first(corpus_dir, tmp_path, ray_session):
     """group_counts equals the decoded ground truth on both layouts;
     on the source-partitioned corpus the per-source chunks are
