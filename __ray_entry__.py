@@ -876,6 +876,28 @@ def q_encoded_group_aggs(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_encoded_prefix_count(sf_dir: str):
+    """startswith predicate pushdown IN the gate: encode documents
+    clustered on source (string zone bands), answer prefix counts via
+    count_where's [v, _str_upper(v)) band logic — vs SQL LIKE 'v%'."""
+    from colonnade_ray.pipelines import count_where, encode_corpus
+
+    work = _run_dir(sf_dir, "prefix")
+    inp = os.path.join(work, "input")
+    out = os.path.join(work, "out")
+    _tbl(sf_dir, "documents", ["doc_id", "source"]).write_parquet(inp)
+    encode_corpus(inp, out, batch_size=512, resume=False,
+                  cluster_by="source")
+    return pa.table({
+        "src1_like": pa.array([count_where(out, ("source", "startswith",
+                                                 "src1"))], pa.int64()),
+        "src_like": pa.array([count_where(out, ("source", "startswith",
+                                                "src"))], pa.int64()),
+        "src19_like": pa.array([count_where(out, ("source", "startswith",
+                                                  "src19"))], pa.int64()),
+    })
+
+
 def q_approx_distinct(sf_dir: str):
     """HLL sketch pushdown IN the gate: encode the documents table with
     per-chunk HyperLogLog registers on (lang, source, doc_id), then
@@ -2066,6 +2088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_topk": q_encoded_topk,
         "approx_distinct": q_approx_distinct,
         "encoded_group_aggs": q_encoded_group_aggs,
+        "encoded_prefix_count": q_encoded_prefix_count,
         "delete_where_count": q_delete_where_count,
         "evolve_add_column": q_evolve_add_column,
         "replace_where_rewrite": q_replace_where_rewrite,
@@ -2689,6 +2712,14 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents "
             "WHERE n_chars >= 600) AS n_ge_600 "
             "FROM documents GROUP BY source ORDER BY source"
+        ),
+        "encoded_prefix_count": (
+            "SELECT CAST(COUNT(*) FILTER (source LIKE 'src1%') AS BIGINT) "
+            "AS src1_like, "
+            "CAST(COUNT(*) FILTER (source LIKE 'src%') AS BIGINT) "
+            "AS src_like, "
+            "CAST(COUNT(*) FILTER (source LIKE 'src19%') AS BIGINT) "
+            "AS src19_like FROM documents"
         ),
         "encoded_group_aggs": (
             "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows, "

@@ -31,7 +31,18 @@ import pyarrow as pa
 from ..codecs import decode_column
 from ..errors import CellError, ChecksumError, ChunkDecodeError
 
-_OPS = {"==", "!=", ">", ">=", "<", "<=", "in"}
+_OPS = {"==", "!=", ">", ">=", "<", "<=", "in", "startswith"}
+
+
+def _str_upper(v: str):
+    """Smallest string greater than every string with prefix ``v`` —
+    the exclusive upper bound of the prefix range [v, upper).  None
+    when no bound exists (empty prefix / all-max codepoints)."""
+    for i in range(len(v) - 1, -1, -1):
+        c = ord(v[i])
+        if c < 0x10FFFF:
+            return v[:i] + chr(c + 1)
+    return None
 
 
 def _predicate_value(v):
@@ -66,6 +77,8 @@ def normalize_predicates(predicate) -> list:
             if not vals:
                 raise ValueError(f"empty value list in predicate {p!r}")
             p = (p[0], "in", vals)
+        if p[1] == "startswith" and not isinstance(p[2], str):
+            raise ValueError(f"startswith needs a string prefix: {p!r}")
         out.append(p)
     return out
 
@@ -91,6 +104,19 @@ def chunk_may_match(stats_json: Optional[str], predicate: Tuple[str, str, object
     if col not in stats:
         return True
     lo, hi = stats[col]
+    if op == "startswith":
+        # rows with prefix v live in [v, _str_upper(v)); the band
+        # proves absence when it sits entirely outside that range.
+        # lo may be a truncated (lower-bound) prefix — lo >= upper
+        # still proves the true min is >= upper, so both prunes are
+        # safe.
+        if not (isinstance(lo, str) and isinstance(hi, str)
+                and isinstance(val, str)):
+            return True
+        if hi < val:
+            return False
+        up = _str_upper(val)
+        return up is None or lo < up
     numeric = isinstance(lo, (int, float)) and isinstance(hi, (int, float))
     if isinstance(lo, str) and isinstance(hi, str):
         # lexicographic bounds (string ids); only prune when the
@@ -241,6 +267,14 @@ def chunk_all_match(stats_json: Optional[str],
     if stats["__nulls__"].get(col):
         return False
     lo, hi = stats[col]
+    if op == "startswith":
+        # both endpoints carrying the prefix proves every row between
+        # them does too: lo >= v and hi < _str_upper(v) bound the whole
+        # band inside the prefix range (truncated lo stays safe — the
+        # true min is >= lo and <= hi, both inside the range)
+        return (isinstance(lo, str) and isinstance(hi, str)
+                and isinstance(val, str) and val != ""
+                and lo.startswith(val) and hi.startswith(val))
     numeric = isinstance(lo, (int, float)) and isinstance(hi, (int, float))
     if isinstance(lo, str) and isinstance(hi, str):
         vals = val if op == "in" else [val]
@@ -281,6 +315,8 @@ def predicate_mask(t: pa.Table, predicate: Tuple[str, str, object]):
     if op == "in":
         vals = pa.array(list(val)).cast(c.type)
         m = pc.is_in(c, value_set=vals)
+    elif op == "startswith":
+        m = pc.starts_with(c, pattern=val)
     else:
         v = pa.scalar(val).cast(c.type) if not isinstance(val, pa.Scalar) else val
         fn = {"==": pc.equal, "!=": pc.not_equal, ">": pc.greater,

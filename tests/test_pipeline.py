@@ -932,6 +932,71 @@ def test_group_aggregates_pushdown(tmp_path, ray_session):
     pd.testing.assert_frame_equal(got, truth(df[df.v < 9000]))
 
 
+def test_startswith_predicate_pushdown(tmp_path, ray_session):
+    """Prefix predicates prune via the lexicographic zone bands
+    ([v, _str_upper(v)) range logic): counts and predicated decodes
+    match truth, clustered layouts prove most chunks from metadata,
+    and boundary conditions (empty prefix, prefix above all values,
+    truncated-min safety) hold."""
+    from colonnade_ray.pipelines import count_where, decode_corpus
+    from colonnade_ray.stages.decode import (
+        _str_upper,
+        chunk_all_match,
+        chunk_may_match,
+    )
+
+    assert _str_upper("ab") == "ac"
+    assert _str_upper("a" + chr(0x10FFFF)) == "b"
+    assert _str_upper(chr(0x10FFFF)) is None and _str_upper("") is None
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    ids = [f"{'abc'[int(x)]}{i:05d}" for i, x in
+           enumerate(rng.integers(0, 3, n))]
+    t = pa.table({"sid": pa.array(ids),
+                  "v": pa.array(rng.integers(0, 100, n), pa.int64())})
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(t, src / "p0.parquet")
+    out = str(tmp_path / "enc")
+    encode_corpus(str(src), out, batch_size=256, cluster_by="sid")
+
+    for pre in ("a", "b", "b0", "c39", "zz", ""):
+        want = sum(1 for s in ids if s.startswith(pre))
+        assert count_where(out, ("sid", "startswith", pre)) == want, pre
+    got = decode_corpus(out, columns=["sid"],
+                        predicate=("sid", "startswith", "b0")).to_pandas()
+    assert sorted(got.sid) == sorted(s for s in ids if s.startswith("b0"))
+
+    # metadata proof rates on the clustered layout: interior chunks of
+    # each letter prove all-match, other letters prove no-match
+    lin = os.path.join(out, "_lineage")
+    sj = []
+    for f in os.listdir(lin):
+        if f.endswith(".parquet"):
+            sj += pq.read_table(os.path.join(lin, f),
+                                columns=["stats_json"]
+                                )["stats_json"].to_pylist()
+    pred = ("sid", "startswith", "b")
+    proven = sum(1 for s in sj
+                 if chunk_all_match(s, pred) or not chunk_may_match(s, pred))
+    assert proven / len(sj) >= 0.8, (proven, len(sj))
+
+    # truncated-min safety: a 100-char min truncates to 64 chars in
+    # the band; prefix proofs must stay correct
+    long_ids = ["x" * 100 + f"{i:03d}" for i in range(50)] + ["y1", "y2"]
+    t2 = pa.table({"sid": pa.array(long_ids),
+                   "v": pa.array(range(52), pa.int64())})
+    src2 = tmp_path / "in2"
+    src2.mkdir()
+    pq.write_table(t2, src2 / "p0.parquet")
+    out2 = str(tmp_path / "enc2")
+    encode_corpus(str(src2), out2, batch_size=512)
+    assert count_where(out2, ("sid", "startswith", "x" * 70)) == 50
+    assert count_where(out2, ("sid", "startswith", "y")) == 2
+    assert count_where(out2, ("sid", "startswith", "z")) == 0
+
+
 def test_group_counts_metadata_first(corpus_dir, tmp_path, ray_session):
     """group_counts equals the decoded ground truth on both layouts;
     on the source-partitioned corpus the per-source chunks are
