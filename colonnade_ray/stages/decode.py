@@ -31,7 +31,8 @@ import pyarrow as pa
 from ..codecs import decode_column
 from ..errors import CellError, ChecksumError, ChunkDecodeError
 
-_OPS = {"==", "!=", ">", ">=", "<", "<=", "in", "startswith"}
+_OPS = {"==", "!=", ">", ">=", "<", "<=", "in", "startswith",
+        "endswith", "contains"}
 
 
 def _str_upper(v: str):
@@ -77,8 +78,9 @@ def normalize_predicates(predicate) -> list:
             if not vals:
                 raise ValueError(f"empty value list in predicate {p!r}")
             p = (p[0], "in", vals)
-        if p[1] == "startswith" and not isinstance(p[2], str):
-            raise ValueError(f"startswith needs a string prefix: {p!r}")
+        if p[1] in ("startswith", "endswith", "contains") \
+                and not isinstance(p[2], str):
+            raise ValueError(f"{p[1]} needs a string value: {p!r}")
         out.append(p)
     return out
 
@@ -317,6 +319,10 @@ def predicate_mask(t: pa.Table, predicate: Tuple[str, str, object]):
         m = pc.is_in(c, value_set=vals)
     elif op == "startswith":
         m = pc.starts_with(c, pattern=val)
+    elif op == "endswith":
+        m = pc.ends_with(c, pattern=val)
+    elif op == "contains":
+        m = pc.match_substring(c, pattern=val)
     else:
         v = pa.scalar(val).cast(c.type) if not isinstance(val, pa.Scalar) else val
         fn = {"==": pc.equal, "!=": pc.not_equal, ">": pc.greater,

@@ -996,6 +996,18 @@ def test_startswith_predicate_pushdown(tmp_path, ray_session):
     assert count_where(out2, ("sid", "startswith", "y")) == 2
     assert count_where(out2, ("sid", "startswith", "z")) == 0
 
+    # endswith / contains: exact masks, conservative (never-pruning)
+    # metadata behavior
+    want_end = sum(1 for s in ids if s.endswith("7"))
+    assert count_where(out, ("sid", "endswith", "7")) == want_end
+    want_sub = sum(1 for s in ids if "00" in s)
+    assert count_where(out, ("sid", "contains", "00")) == want_sub
+    for op in ("endswith", "contains"):
+        assert all(chunk_may_match(s, ("sid", op, "7")) for s in sj)
+        assert not any(chunk_all_match(s, ("sid", op, "7")) for s in sj)
+    with pytest.raises(ValueError):
+        count_where(out, ("sid", "contains", 7))
+
 
 def test_group_counts_metadata_first(corpus_dir, tmp_path, ray_session):
     """group_counts equals the decoded ground truth on both layouts;
