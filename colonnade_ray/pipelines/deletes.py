@@ -414,7 +414,7 @@ def vacuum_deletes(out_dir: str, gc: bool = True,
             concurrency=concurrency,
         )
         if out.count() > 0:
-            out.write_parquet(gdir, compression="none")
+            out.write_parquet(gdir, compression="none", row_group_size=1)
             lineage = pq.read_table(gdir, columns=LINEAGE_COLS)
         else:
             # every chunk in the group was fully deleted: commit an

@@ -619,7 +619,7 @@ def encode_corpus(
             stateless=use_stateless, post_compress=post_compress,
             shared_dicts=sd_ref, bloom_cols=bloom_cols, hll_cols=hll_cols,
         )
-        enc.write_parquet(gdir, compression="none")
+        enc.write_parquet(gdir, compression="none", row_group_size=1)
         # input-file sidecar first (append mode reads it), THEN the
         # lineage marker — the marker parquet stays the commit point
         with open(os.path.join(_meta_root(out_dir), f"group-{gid}.files.json"), "w") as fh:
@@ -923,7 +923,7 @@ def compact_corpus(out_dir: str, gc: bool = True,
             if f.endswith(".parquet")
         ]
         rd.read_parquet(files, override_num_blocks=max(1, len(files) // 8)) \
-            .write_parquet(gdir, compression="none")
+            .write_parquet(gdir, compression="none", row_group_size=1)
         covered: set = set()
         for g in gids:
             sc = os.path.join(_meta_root(out_dir), f"group-{g}.files.json")
@@ -1054,9 +1054,13 @@ def decode_corpus(out_dir: str, verify_checksum: bool = True, concurrency=None,
                           deletes_dir=_deletes_dir_of(out_dir))
 
 
+_CHUNK_FILTER_CAP = 20_000
+
+
 def _read_encoded(out_dir: str, columns: Optional[Sequence[str]] = None,
                   concurrency=None, predicate: Optional[tuple] = None,
-                  groups: Optional[Sequence[str]] = None):
+                  groups: Optional[Sequence[str]] = None,
+                  chunk_ids: Optional[set] = None):
     """Committed-group encoded chunk rows as a Dataset, plus the
     lineage-derived chunks-per-task sizing.  Shared by decode_corpus
     and the fused digest path.
@@ -1085,11 +1089,21 @@ def _read_encoded(out_dir: str, columns: Optional[Sequence[str]] = None,
         g for g in groups
         if os.path.exists(os.path.join(lin_root, f"group-{g}.parquet"))
     ]
+    pred_cids: Optional[set] = set() if (preds and chunk_ids is None) else None
     for gid in scoped:
         if preds:
-            sj = _lin_of(lin_root, gid)["stats_json"].to_pylist()
-            if not any(all(chunk_may_match(s, p) for p in preds) for s in sj):
+            lt = _lin_of(lin_root, gid)
+            sj = lt["stats_json"].to_pylist()
+            may = [all(chunk_may_match(s, p) for p in preds) for s in sj]
+            if not any(may):
                 continue  # zone maps prove: nothing in this group
+            if pred_cids is not None:
+                # chunk-level candidates for the ROW-GROUP filter below
+                # (the data files hold one chunk per parquet row group,
+                # so a chunk_id filter skips non-candidate payload IO,
+                # not just their decode)
+                cids = lt["chunk_id"].to_pylist()
+                pred_cids.update(c for c, m in zip(cids, may) if m)
         gdir = os.path.join(data_root, f"group-{gid}")
         fs = [
             os.path.join(gdir, f) for f in sorted(os.listdir(gdir)) if f.endswith(".parquet")
@@ -1137,8 +1151,18 @@ def _read_encoded(out_dir: str, columns: Optional[Sequence[str]] = None,
         avg_tok = max(1, total_tokens // n_chunks)
         cpt = max(1, min(cpt, int(4_000_000 // avg_tok) or 1))
     nblocks = max(len(files), (n_chunks + cpt - 1) // cpt)
+    # chunk-level IO pruning: payloads live one chunk per parquet row
+    # group, so an isin(chunk_id) filter makes point lookups / top-k /
+    # sketch fallbacks read bytes proportional to CANDIDATES, not to
+    # the surviving groups.  Capped — a huge isin list costs more to
+    # evaluate per row group than the reads it saves.
+    ids = chunk_ids if chunk_ids is not None else pred_cids
+    flt = None
+    if ids is not None and 0 < len(ids) <= _CHUNK_FILTER_CAP:
+        flt = pc.field("chunk_id").isin(sorted(ids))
+    fkw = {"filter": flt} if flt is not None else {}
     if columns is None:
-        enc = rd.read_parquet(files, override_num_blocks=nblocks)
+        enc = rd.read_parquet(files, override_num_blocks=nblocks, **fkw)
     else:
         # Resolve requested names -> colN parquet indices PER GROUP:
         # groups encoded from different inputs may order or select
@@ -1184,7 +1208,8 @@ def _read_encoded(out_dir: str, columns: Optional[Sequence[str]] = None,
             by_proj.setdefault(_proj(gid), []).extend(fs)
         reads = [
             rd.read_parquet(fs, columns=list(proj),
-                            override_num_blocks=max(1, nblocks * len(fs) // len(files)))
+                            override_num_blocks=max(1, nblocks * len(fs) // len(files)),
+                            **fkw)
             for proj, fs in by_proj.items()
         ]
         enc = reads[0] if len(reads) == 1 else reads[0].union(*reads[1:])
@@ -1482,7 +1507,7 @@ def topk_where(out_dir: str, col: str, k: int = 10,
                 continue
             if band is None:
                 # no zone band (old format): must always decode
-                cands.append((None, None, 0, gid))
+                cands.append((None, None, 0, gid, cid))
                 continue
             # unknown null count: contribute 0 to the accumulation
             # (conservative — keeps T a true lower bound); the chunk
@@ -1501,7 +1526,7 @@ def topk_where(out_dir: str, col: str, k: int = 10,
                 n_nonnull = 0
             lo, hi = band
             near, far = (hi, lo) if descending else (lo, hi)
-            cands.append((far, near, n_nonnull, gid))
+            cands.append((far, near, n_nonnull, gid, cid))
     if not cands:
         base = list(dict.fromkeys([col, *tie_cols, *(columns or [])]))
         empty = pa.table({c: pa.array([]) for c in base})
@@ -1515,7 +1540,7 @@ def topk_where(out_dir: str, col: str, k: int = 10,
                     key=lambda c: c[0], reverse=descending)
     T = None
     acc = 0
-    for far, _near, nn, _g in banded:
+    for far, _near, nn, _g, _cid in banded:
         acc += nn
         if acc >= k:
             T = far  # k rows each ≥ (≤) this chunk's far bound
@@ -1526,16 +1551,18 @@ def topk_where(out_dir: str, col: str, k: int = 10,
             return True  # bandless chunk / no bound provable: decode
         return (c[1] >= T) if descending else (c[1] <= T)
 
-    n_cand = sum(1 for c in cands if reaches(c))
-    cand_groups = sorted({g for *_x, g in [c for c in cands if reaches(c)]})
-    stats_out = {"chunks_total": len(cands), "chunks_candidate": n_cand,
+    reaching = [c for c in cands if reaches(c)]
+    cand_groups = sorted({c[3] for c in reaching})
+    cand_cids = {c[4] for c in reaching}
+    stats_out = {"chunks_total": len(cands),
+                 "chunks_candidate": len(reaching),
                  "groups_total": len(gids),
                  "groups_candidate": len(cand_groups), "threshold": T}
     out_cols = list(dict.fromkeys([col, *tie_cols, *(columns or [])]))
     # predicate columns must decode too (filtered out before project)
     dec_cols = list(dict.fromkeys(out_cols + [p[0] for p in preds]))
     enc, cpt = _read_encoded(out_dir, dec_cols, concurrency,
-                             groups=cand_groups)
+                             groups=cand_groups, chunk_ids=cand_cids)
 
     def part(batch: pa.Table) -> pa.Table:
         _register_dict_dir(out_dir)
@@ -1680,7 +1707,8 @@ def approx_distinct(out_dir: str, col: str, predicate=None,
     if scan_keys:
         dec_cols = list(dict.fromkeys([col] + [p[0] for p in preds]))
         enc, cpt = _read_encoded(out_dir, dec_cols, concurrency,
-                                 groups=sorted(scan_groups))
+                                 groups=sorted(scan_groups),
+                                 chunk_ids={c for _f, c in scan_keys})
 
         def part(batch: pa.Table) -> pa.Table:
             _register_dict_dir(out_dir)

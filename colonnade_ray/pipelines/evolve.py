@@ -251,7 +251,7 @@ def add_columns(out_dir: str, fn: Callable, input_columns: Sequence[str],
             .map_batches(_AugmentChunks(out_dir, fn, input_columns, names),
                          batch_format="pyarrow", batch_size=4,
                          zero_copy_batch=True, concurrency=concurrency)
-        aug.write_parquet(gdir, compression="none")
+        aug.write_parquet(gdir, compression="none", row_group_size=1)
         old_sc = os.path.join(_meta_root(out_dir), f"group-{gid}.files.json")
         covered = []
         if os.path.exists(old_sc):
@@ -437,7 +437,7 @@ def _rewrite_schema(out_dir: str, rewriter: _RewriteSchema, tag: str,
         rd.read_parquet(files, override_num_blocks=max(1, len(files))) \
             .map_batches(rewriter, batch_format="pyarrow", batch_size=16,
                          zero_copy_batch=True, concurrency=concurrency) \
-            .write_parquet(gdir, compression="none")
+            .write_parquet(gdir, compression="none", row_group_size=1)
         old_sc = os.path.join(_meta_root(out_dir), f"group-{gid}.files.json")
         covered = []
         if os.path.exists(old_sc):
@@ -703,7 +703,7 @@ def update_where(out_dir: str, predicate, fn: Callable,
             .map_batches(_UpdateChunks(out_dir, predicate, fn),
                          batch_format="pyarrow", batch_size=4,
                          zero_copy_batch=True, concurrency=concurrency) \
-            .write_parquet(gdir, compression="none")
+            .write_parquet(gdir, compression="none", row_group_size=1)
         old_sc = os.path.join(_meta_root(out_dir), f"group-{gid}.files.json")
         covered = []
         if os.path.exists(old_sc):

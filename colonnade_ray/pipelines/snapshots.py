@@ -217,7 +217,7 @@ def restore_snapshot(out_dir: str, tag: str, gc: bool = True,
             .map_batches(_RewriteChunks(out_dir, masks_dir=snap_masks),
                          batch_format="pyarrow", batch_size=4,
                          zero_copy_batch=True, concurrency=concurrency)
-        out.write_parquet(gdir, compression="none")
+        out.write_parquet(gdir, compression="none", row_group_size=1)
         covered: set = set()
         for g in m["groups"]:
             sc = os.path.join(_meta_root(out_dir), f"group-{g}.files.json")
