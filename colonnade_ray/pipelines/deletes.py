@@ -321,6 +321,9 @@ class _RewriteChunks:
 
         register_dir(self.out_dir)
         shared = load_pinned_dicts(self.out_dir)
+        from .encode_pipeline import sketch_cols
+
+        sk = sketch_cols(self.out_dir)
         masks = load_delete_masks(self.masks_dir or self.out_dir)
         names = batch.column_names
         out_tables = []
@@ -341,7 +344,11 @@ class _RewriteChunks:
             plan_names = json.loads(row["plan_json"])
             plan = CodecPlan.by_name(*plan_names)
             bound = bind_plan(plan, t.schema)
-            enc = encode_chunk(t, bound, None, frag, shared_dicts=shared)
+            # re-derive sketches for the surviving rows (the corpus's
+            # recorded sketch config) so pruning survives the vacuum
+            enc = encode_chunk(t, bound, None, frag, shared_dicts=shared,
+                               bloom_cols=sk.get("bloom_cols"),
+                               hll_cols=sk.get("hll_cols"))
             # force the INPUT's column order so blocks concat cleanly
             out_tables.append(pa.table(enc).select(names))
         if not out_tables:

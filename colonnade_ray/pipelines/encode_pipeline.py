@@ -490,6 +490,7 @@ def encode_corpus(
     lin_root = os.path.join(out_dir, "_lineage")
     os.makedirs(data_root, exist_ok=True)
     os.makedirs(lin_root, exist_ok=True)
+    record_sketch_cols(out_dir, bloom_cols, hll_cols)
 
     if append:
         # Incremental corpus growth: encode ONLY input files no
@@ -642,6 +643,36 @@ def encode_corpus(
     if append:
         summary["appended_files"] = len(files)
     return summary
+
+
+def record_sketch_cols(out_dir: str, bloom_cols, hll_cols) -> None:
+    """Persist which columns carry per-chunk Bloom / HLL sketches so
+    lifecycle REWRITES (vacuum, update_where) can re-derive them for
+    the chunks they re-encode instead of silently dropping them —
+    pruning quality then survives the lifecycle instead of decaying.
+    Advisory config (tmp+rename; a crash that loses it only degrades
+    to the old conservative drop-the-sketch behavior)."""
+    cur = sketch_cols(out_dir)
+    new = {"bloom_cols": sorted(set(cur.get("bloom_cols", []))
+                                | set(bloom_cols or [])),
+           "hll_cols": sorted(set(cur.get("hll_cols", []))
+                              | set(hll_cols or []))}
+    if new == cur or (not new["bloom_cols"] and not new["hll_cols"]):
+        return
+    path = os.path.join(_meta_root(out_dir), "sketch_cols.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(new, fh)
+    os.replace(tmp, path)
+
+
+def sketch_cols(out_dir: str) -> dict:
+    path = os.path.join(out_dir, "_meta", "sketch_cols.json")
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {}
 
 
 _LIN_CACHE: dict = {}

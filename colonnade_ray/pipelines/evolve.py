@@ -573,6 +573,9 @@ class _UpdateChunks:
 
         register_dir(self.out_dir)
         shared = load_pinned_dicts(self.out_dir)
+        from .encode_pipeline import sketch_cols
+
+        sk = sketch_cols(self.out_dir)
         names_in = batch.column_names
         out_tables = []
         for r in range(len(batch)):
@@ -623,8 +626,12 @@ class _UpdateChunks:
             new_t = combined.take(pa.array(order))
             plan = CodecPlan.by_name(*json.loads(row["plan_json"]))
             bound = bind_plan(plan, new_t.schema)
+            # re-derive the corpus's recorded sketches over the new
+            # values — a stale bloom/HLL must never survive an update
             enc = encode_chunk(new_t, bound, None, row["fragment"],
-                               shared_dicts=shared)
+                               shared_dicts=shared,
+                               bloom_cols=sk.get("bloom_cols"),
+                               hll_cols=sk.get("hll_cols"))
             out_tables.append(pa.table(enc).select(names_in))
         return pa.concat_tables(out_tables) if out_tables \
             else batch.slice(0, 0)

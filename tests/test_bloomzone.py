@@ -95,9 +95,10 @@ def test_bloom_absent_is_conservative(ray_session, tmp_path):
 
 def test_bloom_not_stale_after_update(ray_session, tmp_path):
     """A rewrite that changes values in a bloom-indexed column must not
-    carry the old filter forward: re-encoded chunks drop their blooms
-    (absence is conservative), so a point lookup for a value that only
-    exists POST-update still finds it."""
+    carry the old filter forward: re-encoded chunks RE-DERIVE their
+    blooms over the new values (the corpus's recorded sketch config,
+    `record_sketch_cols`), so a point lookup for a value that only
+    exists POST-update both finds it and stays prunable."""
     from colonnade_ray.pipelines import update_where
     from colonnade_ray.state.lineage import load_lineage
 
@@ -120,11 +121,20 @@ def test_bloom_not_stale_after_update(ray_session, tmp_path):
     # the new value is found (a stale bloom would prune every chunk)
     assert count_where(out, ("uid", "==", fresh)) == 1
     assert count_where(out, ("uid", "==", victim)) == 0
-    # untouched chunks keep their filters; rewritten ones dropped theirs
+    # EVERY chunk carries a filter again: untouched ones kept theirs,
+    # rewritten ones re-derived over the post-update values
     sj = [json.loads(s) for s in
           load_lineage(out)["stats_json"].to_pylist()]
     kept = sum("__bloom__" in s for s in sj)
-    assert 0 < kept < len(sj)
+    assert kept == len(sj)
+    # the re-derived filter is FRESH: exactly the chunks that may hold
+    # `fresh` admit it, and the victim's old value probes absent in
+    # chunks that were rewritten
+    may_fresh = sum(chunk_may_match(json.dumps(s), ("uid", "==", fresh))
+                    for s in sj)
+    assert may_fresh >= 1
+    assert sum(chunk_may_match(json.dumps(s), ("uid", "==", victim))
+               for s in sj) < len(sj)
     # and the kept filters still prune: some chunk proves fresh absent
     pruned = sum(
         not chunk_may_match(json.dumps(s), ("uid", "==", fresh))
@@ -212,6 +222,15 @@ def test_approx_distinct_sketch_first(ray_session, tmp_path):
     estd, std = approx_distinct(out, "u", return_stats=True)
     assert std["chunks_sketched"] > 0 and std["chunks_scanned"] > 0, std
     assert abs(estd - live_truth) / live_truth < 0.10
+
+    # vacuum re-derives sketches over the surviving rows (recorded
+    # sketch config): the corpus answers sketch-only again
+    from colonnade_ray.pipelines import vacuum_deletes
+
+    vacuum_deletes(out)
+    estv, stv = approx_distinct(out, "u", return_stats=True)
+    assert stv["chunks_scanned"] == 0, stv
+    assert abs(estv - live_truth) / live_truth < 0.10
 
     # corpus encoded WITHOUT sketches: pure-scan fallback still answers
     out2 = str(tmp_path / "plain")
