@@ -1026,11 +1026,17 @@ def sweep_orphans(out_dir: str) -> dict:
                         os.remove(os.path.join(meta, f))
                         removed["meta_sidecars"] += 1
     # stray atomic-commit temporaries (_commit_lineage crashed between
-    # the parquet write and the rename)
+    # the parquet write and the rename; ditto the advisory
+    # sketch_cols.json config write)
     if os.path.isdir(lin_root):
         for f in sorted(os.listdir(lin_root)):
             if f.endswith(".parquet.tmp"):
                 os.remove(os.path.join(lin_root, f))
+                removed["meta_sidecars"] += 1
+    if os.path.isdir(meta):
+        for f in sorted(os.listdir(meta)):
+            if f.endswith(".json.tmp"):
+                os.remove(os.path.join(meta, f))
                 removed["meta_sidecars"] += 1
     droot = os.path.join(out_dir, DELETES_DIR)
     if os.path.isdir(droot):
