@@ -48,14 +48,26 @@ def _coerce(raw: str):
     return raw
 
 
+_STR_RE = re.compile(
+    r"^\s*(\w+)\s+(startswith|endswith|contains)\s+(.+?)\s*$",
+    re.IGNORECASE)
+
+
 def parse_predicate(expr: str) -> tuple:
     mi = _IN_RE.match(expr)
     if mi:  # 'col in 1,2,3' -> set-membership (zone-map OR prune)
         col, raw = mi.groups()
         return (col, "in", [_coerce(v.strip()) for v in raw.split(",")])
+    ms = _STR_RE.match(expr)
+    if ms:  # 'col startswith pre' -> prefix range prune; endswith /
+        # contains are exact-only (metadata stays conservative)
+        col, op, raw = ms.groups()
+        return (col, op.lower(), raw)
     m = _PRED_RE.match(expr)
     if not m:
-        raise SystemExit(f"bad --where {expr!r} (want col<op>value or col in a,b)")
+        raise SystemExit(
+            f"bad --where {expr!r} (want col<op>value, col in a,b, "
+            "or col startswith|endswith|contains text)")
     col, op, raw = m.groups()
     return (col, op, _coerce(raw))
 
