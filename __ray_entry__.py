@@ -898,6 +898,25 @@ def q_encoded_prefix_count(sf_dir: str):
     })
 
 
+def q_encoded_grouped_topk(sf_dir: str):
+    """Top-k per group pushdown IN the gate: encode documents
+    lexicographically clustered on (source, n_chars desc) so chunks
+    are single-group and value-ordered, answer the 3 longest docs per
+    source via grouped_topk_where — vs a SQL row_number() twin."""
+    from colonnade_ray.pipelines import encode_corpus, grouped_topk_where
+
+    work = _run_dir(sf_dir, "gtopk")
+    inp = os.path.join(work, "input")
+    out = os.path.join(work, "out")
+    _tbl(sf_dir, "documents", ["doc_id", "n_chars", "source"]) \
+        .write_parquet(inp)
+    encode_corpus(inp, out, batch_size=512, resume=False,
+                  cluster_by=[("source", "ascending"),
+                              ("n_chars", "descending")])
+    return grouped_topk_where(out, "source", "n_chars", k=3,
+                              tie_cols=["doc_id"])
+
+
 def q_approx_distinct(sf_dir: str):
     """HLL sketch pushdown IN the gate: encode the documents table with
     per-chunk HyperLogLog registers on (lang, source, doc_id), then
@@ -2089,6 +2108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": q_approx_distinct,
         "encoded_group_aggs": q_encoded_group_aggs,
         "encoded_prefix_count": q_encoded_prefix_count,
+        "encoded_grouped_topk": q_encoded_grouped_topk,
         "delete_where_count": q_delete_where_count,
         "evolve_add_column": q_evolve_add_column,
         "replace_where_rewrite": q_replace_where_rewrite,
@@ -2712,6 +2732,13 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents "
             "WHERE n_chars >= 600) AS n_ge_600 "
             "FROM documents GROUP BY source ORDER BY source"
+        ),
+        "encoded_grouped_topk": (
+            "SELECT source, n_chars, doc_id FROM ("
+            "SELECT source, n_chars, doc_id, row_number() OVER ("
+            "PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn "
+            "FROM documents) WHERE rn <= 3 "
+            "ORDER BY source, n_chars DESC, doc_id"
         ),
         "encoded_prefix_count": (
             "SELECT CAST(COUNT(*) FILTER (source LIKE 'src1%') AS BIGINT) "

@@ -7,6 +7,7 @@ from .encode_pipeline import (
     corpus_summary,
     group_aggregates,
     group_counts,
+    grouped_topk_where,
     count_where,
     decode_corpus,
     decode_dataset,

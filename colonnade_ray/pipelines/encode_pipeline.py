@@ -585,11 +585,19 @@ def encode_corpus(
             # selective decode prove most chunks from metadata.  The
             # classic zone-map layout lever (file-local ORDER BY);
             # a GLOBAL sort would be an all-to-all — deliberately not
-            # this knob.  A list of columns Z-orders instead (Morton
-            # interleave of block-local ranks) so zone bands narrow on
-            # every listed column at once — see _zorder_sort.
+            # this knob.  A list of column NAMES Z-orders (Morton
+            # interleave of block-local ranks — bands narrow on every
+            # column at once, see _zorder_sort); a list of
+            # (name, "ascending"/"descending") TUPLES sorts
+            # lexicographically (pyarrow sort_by form — the layout for
+            # hierarchical access like grouped_topk_where, where
+            # chunks should be single-GROUP and value-ordered WITHIN
+            # the group).
             if isinstance(cluster_by, str):
                 sort_fn = lambda b: b.sort_by(cluster_by)  # noqa: E731
+            elif all(isinstance(c, (tuple, list)) for c in cluster_by):
+                keys = [tuple(c) for c in cluster_by]
+                sort_fn = lambda b: b.sort_by(keys)  # noqa: E731
             else:
                 zcols = list(cluster_by)
                 sort_fn = lambda b: _zorder_sort(b, zcols)  # noqa: E731
@@ -1906,6 +1914,159 @@ def group_counts(out_dir: str, group_col: str,
     else:
         out = out.drop(columns=["s"])
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def grouped_topk_where(out_dir: str, group_col: str, value_col: str,
+                       k: int = 3, columns: Optional[Sequence[str]] = None,
+                       descending: bool = True,
+                       tie_cols: Sequence[str] = (), concurrency=None,
+                       snapshot: Optional[str] = None,
+                       return_stats: bool = False):
+    """Top-k rows PER GROUP over the encoded corpus — ``topk_where``'s
+    bound computed per group key from the manifests.
+
+    Phase 1 walks the lineage: chunks proven single-group (group band
+    lo == hi, zero group nulls) accumulate per-key live non-null rows
+    in zone-min order until ≥ k, bounding that key's k-th value T_g;
+    a single-group chunk whose value band can't reach its own T_g is
+    pruned.  Mixed-group chunks can't prove which keys they hold, so
+    they always decode (and never contribute to any T_g — bounds stay
+    true).  On a group-clustered / partitioned layout every chunk is
+    single-group and the scan shrinks to ~k rows' worth of chunks per
+    key; unaligned layouts degrade to a full decode, never to a wrong
+    answer.  Phase 2 decodes candidates, keeps per-(task, group)
+    top-k partials, and merges ≤ k × groups × tasks rows on the
+    driver.  Deletes subtract/mask; value nulls never rank."""
+    from ..stages.decode import decode_chunk_row
+    from ..util import default_concurrency
+
+    scope_groups, deletes_dir = _scope(out_dir, snapshot)
+    lin_root = os.path.join(out_dir, "_lineage")
+    gids = active_groups(out_dir) if scope_groups is None else [
+        g for g in scope_groups
+        if os.path.exists(os.path.join(lin_root, f"group-{g}.parquet"))
+    ]
+    del_masks = {}
+    if deletes_dir is not None:
+        from .deletes import load_delete_masks
+
+        del_masks = load_delete_masks(deletes_dir)
+
+    single: dict = {}   # key -> [(far, near, n_nonnull, gid, cid)]
+    mixed = []          # [(gid, cid)] — always decode
+    for gid in gids:
+        lin = _lin_of(lin_root, gid)
+        for sj, n, frag, cid in zip(lin["stats_json"].to_pylist(),
+                                    lin["n_rows"].to_pylist(),
+                                    lin["fragment"].to_pylist(),
+                                    lin["chunk_id"].to_pylist()):
+            dmask = del_masks.get((frag, cid))
+            if isinstance(dmask, str):
+                continue
+            n_live = int(n) - (int(dmask.sum()) if dmask is not None else 0)
+            if n_live <= 0:
+                continue
+            stats = json.loads(sj) if sj else {}
+            gband = stats.get(group_col)
+            vband = stats.get(value_col)
+            nt = stats.get("__nulls__")
+            one_group = (gband is not None and gband[0] == gband[1]
+                         and nt is not None and not nt.get(group_col))
+            if not one_group or vband is None:
+                mixed.append((gid, cid))
+                continue
+            n_nonnull = max(0, n_live - int(nt.get(value_col, 0)))
+            lo, hi = vband
+            near, far = (hi, lo) if descending else (lo, hi)
+            single.setdefault(gband[0], []).append(
+                (far, near, n_nonnull, gid, cid))
+
+    cand = list(mixed)
+    for key, chunks in single.items():
+        chunks.sort(key=lambda c: c[0], reverse=descending)
+        T = None
+        acc = 0
+        for far, _near, nn, _g, _c in chunks:
+            acc += nn
+            if acc >= k:
+                T = far
+                break
+        for far, near, _nn, gid, cid in chunks:
+            if T is None or ((near >= T) if descending else (near <= T)):
+                cand.append((gid, cid))
+
+    out_cols = list(dict.fromkeys(
+        [group_col, value_col, *tie_cols, *(columns or [])]))
+    n_chunks_total = len(mixed) + sum(len(v) for v in single.values())
+    stats_out = {"chunks_total": n_chunks_total,
+                 "chunks_candidate": len(cand),
+                 "chunks_mixed": len(mixed)}
+    if not cand:
+        empty = pa.table({c: pa.array([]) for c in out_cols})
+        return (empty, stats_out) if return_stats else empty
+
+    cand_cids = {c for _g, c in cand}
+    enc, cpt = _read_encoded(out_dir, out_cols, concurrency,
+                             groups=sorted({g for g, _c in cand}),
+                             chunk_ids=cand_cids)
+    order = [(value_col, "descending" if descending else "ascending")] + [
+        (c, "ascending") for c in tie_cols
+    ]
+
+    def _topk_per_group(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.select(out_cols).to_pandas()
+        df = df[df[value_col].notna()]
+        df = df.sort_values(
+            [value_col, *tie_cols],
+            ascending=[not descending] + [True] * len(tie_cols))
+        return pa.Table.from_pandas(
+            df.groupby(group_col, sort=False).head(k),
+            preserve_index=False)
+
+    def part(batch: pa.Table) -> pa.Table:
+        _register_dict_dir(out_dir)
+        dm = {}
+        if deletes_dir is not None:
+            from .deletes import load_delete_masks as _ldm
+
+            dm = _ldm(deletes_dir)
+        parts = []
+        names = batch.column_names
+        for r in range(len(batch)):
+            key = (batch["fragment"][r].as_py(),
+                   batch["chunk_id"][r].as_py())
+            if batch["chunk_id"][r].as_py() not in cand_cids:
+                continue
+            dmask = dm.get(key) if dm else None
+            if isinstance(dmask, str):
+                continue
+            row = {c: batch[c][r].as_py() for c in names}
+            t = decode_chunk_row(row, verify_checksum=False,
+                                 columns=out_cols)
+            if dmask is not None:
+                t = t.filter(pa.array(~dmask))
+            if t.num_rows:
+                parts.append(t.select(out_cols))
+        if not parts:
+            return pa.table({})
+        return _topk_per_group(pa.concat_tables(parts))
+
+    ds = enc.map_batches(part, batch_format="pyarrow",
+                         batch_size=max(1, cpt), zero_copy_batch=True,
+                         concurrency=concurrency or default_concurrency())
+    blocks = [b for b in ds.iter_batches(batch_format="pyarrow",
+                                         batch_size=None)
+              if b.num_columns and b.num_rows]
+    if not blocks:
+        empty = pa.table({c: pa.array([]) for c in out_cols})
+        return (empty, stats_out) if return_stats else empty
+    merged = _topk_per_group(
+        pa.concat_tables(blocks, promote_options="default"))
+    merged = merged.take(pc.sort_indices(
+        merged, sort_keys=[(group_col, "ascending")] + order))
+    return (merged, stats_out) if return_stats else merged
 
 
 def group_aggregates(out_dir: str, group_col: str, value_col: str,

@@ -1009,6 +1009,56 @@ def test_startswith_predicate_pushdown(tmp_path, ray_session):
         count_where(out, ("sid", "contains", 7))
 
 
+def test_grouped_topk_where_pushdown(tmp_path, ray_session):
+    """Top-k per group over the encoded corpus: exact on every layout
+    (mixed chunks always decode), and a lexicographic (group, value)
+    cluster prunes to ~k rows' worth of chunks per key."""
+    from colonnade_ray.pipelines import delete_where, grouped_topk_where
+
+    rng = np.random.default_rng(31)
+    n = 8000
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:06d}" for i in range(n)]),
+        "src": pa.array([f"s{x}" for x in rng.integers(0, 6, n)]),
+        "v": pa.array(rng.integers(0, 100_000, n), pa.int64()),
+    })
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    pq.write_table(t, src_dir / "p0.parquet")
+    df = t.to_pandas()
+
+    def truth(frame, k=3, asc=False):
+        x = frame.sort_values(["v", "doc_id"], ascending=[asc, True])
+        return (x.groupby("src", sort=False).head(k)
+                .sort_values(["src", "v", "doc_id"],
+                             ascending=[True, asc, True])
+                .reset_index(drop=True))[["src", "v", "doc_id"]]
+
+    layouts = {"plain": None, "bysrc": "src",
+               "lex": [("src", "ascending"), ("v", "descending")]}
+    for name, cb in layouts.items():
+        out = str(tmp_path / name)
+        encode_corpus(str(src_dir), out, batch_size=256, cluster_by=cb)
+        got, st = grouped_topk_where(out, "src", "v", k=3,
+                                     tie_cols=["doc_id"],
+                                     return_stats=True)
+        g = got.to_pandas()[["src", "v", "doc_id"]].reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, truth(df))
+        if name == "lex":
+            # single-group AND value-ordered chunks: per-key thresholds
+            # kill the interior — only ~1 chunk per key + boundaries
+            assert st["chunks_candidate"] <= st["chunks_total"] // 2, st
+
+    out = str(tmp_path / "bysrc")
+    delete_where(out, ("v", ">=", 90_000))
+    live = df[df.v < 90_000]
+    got = grouped_topk_where(out, "src", "v", k=2, descending=False,
+                             tie_cols=["doc_id"]).to_pandas()
+    pd.testing.assert_frame_equal(
+        got[["src", "v", "doc_id"]].reset_index(drop=True),
+        truth(live, k=2, asc=True))
+
+
 def test_group_counts_metadata_first(corpus_dir, tmp_path, ray_session):
     """group_counts equals the decoded ground truth on both layouts;
     on the source-partitioned corpus the per-source chunks are
