@@ -73,6 +73,8 @@ def _shards(dir_, n_files, rows, seed0, start0):
           "group_size": 1}),
     (73, {"cluster_by": ["n_tok", "doc_id"],    # Z-order layout
           "hll_cols": ["doc_id"]}),
+    (89, {"cluster_by": [("source", "ascending"),   # lexicographic
+          ("n_tok", "descending")], "bloom_cols": ["doc_id"]}),
 ])
 def test_lifecycle_random_program_matches_model(ray_session, tmp_path,
                                                 seed, enc):
