@@ -917,6 +917,28 @@ def q_encoded_grouped_topk(sf_dir: str):
                               tie_cols=["doc_id"])
 
 
+def q_encoded_summary(sf_dir: str):
+    """Single-pass COUNT/SUM/MIN/MAX pushdown IN the gate
+    (pipelines.summary_where): one scan answers all four under a
+    predicate — vs plain SQL over the raw table."""
+    from colonnade_ray.pipelines import encode_corpus, summary_where
+
+    work = _run_dir(sf_dir, "summary")
+    inp = os.path.join(work, "input")
+    out = os.path.join(work, "out")
+    _tbl(sf_dir, "documents", ["doc_id", "n_chars", "source"]) \
+        .write_parquet(inp)
+    encode_corpus(inp, out, batch_size=512, resume=False,
+                  cluster_by="n_chars")
+    s = summary_where(out, "n_chars", ("n_chars", ">=", 300))
+    return pa.table({
+        "n": pa.array([s["count"]], pa.int64()),
+        "sum_chars": pa.array([s["sum"]], pa.int64()),
+        "min_chars": pa.array([s["min"]], pa.int64()),
+        "max_chars": pa.array([s["max"]], pa.int64()),
+    })
+
+
 def q_approx_distinct(sf_dir: str):
     """HLL sketch pushdown IN the gate: encode the documents table with
     per-chunk HyperLogLog registers on (lang, source, doc_id), then
@@ -2109,6 +2131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_group_aggs": q_encoded_group_aggs,
         "encoded_prefix_count": q_encoded_prefix_count,
         "encoded_grouped_topk": q_encoded_grouped_topk,
+        "encoded_summary": q_encoded_summary,
         "delete_where_count": q_delete_where_count,
         "evolve_add_column": q_evolve_add_column,
         "replace_where_rewrite": q_replace_where_rewrite,
@@ -2732,6 +2755,13 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents "
             "WHERE n_chars >= 600) AS n_ge_600 "
             "FROM documents GROUP BY source ORDER BY source"
+        ),
+        "encoded_summary": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(MIN(n_chars) AS BIGINT) AS min_chars, "
+            "CAST(MAX(n_chars) AS BIGINT) AS max_chars "
+            "FROM documents WHERE n_chars >= 300"
         ),
         "encoded_grouped_topk": (
             "SELECT source, n_chars, doc_id FROM ("

@@ -15,6 +15,7 @@ from .encode_pipeline import (
     encode_corpus,
     encode_dataset,
     roundtrip_verify,
+    summary_where,
     sweep_orphans,
     topk_where,
 )

@@ -1916,6 +1916,102 @@ def group_counts(out_dir: str, group_col: str,
     return out.sort_values(group_col).reset_index(drop=True)
 
 
+def summary_where(out_dir: str, col: str, predicate=None,
+                  concurrency=None, snapshot: Optional[str] = None) -> dict:
+    """COUNT / SUM / MIN / MAX of one integer column in ONE pass —
+    what would otherwise be count_where + 3 aggregate_where scans.
+    Same 3-way chunk classification: no-match chunks free, proven
+    all-match chunks contribute n_rows + ``__sums__`` + their zone
+    band from metadata, boundary chunks decode col + predicate
+    columns only.  Returns {"count", "sum", "min", "max"} with SQL
+    null semantics (count counts matching ROWS; sum/min/max skip
+    nulls; min/max are None on an empty match set)."""
+    from ..stages.decode import (
+        _exact_filter,
+        chunk_all_match,
+        chunk_may_match,
+        decode_chunk_row,
+        normalize_predicates,
+    )
+    from ..util import default_concurrency
+
+    preds = normalize_predicates(predicate) if predicate is not None else []
+    scope_groups, deletes_dir = _scope(out_dir, snapshot)
+    dec_cols = list(dict.fromkeys([col] + [p[0] for p in preds]))
+    enc, cpt = _read_encoded(out_dir, dec_cols, concurrency,
+                             predicate=predicate, groups=scope_groups)
+
+    def part(batch: pa.Table) -> pa.Table:
+        _register_dict_dir(out_dir)
+        del_masks = {}
+        if deletes_dir is not None:
+            from .deletes import load_delete_masks
+
+            del_masks = load_delete_masks(deletes_dir)
+        n = s = 0
+        mn = mx = None
+        names = batch.column_names
+        for r in range(len(batch)):
+            sj = batch["stats_json"][r].as_py()
+            if preds and not all(chunk_may_match(sj, p) for p in preds):
+                continue
+            stats = json.loads(sj) if sj else {}
+            dmask = del_masks.get((batch["fragment"][r].as_py(),
+                                   batch["chunk_id"][r].as_py())) \
+                if del_masks else None
+            if isinstance(dmask, str):
+                continue
+            band = stats.get(col)
+            ssum = stats.get("__sums__", {}).get(col)
+            proven = (dmask is None and band is not None
+                      and ssum is not None
+                      and "__nulls__" in stats
+                      and not stats["__nulls__"].get(col)
+                      and (not preds or all(chunk_all_match(sj, p)
+                                            for p in preds)))
+            if proven:
+                n += int(batch["n_rows"][r].as_py())
+                s += int(ssum)
+                lo, hi = int(band[0]), int(band[1])
+                mn = lo if mn is None else min(mn, lo)
+                mx = hi if mx is None else max(mx, hi)
+                continue
+            row = {c: batch[c][r].as_py() for c in names}
+            t = decode_chunk_row(row, verify_checksum=False,
+                                 columns=dec_cols)
+            if dmask is not None:
+                t = t.filter(pa.array(~dmask))
+            for p in preds:
+                t = _exact_filter(t, p)
+            if not t.num_rows:
+                continue
+            n += t.num_rows
+            v = t[col]
+            vs = pc.sum(v).as_py()
+            s += int(vs or 0)
+            mm = pc.min_max(v)
+            vlo, vhi = mm["min"].as_py(), mm["max"].as_py()
+            if vlo is not None:
+                mn = vlo if mn is None else min(mn, vlo)
+                mx = vhi if mx is None else max(mx, vhi)
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "s": pa.array([s], pa.int64()),
+                         "mn": pa.array([mn], pa.int64()),
+                         "mx": pa.array([mx], pa.int64())})
+
+    parts = enc.map_batches(
+        part, batch_format="pyarrow", batch_size=max(1, cpt),
+        zero_copy_batch=True,
+        concurrency=concurrency or default_concurrency()).take_all()
+    n = sum(p["n"] for p in parts)
+    s = sum(p["s"] for p in parts)
+    mns = [p["mn"] for p in parts if p["mn"] is not None]
+    mxs = [p["mx"] for p in parts if p["mx"] is not None]
+    return {"count": int(n), "sum": int(s),
+            "min": int(min(mns)) if mns else None,
+            "max": int(max(mxs)) if mxs else None}
+
+
 def grouped_topk_where(out_dir: str, group_col: str, value_col: str,
                        k: int = 3, columns: Optional[Sequence[str]] = None,
                        descending: bool = True,

@@ -1009,6 +1009,56 @@ def test_startswith_predicate_pushdown(tmp_path, ray_session):
         count_where(out, ("sid", "contains", 7))
 
 
+def test_summary_where_single_pass(tmp_path, ray_session):
+    """COUNT/SUM/MIN/MAX in one pass equals four separate pushdowns
+    and pandas truth — plain, predicated, empty-match, and
+    delete-masked; negatives and nulls included."""
+    from colonnade_ray.pipelines import (
+        aggregate_where,
+        count_where,
+        delete_where,
+        summary_where,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 5000
+    vals = rng.integers(-100, 10_000, n).astype(object)
+    vals[::97] = None  # sprinkle nulls
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:06d}" for i in range(n)]),
+        "v": pa.array(list(vals), pa.int64()),
+        "g": pa.array(rng.integers(0, 4, n), pa.int64()),
+    })
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(t, src / "p0.parquet")
+    out = str(tmp_path / "enc")
+    encode_corpus(str(src), out, batch_size=256, cluster_by="v")
+    df = t.to_pandas()
+
+    def truth(frame):
+        nn = frame.v.dropna()
+        return {"count": len(frame), "sum": int(nn.sum()),
+                "min": int(nn.min()) if len(nn) else None,
+                "max": int(nn.max()) if len(nn) else None}
+
+    assert summary_where(out, "v") == truth(df)
+    pred = ("v", ">=", 5000)
+    got = summary_where(out, "v", pred)
+    assert got == truth(df[df.v >= 5000])
+    # agrees with the single-agg pushdowns
+    assert got["count"] == count_where(out, pred)
+    assert got["sum"] == aggregate_where(out, "sum", "v", pred)
+    assert got["min"] == aggregate_where(out, "min", "v", pred)
+    assert got["max"] == aggregate_where(out, "max", "v", pred)
+    # empty match set
+    assert summary_where(out, "v", ("v", ">", 10**7)) == \
+        {"count": 0, "sum": 0, "min": None, "max": None}
+    # deletes
+    delete_where(out, ("g", "==", 1))
+    assert summary_where(out, "v") == truth(df[df.g != 1])
+
+
 def test_grouped_topk_where_pushdown(tmp_path, ray_session):
     """Top-k per group over the encoded corpus: exact on every layout
     (mixed chunks always decode), and a lexicographic (group, value)
