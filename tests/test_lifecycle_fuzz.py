@@ -104,6 +104,13 @@ def test_lifecycle_random_program_matches_model(ray_session, tmp_path,
             assert count_where(out, (icol, ">=", v)) == \
                 int((exp[icol] >= v).sum())
             assert aggregate_where(out, "sum", icol) == int(exp[icol].sum())
+            from colonnade_ray.pipelines import summary_where
+
+            nn = exp[icol].dropna()
+            assert summary_where(out, icol) == {
+                "count": len(exp), "sum": int(nn.sum()),
+                "min": int(nn.min()) if len(nn) else None,
+                "max": int(nn.max()) if len(nn) else None}
             k = 7
             want = exp[[icol, "doc_id"]].dropna(subset=[icol]).sort_values(
                 [icol, "doc_id"], ascending=[False, True]).head(k)
