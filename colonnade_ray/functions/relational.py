@@ -473,9 +473,25 @@ def range_join(left, right, on: str, ts_col: str = "ts",
     ren = {c: c + right_suffix for c in rcols}
 
     def _ns(ser: pd.Series) -> np.ndarray:
-        # normalize numeric or datetime to int64 ns for binning
+        # normalize numeric or datetime to int64 ns for binning.
+        # Numeric timestamps are assumed to be SECONDS; integer dtypes
+        # scale exactly in int64 (no float64 round-trip — float
+        # rounding near bin edges would route an event and its window
+        # into different time bins and silently drop the match), and
+        # magnitudes that would overflow int64 ns raise instead of
+        # wrapping (e.g. a microsecond/nanosecond-scale epoch passed
+        # where seconds were expected).
         if np.issubdtype(ser.dtype, np.datetime64):
             return ser.astype("datetime64[ns]").astype("int64").to_numpy()
+        if pd.api.types.is_integer_dtype(ser.dtype):
+            a = ser.to_numpy().astype(np.int64, copy=False)
+            lim = (2**63 - 1) // 1_000_000_000
+            if a.size and (a.max() > lim or a.min() < -lim):
+                raise ValueError(
+                    "range_join: integer timestamp magnitude exceeds "
+                    "int64-nanosecond range when scaled from seconds; "
+                    "pass datetime64 values or pre-scale to seconds")
+            return a * 1_000_000_000
         return (ser.to_numpy(dtype=np.float64) * 1e9).astype(np.int64)
 
     bin_ns = int(time_bin_s * 1e9) if time_bin_s else None
@@ -484,7 +500,17 @@ def range_join(left, right, on: str, ts_col: str = "ts",
         def fn(b: pa.Table) -> pa.Table:
             t = b.append_column("__side", pa.array([side] * len(b)))
             for c in other_cols:
-                t = t.append_column(c, pa.nulls(len(b), type=other_types[c]))
+                ot = other_types[c]
+                if pa.types.is_integer(ot):
+                    # zero-fill rather than null-fill: these cells are
+                    # never read (per_bucket filters by __side before
+                    # touching them), and typed NULLS would coerce the
+                    # whole column to float64 inside the pandas group,
+                    # losing exactness above 2^53 for int64 ts/lo/hi.
+                    t = t.append_column(
+                        c, pa.array(np.zeros(len(b), np.int64), type=ot))
+                else:
+                    t = t.append_column(c, pa.nulls(len(b), type=ot))
             hb = pd.util.hash_pandas_object(
                 b[on].to_pandas(), index=False
             ).to_numpy() % np.uint64(num_buckets)

@@ -403,6 +403,16 @@ def _zorder_sort(t: pa.Table, cols: Sequence[str], bits: int = 16) -> pa.Table:
     if n <= 1:
         return t
     k = len(cols)
+    # The interleaved key lives in a single uint64: the highest shift is
+    # (bits-1)*k + (k-1) = bits*k - 1, so bits*k must stay <= 64.  numpy
+    # uint64 shifts >= 64 are undefined (wrap mod 64 on x86) and would
+    # silently scramble the key, so clamp per-column bits to the budget.
+    bits = min(bits, 64 // k)
+    if bits < 1:
+        raise ValueError(
+            f"_zorder_sort: cannot interleave {k} columns into a 64-bit "
+            f"key (need at least 1 bit per column); reduce cluster_by "
+            f"to at most 64 columns")
     key = np.zeros(n, dtype=np.uint64)
     for ci, c in enumerate(cols):
         col = t[c]
@@ -490,7 +500,11 @@ def encode_corpus(
     lin_root = os.path.join(out_dir, "_lineage")
     os.makedirs(data_root, exist_ok=True)
     os.makedirs(lin_root, exist_ok=True)
-    record_sketch_cols(out_dir, bloom_cols, hll_cols)
+    # Fresh encode (not append, no committed groups to resume) REPLACES
+    # the sketch config; append / resume unions so already-committed
+    # groups keep their recorded sketches honored.
+    _continuing = append or (resume and bool(completed_groups(out_dir)))
+    record_sketch_cols(out_dir, bloom_cols, hll_cols, union=_continuing)
 
     if append:
         # Incremental corpus growth: encode ONLY input files no
@@ -598,9 +612,20 @@ def encode_corpus(
             elif all(isinstance(c, (tuple, list)) for c in cluster_by):
                 keys = [tuple(c) for c in cluster_by]
                 sort_fn = lambda b: b.sort_by(keys)  # noqa: E731
-            else:
+            elif all(isinstance(c, str) for c in cluster_by):
                 zcols = list(cluster_by)
                 sort_fn = lambda b: _zorder_sort(b, zcols)  # noqa: E731
+            else:
+                # Mixed forms would reach _zorder_sort with a tuple as
+                # a column name and die in an opaque KeyError — reject
+                # up front, naming the offender.
+                bad = next(c for c in cluster_by
+                           if not isinstance(c, str))
+                raise ValueError(
+                    "cluster_by must be a column name, a list of column"
+                    " names (Z-order), or a list of (name, order)"
+                    f" tuples (lexicographic) — got mixed entry {bad!r}"
+                    f" in {list(cluster_by)!r}")
             ds = ds.map_batches(
                 sort_fn,
                 batch_format="pyarrow", batch_size=None,
@@ -653,21 +678,40 @@ def encode_corpus(
     return summary
 
 
-def record_sketch_cols(out_dir: str, bloom_cols, hll_cols) -> None:
+def record_sketch_cols(out_dir: str, bloom_cols, hll_cols,
+                       union: bool = True) -> None:
     """Persist which columns carry per-chunk Bloom / HLL sketches so
     lifecycle REWRITES (vacuum, update_where) can re-derive them for
     the chunks they re-encode instead of silently dropping them —
     pruning quality then survives the lifecycle instead of decaying.
     Advisory config (tmp+rename; a crash that loses it only degrades
-    to the old conservative drop-the-sketch behavior)."""
+    to the old conservative drop-the-sketch behavior).
+
+    ``union=True`` merges into any existing config (append / resume of
+    an in-flight encode — groups already committed with the old
+    sketches stay honored).  ``union=False`` REPLACES the config with
+    exactly the requested columns — the fresh-encode path, so a reused
+    out_dir or a dropped sketch column doesn't leave stale config that
+    every future vacuum/update rewrite keeps paying for."""
     cur = sketch_cols(out_dir)
-    new = {"bloom_cols": sorted(set(cur.get("bloom_cols", []))
-                                | set(bloom_cols or [])),
-           "hll_cols": sorted(set(cur.get("hll_cols", []))
-                              | set(hll_cols or []))}
-    if new == cur or (not new["bloom_cols"] and not new["hll_cols"]):
-        return
+    if union:
+        new = {"bloom_cols": sorted(set(cur.get("bloom_cols", []))
+                                    | set(bloom_cols or [])),
+               "hll_cols": sorted(set(cur.get("hll_cols", []))
+                                  | set(hll_cols or []))}
+    else:
+        new = {"bloom_cols": sorted(set(bloom_cols or [])),
+               "hll_cols": sorted(set(hll_cols or []))}
     path = os.path.join(_meta_root(out_dir), "sketch_cols.json")
+    if not new["bloom_cols"] and not new["hll_cols"]:
+        if not union and cur:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+        return
+    if new == cur:
+        return
     tmp = path + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(new, fh)
@@ -1487,6 +1531,51 @@ def aggregate_where(out_dir: str, agg: str, col: str,
     return sum(vals)
 
 
+def corpus_column_types(out_dir: str) -> dict:
+    """Decoded Arrow type of every column, read from ONE chunk's codec
+    metadata (plan_json + colN_meta of the first committed chunk) —
+    no payload decode.  Lets the pushdowns build TYPED empty results
+    when pruning or predicates eliminate every chunk, so downstream
+    ``pa.concat_tables`` with typed non-empty tables doesn't fail on
+    null-typed schemas.  Returns {} on an empty corpus."""
+    from ..codecs.columns import desc_to_type
+
+    gids = active_groups(out_dir)
+    if not gids:
+        return {}
+    gdir = os.path.join(out_dir, "data", f"group-{gids[0]}")
+    try:
+        f = next(os.path.join(gdir, p) for p in sorted(os.listdir(gdir))
+                 if p.endswith(".parquet"))
+        pf = pq.ParquetFile(f)
+        meta_cols = [c for c in pf.schema_arrow.names
+                     if c == "plan_json" or c.endswith("_meta")]
+        head = pf.read_row_group(0, columns=meta_cols)
+    except (StopIteration, OSError, IndexError):
+        return {}
+    if "plan_json" not in head.column_names or len(head) == 0:
+        return {}
+    names = json.loads(head["plan_json"][0].as_py())
+    out = {}
+    for i, name in enumerate(names):
+        mcol = f"col{i}_meta"
+        if mcol in head.column_names:
+            meta = json.loads(head[mcol][0].as_py())
+            try:
+                out[name] = desc_to_type(meta["atype"])
+            except (KeyError, ValueError):
+                pass
+    return out
+
+
+def _typed_empty(out_dir: str, cols: Sequence[str]) -> pa.Table:
+    """Empty table over ``cols`` with the corpus's decoded dtypes
+    (null type only for columns the corpus has never seen)."""
+    types = corpus_column_types(out_dir)
+    return pa.table({c: pa.array([], type=types.get(c, pa.null()))
+                     for c in cols})
+
+
 def topk_where(out_dir: str, col: str, k: int = 10,
                columns: Optional[Sequence[str]] = None,
                descending: bool = True, predicate=None,
@@ -1574,7 +1663,7 @@ def topk_where(out_dir: str, col: str, k: int = 10,
             cands.append((far, near, n_nonnull, gid, cid))
     if not cands:
         base = list(dict.fromkeys([col, *tie_cols, *(columns or [])]))
-        empty = pa.table({c: pa.array([]) for c in base})
+        empty = _typed_empty(out_dir, base)
         if return_stats:
             return empty, {"chunks_total": 0, "chunks_candidate": 0,
                            "groups_total": len(gids),
@@ -1608,6 +1697,7 @@ def topk_where(out_dir: str, col: str, k: int = 10,
     dec_cols = list(dict.fromkeys(out_cols + [p[0] for p in preds]))
     enc, cpt = _read_encoded(out_dir, dec_cols, concurrency,
                              groups=cand_groups, chunk_ids=cand_cids)
+    empty_block = _typed_empty(out_dir, out_cols)
 
     def part(batch: pa.Table) -> pa.Table:
         _register_dict_dir(out_dir)
@@ -1643,7 +1733,7 @@ def topk_where(out_dir: str, col: str, k: int = 10,
             if t.num_rows:
                 parts.append(t.select(out_cols))
         if not parts:
-            return pa.table({})
+            return empty_block
         t = pa.concat_tables(parts)
         order = [(col, "descending" if descending else "ascending")] + [
             (c, "ascending") for c in tie_cols
@@ -1661,7 +1751,7 @@ def topk_where(out_dir: str, col: str, k: int = 10,
                                          batch_size=None)
               if b.num_columns and b.num_rows]
     if not blocks:
-        empty = pa.table({c: pa.array([]) for c in out_cols})
+        empty = _typed_empty(out_dir, out_cols)
         return (empty, stats_out) if return_stats else empty
     merged = pa.concat_tables(blocks, promote_options="default")
     order = [(col, "descending" if descending else "ascending")] + [
@@ -1800,7 +1890,8 @@ def approx_distinct(out_dir: str, col: str, predicate=None,
 
 def group_counts(out_dir: str, group_col: str,
                  value_col: Optional[str] = None, concurrency=None,
-                 snapshot: Optional[str] = None):
+                 snapshot: Optional[str] = None,
+                 max_driver_groups: int = 100_000):
     """Per-group row counts (and optional integer-column sums) over
     the encoded corpus, metadata-first: a chunk whose ``group_col``
     zone band has lo == hi provably holds ONE group — its n_rows (and
@@ -1898,16 +1989,30 @@ def group_counts(out_dir: str, group_col: str,
                          concurrency=concurrency or default_concurrency())
     import pandas as pd
 
-    df = ds.to_pandas()
-    if df.empty:
-        # every group pruned/deleted: an empty frame with the right
-        # columns (a wiped corpus's blocks never reach `part`, so the
-        # frame arrives schemaless)
-        df = pd.DataFrame({"g": pd.Series([], dtype=str),
-                           "n": pd.Series([], dtype="int64"),
-                           "s": pd.Series([], dtype="int64")})
-    out = df.groupby("g", as_index=False).agg(n_rows=("n", "sum"),
-                                              s=("s", "sum"))
+    # Merge the per-task (group, partial) rows.  Driver-small results
+    # (≤ max_driver_groups partial rows ≈ tasks × groups) fold in one
+    # pandas groupby; above the guard the fold is a distributed Ray
+    # groupby over the partials Dataset (never the corpus) — mirroring
+    # relational._lattice_levels_distributed — so the driver only
+    # receives the already-merged groups-sized frame it must return.
+    ds = ds.materialize()
+    if ds.count() > max_driver_groups:
+        from ray.data.aggregate import Sum
+
+        out = ds.groupby("g").aggregate(
+            Sum("n", alias_name="n_rows"),
+            Sum("s", alias_name="s")).to_pandas()
+    else:
+        df = ds.to_pandas()
+        if df.empty:
+            # every group pruned/deleted: an empty frame with the right
+            # columns (a wiped corpus's blocks never reach `part`, so
+            # the frame arrives schemaless)
+            df = pd.DataFrame({"g": pd.Series([], dtype=str),
+                               "n": pd.Series([], dtype="int64"),
+                               "s": pd.Series([], dtype="int64")})
+        out = df.groupby("g", as_index=False).agg(n_rows=("n", "sum"),
+                                                  s=("s", "sum"))
     out = out.rename(columns={"g": group_col})
     if value_col:
         out = out.rename(columns={"s": f"sum_{value_col}"})
@@ -2017,7 +2122,8 @@ def grouped_topk_where(out_dir: str, group_col: str, value_col: str,
                        descending: bool = True,
                        tie_cols: Sequence[str] = (), concurrency=None,
                        snapshot: Optional[str] = None,
-                       return_stats: bool = False):
+                       return_stats: bool = False,
+                       max_driver_groups: int = 100_000):
     """Top-k rows PER GROUP over the encoded corpus — ``topk_where``'s
     bound computed per group key from the manifests.
 
@@ -2098,7 +2204,7 @@ def grouped_topk_where(out_dir: str, group_col: str, value_col: str,
                  "chunks_candidate": len(cand),
                  "chunks_mixed": len(mixed)}
     if not cand:
-        empty = pa.table({c: pa.array([]) for c in out_cols})
+        empty = _typed_empty(out_dir, out_cols)
         return (empty, stats_out) if return_stats else empty
 
     cand_cids = {c for _g, c in cand}
@@ -2108,6 +2214,9 @@ def grouped_topk_where(out_dir: str, group_col: str, value_col: str,
     order = [(value_col, "descending" if descending else "ascending")] + [
         (c, "ascending") for c in tie_cols
     ]
+    # typed empty for all-pruned tasks, so Ray never sees a
+    # schema-less RefBundle and the distributed-merge groupby works
+    empty_block = _typed_empty(out_dir, out_cols)
 
     def _topk_per_group(t: pa.Table) -> pa.Table:
         import pandas as pd
@@ -2146,27 +2255,50 @@ def grouped_topk_where(out_dir: str, group_col: str, value_col: str,
             if t.num_rows:
                 parts.append(t.select(out_cols))
         if not parts:
-            return pa.table({})
+            return empty_block
         return _topk_per_group(pa.concat_tables(parts))
 
     ds = enc.map_batches(part, batch_format="pyarrow",
                          batch_size=max(1, cpt), zero_copy_batch=True,
                          concurrency=concurrency or default_concurrency())
-    blocks = [b for b in ds.iter_batches(batch_format="pyarrow",
-                                         batch_size=None)
-              if b.num_columns and b.num_rows]
-    if not blocks:
-        empty = pa.table({c: pa.array([]) for c in out_cols})
+    # Merge the ≤ k-per-(group, task) survivors.  Driver-small merges
+    # concat + one pandas top-k; above max_driver_groups survivor rows
+    # the per-group head runs as a distributed Ray groupby over the
+    # partials (never the corpus) — same guard as group_counts.
+    ds = ds.materialize()
+    n_partial = ds.count()
+    if n_partial == 0:
+        empty = _typed_empty(out_dir, out_cols)
         return (empty, stats_out) if return_stats else empty
-    merged = _topk_per_group(
-        pa.concat_tables(blocks, promote_options="default"))
+    if n_partial > max_driver_groups:
+        import pandas as pd
+
+        asc = [not descending] + [True] * len(tie_cols)
+
+        def _head_df(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df[value_col].notna()]
+            df = df.sort_values([value_col, *tie_cols], ascending=asc,
+                                kind="mergesort")
+            return df.head(k)
+
+        merged = pa.Table.from_pandas(
+            ds.groupby(group_col).map_groups(
+                _head_df, batch_format="pandas").to_pandas(),
+            preserve_index=False).select(out_cols)
+    else:
+        blocks = [b for b in ds.iter_batches(batch_format="pyarrow",
+                                             batch_size=None)
+                  if b.num_columns and b.num_rows]
+        merged = _topk_per_group(
+            pa.concat_tables(blocks, promote_options="default"))
     merged = merged.take(pc.sort_indices(
         merged, sort_keys=[(group_col, "ascending")] + order))
     return (merged, stats_out) if return_stats else merged
 
 
 def group_aggregates(out_dir: str, group_col: str, value_col: str,
-                     concurrency=None, snapshot: Optional[str] = None):
+                     concurrency=None, snapshot: Optional[str] = None,
+                     max_driver_groups: int = 100_000):
     """Per-group COUNT / SUM / MIN / MAX over one integer column of
     the encoded corpus — ``group_counts`` extended with the min/max
     bounds the zone maps already store: a chunk proven single-group
@@ -2258,16 +2390,28 @@ def group_aggregates(out_dir: str, group_col: str, value_col: str,
     ds = enc.map_batches(part, batch_format="pyarrow",
                          batch_size=max(1, cpt), zero_copy_batch=True,
                          concurrency=concurrency or default_concurrency())
-    df = ds.to_pandas()
-    if df.empty:
-        df = pd.DataFrame({"g": pd.Series([], dtype=str),
-                           "n": pd.Series([], dtype="int64"),
-                           "s": pd.Series([], dtype="int64"),
-                           "mn": pd.Series([], dtype="int64"),
-                           "mx": pd.Series([], dtype="int64")})
-    out = df.groupby("g", as_index=False).agg(
-        n_rows=("n", "sum"), s=("s", "sum"),
-        mn=("mn", "min"), mx=("mx", "max"))
+    # same driver-size guard as group_counts: distributed Ray groupby
+    # over the partials above max_driver_groups partial rows
+    ds = ds.materialize()
+    if ds.count() > max_driver_groups:
+        from ray.data.aggregate import Max, Min, Sum
+
+        out = ds.groupby("g").aggregate(
+            Sum("n", alias_name="n_rows"),
+            Sum("s", alias_name="s"),
+            Min("mn", alias_name="mn"),
+            Max("mx", alias_name="mx")).to_pandas()
+    else:
+        df = ds.to_pandas()
+        if df.empty:
+            df = pd.DataFrame({"g": pd.Series([], dtype=str),
+                               "n": pd.Series([], dtype="int64"),
+                               "s": pd.Series([], dtype="int64"),
+                               "mn": pd.Series([], dtype="int64"),
+                               "mx": pd.Series([], dtype="int64")})
+        out = df.groupby("g", as_index=False).agg(
+            n_rows=("n", "sum"), s=("s", "sum"),
+            mn=("mn", "min"), mx=("mx", "max"))
     out = out.rename(columns={"g": group_col,
                               "s": f"sum_{value_col}",
                               "mn": f"min_{value_col}",

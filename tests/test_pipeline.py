@@ -1353,3 +1353,53 @@ def test_lengths_ref_projected_decode_corpus(corpus_dir, tmp_path, ray_session):
     assert all(
         np.array_equal(a, b) for a, b in zip(got["tokens"], exp["tokens"])
     )
+
+
+def test_grouped_pushdowns_distributed_merge_equivalence(tmp_path, ray_session):
+    """Forcing the distributed-merge path (max_driver_groups=0) yields
+    byte-identical output to the driver-dict path on group_counts,
+    group_aggregates, and grouped_topk_where — including under
+    delete masks — so the scale fallback is a pure merge-strategy
+    swap, never a semantics change."""
+    from colonnade_ray.pipelines import (
+        delete_where,
+        group_aggregates,
+        group_counts,
+        grouped_topk_where,
+    )
+
+    rng = np.random.default_rng(47)
+    n = 6000
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:06d}" for i in range(n)]),
+        "src": pa.array([f"s{x}" for x in rng.integers(0, 8, n)]),
+        "v": pa.array(rng.integers(-100, 50_000, n), pa.int64()),
+    })
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    pq.write_table(t, src_dir / "p0.parquet")
+    out = str(tmp_path / "enc")
+    encode_corpus(str(src_dir), out, batch_size=256, cluster_by="src")
+    delete_where(out, ("v", ">=", 48_000))  # exercise masked chunks
+
+    gc_drv = group_counts(out, "src", "v")
+    gc_dst = group_counts(out, "src", "v", max_driver_groups=0)
+    pd.testing.assert_frame_equal(gc_drv, gc_dst)
+
+    ga_drv = group_aggregates(out, "src", "v")
+    ga_dst = group_aggregates(out, "src", "v", max_driver_groups=0)
+    pd.testing.assert_frame_equal(ga_drv, ga_dst)
+
+    tk_drv = grouped_topk_where(out, "src", "v", k=3, tie_cols=["doc_id"])
+    tk_dst = grouped_topk_where(out, "src", "v", k=3, tie_cols=["doc_id"],
+                                max_driver_groups=0)
+    assert tk_drv.schema == tk_dst.schema
+    assert tk_drv.equals(tk_dst)
+
+    # ascending + explicit column projection through the distributed path
+    tk2_drv = grouped_topk_where(out, "src", "v", k=2, descending=False,
+                                 tie_cols=["doc_id"], columns=["doc_id"])
+    tk2_dst = grouped_topk_where(out, "src", "v", k=2, descending=False,
+                                 tie_cols=["doc_id"], columns=["doc_id"],
+                                 max_driver_groups=0)
+    assert tk2_drv.equals(tk2_dst)
