@@ -809,6 +809,35 @@ def q_encoded_count_where(sf_dir: str):
                                 preserve_index=False)
 
 
+def q_encoded_count_where_or(sf_dir: str):
+    """OR / NOT predicate composition IN the gate: encode the
+    documents table clustered on n_chars, then answer disjunctive,
+    negated, and nested WHERE counts via count_where — the zone maps
+    prune composed expressions (may-match union for OR,
+    complement-of-proven for NOT) and the answers must match plain
+    SQL over the raw table."""
+    from colonnade_ray.pipelines import count_where, encode_corpus
+
+    work = _run_dir(sf_dir, "pushdown_or")
+    inp = os.path.join(work, "input")
+    out = os.path.join(work, "out")
+    _tbl(sf_dir, "documents", ["doc_id", "n_chars", "source"]) \
+        .write_parquet(inp)
+    encode_corpus(inp, out, batch_size=512, resume=False,
+                  cluster_by="n_chars")
+    n_or = count_where(out, ("or", ("n_chars", "<", 200),
+                             ("n_chars", ">=", 900)))
+    n_not = count_where(out, ("not", ("n_chars", ">=", 600)))
+    n_nested = count_where(
+        out, ("and", ("not", ("n_chars", "<", 300)),
+              ("or", ("source", "==", "src1"), ("source", "==", "src3"))))
+    return pa.table({
+        "n_or": pa.array([n_or], pa.int64()),
+        "n_not": pa.array([n_not], pa.int64()),
+        "n_nested": pa.array([n_nested], pa.int64()),
+    })
+
+
 def q_encoded_zorder_pushdown(sf_dir: str):
     """Z-order layout IN the gate: encode the documents table clustered
     on (n_chars, doc_id) — block-local Morton interleave of ranks, so
@@ -2125,6 +2154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_v2": q_curation_v2,
         "active_customers": q_active_customers,
         "encoded_count_where": q_encoded_count_where,
+        "encoded_count_where_or": q_encoded_count_where_or,
         "encoded_zorder_pushdown": q_encoded_zorder_pushdown,
         "encoded_topk": q_encoded_topk,
         "approx_distinct": q_approx_distinct,
@@ -2755,6 +2785,15 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents "
             "WHERE n_chars >= 600) AS n_ge_600 "
             "FROM documents GROUP BY source ORDER BY source"
+        ),
+        "encoded_count_where_or": (
+            "SELECT CAST(COUNT(*) FILTER (n_chars < 200 OR n_chars >= 900)"
+            " AS BIGINT) AS n_or, "
+            "CAST(COUNT(*) FILTER (NOT (n_chars >= 600)) AS BIGINT) "
+            "AS n_not, "
+            "CAST(COUNT(*) FILTER (NOT (n_chars < 300) AND "
+            "(source = 'src1' OR source = 'src3')) AS BIGINT) AS n_nested "
+            "FROM documents"
         ),
         "encoded_summary": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS n, "

@@ -166,6 +166,8 @@ def delete_where(out_dir: str, predicate, concurrency=None,
         chunk_may_match,
         decode_chunk_row,
         normalize_predicates,
+        predicate_columns,
+        predicate_json,
         predicate_mask,
     )
     from ..util import default_concurrency
@@ -179,7 +181,7 @@ def delete_where(out_dir: str, predicate, concurrency=None,
     preds = normalize_predicates(predicate)
     if not preds:
         raise ValueError("delete_where needs at least one predicate")
-    cols = sorted({p[0] for p in preds})
+    cols = sorted(predicate_columns(preds))
     groups = None
     if exclude_covering:
         excl = {os.path.realpath(p) for p in exclude_covering}
@@ -193,8 +195,7 @@ def delete_where(out_dir: str, predicate, concurrency=None,
             if not (covered & excl):
                 groups.append(gid)
     did = hashlib.blake2b(
-        (json.dumps([list(p[:2]) + [p[2] if p[1] != "in" else list(p[2])]
-                     for p in preds], sort_keys=True, default=str)
+        (json.dumps(predicate_json(preds), sort_keys=True, default=str)
          + "|" + ",".join(committed_deletes(out_dir))
          + ("|scope:" + ",".join(groups) if groups is not None else "")
          ).encode(),
@@ -285,9 +286,7 @@ def delete_where(out_dir: str, predicate, concurrency=None,
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
         json.dump({
-            "predicate": [[p[0], p[1],
-                           list(p[2]) if p[1] == "in" else p[2]]
-                          for p in preds],
+            "predicate": predicate_json(preds),
             "chunks_touched": chunks,
             "rows_deleted": rows_deleted,
         }, f, indent=1, default=str)

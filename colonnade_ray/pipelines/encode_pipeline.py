@@ -1132,9 +1132,19 @@ def decode_corpus(out_dir: str, verify_checksum: bool = True, concurrency=None,
     storage: the plan is read from the lineage manifest and only the
     selected ``colN_payload``/``colN_meta`` parquet columns are read —
     untouched payload streams never leave disk.  ``predicate`` prunes
-    whole chunks by their lineage zone maps before exact filtering.
+    whole chunks by their lineage zone maps before exact filtering;
+    predicate columns outside the projection still decode for the
+    exact filter (their payloads join the storage read) and are
+    dropped from the result.
     """
-    enc, cpt = _read_encoded(out_dir, columns, concurrency,
+    from ..stages.decode import normalize_predicates, predicate_columns
+
+    read_cols = columns
+    if columns is not None and predicate is not None:
+        read_cols = list(dict.fromkeys(
+            list(columns)
+            + predicate_columns(normalize_predicates(predicate))))
+    enc, cpt = _read_encoded(out_dir, read_cols, concurrency,
                              predicate=predicate)
     return decode_dataset(enc, verify_checksum=verify_checksum,
                           concurrency=concurrency, columns=columns,
@@ -1365,6 +1375,7 @@ def count_where(out_dir: str, predicate, concurrency=None,
         chunk_may_match,
         decode_chunk_row,
         normalize_predicates,
+        predicate_columns,
     )
     from ..util import default_concurrency
 
@@ -1372,7 +1383,7 @@ def count_where(out_dir: str, predicate, concurrency=None,
     if not preds:
         raise ValueError("count_where needs at least one predicate; "
                          "use corpus_summary()['rows'] for the total")
-    cols = sorted({p[0] for p in preds})
+    cols = sorted(predicate_columns(preds))
     scope_groups, deletes_dir = _scope(out_dir, snapshot)
     enc, cpt = _read_encoded(out_dir, cols, concurrency,
                              predicate=predicate, groups=scope_groups)
@@ -1443,13 +1454,14 @@ def aggregate_where(out_dir: str, agg: str, col: str,
         chunk_may_match,
         decode_chunk_row,
         normalize_predicates,
+        predicate_columns,
     )
     from ..util import default_concurrency
 
     if agg not in ("min", "max", "sum"):
         raise ValueError(f"unsupported agg {agg!r}")
     preds = normalize_predicates(predicate)
-    cols = sorted({p[0] for p in preds} | {col})
+    cols = sorted(set(predicate_columns(preds)) | {col})
     scope_groups, deletes_dir = _scope(out_dir, snapshot)
     enc, cpt = _read_encoded(out_dir, cols, concurrency,
                              predicate=predicate, groups=scope_groups)
@@ -1605,6 +1617,7 @@ def topk_where(out_dir: str, col: str, k: int = 10,
         chunk_may_match,
         decode_chunk_row,
         normalize_predicates,
+        predicate_columns,
     )
     from ..util import default_concurrency
 
@@ -1694,7 +1707,7 @@ def topk_where(out_dir: str, col: str, k: int = 10,
                  "groups_candidate": len(cand_groups), "threshold": T}
     out_cols = list(dict.fromkeys([col, *tie_cols, *(columns or [])]))
     # predicate columns must decode too (filtered out before project)
-    dec_cols = list(dict.fromkeys(out_cols + [p[0] for p in preds]))
+    dec_cols = list(dict.fromkeys(out_cols + predicate_columns(preds)))
     enc, cpt = _read_encoded(out_dir, dec_cols, concurrency,
                              groups=cand_groups, chunk_ids=cand_cids)
     empty_block = _typed_empty(out_dir, out_cols)
@@ -1794,6 +1807,7 @@ def approx_distinct(out_dir: str, col: str, predicate=None,
         chunk_may_match,
         decode_chunk_row,
         normalize_predicates,
+        predicate_columns,
     )
     from ..util import default_concurrency
 
@@ -1840,7 +1854,7 @@ def approx_distinct(out_dir: str, col: str, predicate=None,
                 scan_groups.add(gid)
 
     if scan_keys:
-        dec_cols = list(dict.fromkeys([col] + [p[0] for p in preds]))
+        dec_cols = list(dict.fromkeys([col] + predicate_columns(preds)))
         enc, cpt = _read_encoded(out_dir, dec_cols, concurrency,
                                  groups=sorted(scan_groups),
                                  chunk_ids={c for _f, c in scan_keys})
@@ -2037,12 +2051,13 @@ def summary_where(out_dir: str, col: str, predicate=None,
         chunk_may_match,
         decode_chunk_row,
         normalize_predicates,
+        predicate_columns,
     )
     from ..util import default_concurrency
 
     preds = normalize_predicates(predicate) if predicate is not None else []
     scope_groups, deletes_dir = _scope(out_dir, snapshot)
-    dec_cols = list(dict.fromkeys([col] + [p[0] for p in preds]))
+    dec_cols = list(dict.fromkeys([col] + predicate_columns(preds)))
     enc, cpt = _read_encoded(out_dir, dec_cols, concurrency,
                              predicate=predicate, groups=scope_groups)
 

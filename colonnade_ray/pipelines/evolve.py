@@ -659,7 +659,11 @@ def update_where(out_dir: str, predicate, fn: Callable,
     that moves rows out of the matched set)."""
     import ray.data as rd
 
-    from ..stages.decode import chunk_may_match, normalize_predicates
+    from ..stages.decode import (
+        chunk_may_match,
+        normalize_predicates,
+        predicate_json,
+    )
     from .deletes import committed_deletes
     from .encode_pipeline import (
         LINEAGE_COLS,
@@ -683,9 +687,8 @@ def update_where(out_dir: str, predicate, fn: Callable,
     groups = active_groups(out_dir)
     if not groups:
         raise FileNotFoundError(f"no committed encode groups under {out_dir}")
-    pred_key = json.dumps(
-        [[p[0], p[1], list(p[2]) if p[1] == "in" else p[2]] for p in preds],
-        sort_keys=True, default=str)
+    pred_key = json.dumps(predicate_json(preds),
+                          sort_keys=True, default=str)
     todo = []
     for gid in groups:
         lt = pq.read_table(os.path.join(lin_root, f"group-{gid}.parquet"),

@@ -60,29 +60,109 @@ def _predicate_value(v):
     return v
 
 
+_NODE_OPS = ("and", "or", "not")
+
+
+def _is_node(p) -> bool:
+    return (isinstance(p, (tuple, list)) and len(p) >= 2
+            and isinstance(p[0], str) and p[0] in _NODE_OPS)
+
+
+def _normalize_expr(p):
+    """One predicate expression -> validated canonical form.  A leaf
+    is ``(col, op, value)``; composition nodes are ``("and", e, ...)``,
+    ``("or", e, ...)`` (n-ary, n >= 1) and ``("not", e)``."""
+    if _is_node(p):
+        op = p[0]
+        kids = [_normalize_expr(k) for k in p[1:]]
+        if op == "not" and len(kids) != 1:
+            raise ValueError(f'("not", expr) takes exactly one operand: {p!r}')
+        return (op, *kids)
+    if not isinstance(p, (tuple, list)) or len(p) != 3 or p[1] not in _OPS:
+        raise ValueError(f"unsupported predicate {p!r}")
+    if p[1] == "in":
+        vals = list(p[2])
+        if not vals:
+            raise ValueError(f"empty value list in predicate {p!r}")
+        p = (p[0], "in", vals)
+    if p[1] in ("startswith", "endswith", "contains") \
+            and not isinstance(p[2], str):
+        raise ValueError(f"{p[1]} needs a string value: {p!r}")
+    return tuple(p)
+
+
 def normalize_predicates(predicate) -> list:
-    """One (col, op, value) clause or a sequence of them -> validated
-    list (AND semantics).  None -> []."""
+    """One predicate expression or a sequence of them -> validated
+    list (AND semantics across list elements).  None -> [].
+
+    Each element is either a ``(col, op, value)`` clause or a boolean
+    composition: ``("or", e1, e2, ...)``, ``("and", e1, ...)``,
+    ``("not", e)`` — nested arbitrarily.  Every pushdown consumer
+    (count/aggregate/topk/summary/decode/delete) prunes composed
+    expressions against the zone + bloom metadata: conservative
+    may-match union for disjunctions, complement-of-proven for
+    negation (a chunk is all-¬p only when p provably matches no row
+    AND the referenced columns are provably null-free — SQL
+    three-valued NOT never selects null outcomes)."""
     if predicate is None:
         return []
-    preds = [predicate] if (
+    if _is_node(predicate) or (
         isinstance(predicate, tuple) and len(predicate) == 3
         and isinstance(predicate[1], str)
-    ) else list(predicate)
-    out = []
+    ):
+        preds = [predicate]
+    else:
+        preds = list(predicate)
+    return [_normalize_expr(p) for p in preds]
+
+
+def predicate_columns(preds) -> list:
+    """Every column referenced by a predicate expression (or list of
+    them), leaves-first order, deduplicated — the projection the
+    exact filter needs decoded."""
+    if preds is None:
+        return []
+    if isinstance(preds, tuple) and (
+            _is_node(preds) or (len(preds) == 3
+                                and isinstance(preds[1], str)
+                                and preds[1] in _OPS)):
+        preds = [preds]
+    out: list = []
+
+    def walk(e):
+        if _is_node(e):
+            for k in e[1:]:
+                walk(k)
+        else:
+            if e[0] not in out:
+                out.append(e[0])
+
     for p in preds:
-        if len(p) != 3 or p[1] not in _OPS:
-            raise ValueError(f"unsupported predicate {p!r}")
-        if p[1] == "in":
-            vals = list(p[2])
-            if not vals:
-                raise ValueError(f"empty value list in predicate {p!r}")
-            p = (p[0], "in", vals)
-        if p[1] in ("startswith", "endswith", "contains") \
-                and not isinstance(p[2], str):
-            raise ValueError(f"{p[1]} needs a string value: {p!r}")
-        out.append(p)
+        walk(p)
     return out
+
+
+def predicate_json(preds) -> list:
+    """JSON-able form of a normalized predicate list (for lifecycle
+    markers / idempotence keys): leaves -> [col, op, value(,list for
+    'in')]; nodes -> [op, child, ...]."""
+
+    def enc(e):
+        if _is_node(e):
+            return [e[0]] + [enc(k) for k in e[1:]]
+        return [e[0], e[1], list(e[2]) if e[1] == "in" else e[2]]
+
+    return [enc(p) for p in preds]
+
+
+def _zero_nulls_proven(stats: dict, cols) -> bool:
+    """True only when the chunk PROVES every listed column null-free
+    (a present __nulls__ side table; absent column entry = 0 by the
+    encode convention)."""
+    nt = stats.get("__nulls__")
+    if nt is None:
+        return False
+    return all(not nt.get(c, 0) for c in cols)
 
 
 def chunk_may_match(stats_json: Optional[str], predicate: Tuple[str, str, object]) -> bool:
@@ -92,6 +172,15 @@ def chunk_may_match(stats_json: Optional[str], predicate: Tuple[str, str, object
     (``encode_corpus(bloom_cols=...)``, stages/bloomzone.py) — the
     point-read pruner zone bands can't provide on high-cardinality
     columns.  Absence of a filter is conservative (may-match)."""
+    if _is_node(predicate):
+        op = predicate[0]
+        if op == "and":
+            return all(chunk_may_match(stats_json, k) for k in predicate[1:])
+        if op == "or":
+            # conservative union: the chunk survives if ANY branch may
+            return any(chunk_may_match(stats_json, k) for k in predicate[1:])
+        # not: only an ALL-match proof of the operand excludes ¬p rows
+        return not chunk_all_match(stats_json, predicate[1])
     if not stats_json:
         return True
     col, op, val = predicate
@@ -258,6 +347,25 @@ def chunk_all_match(stats_json: Optional[str],
     proven-zero null count (nulls never satisfy a comparison, and
     [min, max] is computed over non-nulls; chunks encoded before the
     `__nulls__` side table simply never prove all-match)."""
+    if _is_node(predicate):
+        op = predicate[0]
+        if op == "and":
+            return all(chunk_all_match(stats_json, k) for k in predicate[1:])
+        if op == "or":
+            # sound (not complete): one branch proving every row is
+            # enough; cross-branch row-level unions are unprovable
+            # from [min, max] alone
+            return any(chunk_all_match(stats_json, k) for k in predicate[1:])
+        # not: every row must FAIL p with a non-null outcome — p
+        # provably matches no row AND its columns are provably
+        # null-free (null comparisons are SQL-null, and NOT null is
+        # still not TRUE)
+        if not stats_json:
+            return False
+        if chunk_may_match(stats_json, predicate[1]):
+            return False
+        return _zero_nulls_proven(json.loads(stats_json),
+                                  predicate_columns(predicate[1]))
     if not stats_json:
         return False
     col, op, val = predicate
@@ -304,12 +412,26 @@ def chunk_all_match(stats_json: Optional[str],
     return False
 
 
-def predicate_mask(t: pa.Table, predicate: Tuple[str, str, object]):
-    """Boolean array: predicate is TRUE per row (nulls -> False, the
-    SQL three-valued outcome of WHERE / DELETE WHERE).  None when the
-    column isn't present (caller decides the open-world default)."""
+def _mask_3v(t: pa.Table, predicate):
+    """SQL three-valued boolean mask (nulls preserved) for a predicate
+    expression; None when any referenced column is absent (caller
+    decides the open-world default).  Composition uses Kleene logic
+    (and_kleene / or_kleene / invert), so NOT over a null comparison
+    stays null — and the final WHERE treats it as not-TRUE."""
     import pyarrow.compute as pc
 
+    if _is_node(predicate):
+        op = predicate[0]
+        kids = [_mask_3v(t, k) for k in predicate[1:]]
+        if any(m is None for m in kids):
+            return None
+        if op == "not":
+            return pc.invert(kids[0])
+        m = kids[0]
+        comb = pc.and_kleene if op == "and" else pc.or_kleene
+        for k in kids[1:]:
+            m = comb(m, k)
+        return m
     col, op, val = predicate
     if col not in t.column_names:
         return None
@@ -317,6 +439,9 @@ def predicate_mask(t: pa.Table, predicate: Tuple[str, str, object]):
     if op == "in":
         vals = pa.array(list(val)).cast(c.type)
         m = pc.is_in(c, value_set=vals)
+        # pc.is_in maps null -> False; restore SQL-null for Kleene
+        # composition (NOT (x IN ...) must stay null for null x)
+        m = pc.if_else(pc.is_valid(c), m, pa.scalar(None, pa.bool_()))
     elif op == "startswith":
         m = pc.starts_with(c, pattern=val)
     elif op == "endswith":
@@ -328,7 +453,18 @@ def predicate_mask(t: pa.Table, predicate: Tuple[str, str, object]):
         fn = {"==": pc.equal, "!=": pc.not_equal, ">": pc.greater,
               ">=": pc.greater_equal, "<": pc.less, "<=": pc.less_equal}[op]
         m = fn(c, v)
-    return pc.fill_null(m, False)
+    return m
+
+
+def predicate_mask(t: pa.Table, predicate):
+    """Boolean array: predicate is TRUE per row (nulls -> False, the
+    SQL three-valued outcome of WHERE / DELETE WHERE).  None when a
+    referenced column isn't present (caller decides the open-world
+    default).  Accepts composed ("and"/"or"/"not") expressions."""
+    import pyarrow.compute as pc
+
+    m = _mask_3v(t, predicate)
+    return None if m is None else pc.fill_null(m, False)
 
 
 def _exact_filter(t: pa.Table, predicate: Tuple[str, str, object]) -> pa.Table:
@@ -346,11 +482,16 @@ class DecodeBatch:
                  predicate=None,
                  dict_dirs: Optional[Sequence[str]] = None,
                  deletes_dir: Optional[str] = None):
-        # one (col, op, value) clause or a list of clauses AND'd
-        # together; each clause prunes via the zone maps independently
+        # one predicate expression or a list AND'd together (leaves
+        # and "and"/"or"/"not" nodes); each prunes via the zone maps
         self.predicates = normalize_predicates(predicate)
         self.verify_checksum = verify_checksum
         self.columns = list(columns) if columns is not None else None
+        # predicate columns outside the projection still decode (the
+        # exact filter needs their values) and are dropped afterwards
+        self._dec_cols = None if self.columns is None else list(
+            dict.fromkeys(self.columns
+                          + predicate_columns(self.predicates)))
         # shared-dict search roots, registered lazily IN THE WORKER
         # (__init__ may run on the driver before pickling)
         self.dict_dirs = list(dict_dirs) if dict_dirs else []
@@ -386,11 +527,14 @@ class DecodeBatch:
                 if isinstance(dmask, str):  # "all": whole chunk deleted
                     continue
             row = {c: batch[c][r].as_py() for c in cols}
-            t = decode_chunk_row(row, self.verify_checksum, self.columns)
+            t = decode_chunk_row(row, self.verify_checksum, self._dec_cols)
             if dmask is not None:
                 t = t.filter(pa.array(~dmask))
             for p in self.predicates:
                 t = _exact_filter(t, p)
+            if self.columns is not None and t.column_names != self.columns:
+                t = t.select([c for c in self.columns
+                              if c in t.column_names])
             if t.num_rows:
                 tables.append(t)
         if not tables:

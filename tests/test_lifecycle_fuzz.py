@@ -111,6 +111,20 @@ def test_lifecycle_random_program_matches_model(ray_session, tmp_path,
                 "count": len(exp), "sum": int(nn.sum()),
                 "min": int(nn.min()) if len(nn) else None,
                 "max": int(nn.max()) if len(nn) else None}
+            # OR / NOT composition vs the model (zone+bloom pruning
+            # must stay exact through every lifecycle op)
+            lo = int(exp[icol].quantile(0.25))
+            hi = int(exp[icol].quantile(0.75))
+            e = exp[icol]
+            assert count_where(out, ("or", (icol, "<", lo),
+                                     (icol, ">", hi))) == \
+                int(((e < lo) | (e > hi)).sum())
+            assert count_where(out, ("not", (icol, "<", lo))) == \
+                int((e >= lo).sum())
+            assert count_where(
+                out, ("and", ("not", (icol, "<", lo)),
+                      ("not", (icol, ">", hi)))) == \
+                int(((e >= lo) & (e <= hi)).sum())
             k = 7
             want = exp[[icol, "doc_id"]].dropna(subset=[icol]).sort_values(
                 [icol, "doc_id"], ascending=[False, True]).head(k)

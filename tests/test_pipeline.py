@@ -1403,3 +1403,97 @@ def test_grouped_pushdowns_distributed_merge_equivalence(tmp_path, ray_session):
                                  tie_cols=["doc_id"], columns=["doc_id"],
                                  max_driver_groups=0)
     assert tk2_drv.equals(tk2_dst)
+
+
+def test_predicate_or_not_composition(tmp_path, ray_session):
+    """OR / NOT / nested predicate expressions flow through every
+    pushdown (count/aggregate/summary/topk/decode/delete) with exact
+    SQL three-valued semantics, and the zone metadata PRUNES composed
+    expressions: disjunctions via conservative may-match union,
+    negation via complement-of-proven."""
+    from colonnade_ray.pipelines import (
+        aggregate_where,
+        count_where,
+        decode_corpus,
+        delete_where,
+        summary_where,
+        topk_where,
+    )
+    from colonnade_ray.stages.decode import chunk_all_match, chunk_may_match
+
+    rng = np.random.default_rng(53)
+    n = 6000
+    vals = rng.integers(0, 10_000, n).astype(object)
+    vals[::101] = None  # exercise three-valued NOT
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:06d}" for i in range(n)]),
+        "v": pa.array(list(vals), pa.int64()),
+        "s": pa.array([f"s{x}" for x in rng.integers(0, 5, n)]),
+    })
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(t, src / "p0.parquet")
+    out = str(tmp_path / "enc")
+    encode_corpus(str(src), out, batch_size=256, cluster_by="v",
+                  bloom_cols=["doc_id"])
+    df = t.to_pandas()
+
+    def sql_count(mask3v):
+        # pandas NaN comparisons are False == SQL not-TRUE
+        return int(mask3v.sum())
+
+    p_or = ("or", ("v", "<", 1000), ("v", ">", 9000))
+    assert count_where(out, p_or) == sql_count((df.v < 1000) | (df.v > 9000))
+    p_not = ("not", ("v", ">=", 5000))
+    # NOT over null v is null -> not counted (df.v < 5000 is False for NaN)
+    assert count_where(out, p_not) == sql_count(df.v < 5000)
+    p_nested = ("and", ("not", ("v", "<", 2000)),
+                ("or", ("s", "==", "s1"), ("s", "==", "s3")))
+    assert count_where(out, p_nested) == sql_count(
+        (df.v >= 2000) & df.s.isin(["s1", "s3"]))
+
+    # bloom OR: disjunction of point lookups still probes the filter
+    ids = ["d000123", "d004567"]
+    p_bloom = ("or", ("doc_id", "==", ids[0]), ("doc_id", "==", ids[1]))
+    assert count_where(out, p_bloom) == 2
+
+    # pruning: on the v-clustered layout both OR arms and the NOT
+    # complement are mostly provable from zone bands alone
+    lin = os.path.join(out, "_lineage")
+    sj = []
+    for f in os.listdir(lin):
+        if f.endswith(".parquet"):
+            sj += pq.read_table(os.path.join(lin, f),
+                                columns=["stats_json"])["stats_json"].to_pylist()
+
+    def proof_rate(pred):
+        proven = sum(1 for s in sj if chunk_all_match(s, pred)
+                     or not chunk_may_match(s, pred))
+        return proven / len(sj)
+
+    assert proof_rate(p_or) >= 0.8, proof_rate(p_or)
+    assert proof_rate(p_not) >= 0.8, proof_rate(p_not)
+
+    # aggregate / summary / topk / decode agree with pandas truth
+    live = df[(df.v < 1000) | (df.v > 9000)]
+    assert aggregate_where(out, "sum", "v", p_or) == int(live.v.sum())
+    sm = summary_where(out, "v", p_not)
+    nn = df[df.v < 5000].v
+    assert sm == {"count": int((df.v < 5000).sum()), "sum": int(nn.sum()),
+                  "min": int(nn.min()), "max": int(nn.max())}
+    got_k = topk_where(out, "v", k=5, predicate=p_or,
+                       tie_cols=["doc_id"]).to_pandas()
+    want_k = live.dropna(subset=["v"]).sort_values(
+        ["v", "doc_id"], ascending=[False, True]).head(5)
+    assert [int(x) for x in got_k.v] == [int(x) for x in want_k.v]
+    dec = decode_corpus(out, columns=["doc_id"], predicate=p_nested).to_pandas()
+    want_ids = df[(df.v >= 2000) & df.s.isin(["s1", "s3"])].doc_id
+    assert sorted(dec.doc_id) == sorted(want_ids)
+
+    # delete with a composed predicate, then re-verify
+    delete_where(out, ("or", ("v", ">", 9500), ("not", ("v", ">=", 100))))
+    keep = df[~((df.v > 9500) | (df.v < 100))]
+    rest = decode_corpus(out, columns=["doc_id", "v"]).to_pandas()
+    assert len(rest) == len(keep)
+    assert count_where(out, ("not", ("v", "<", 0))) == \
+        int(keep.v.notna().sum())
