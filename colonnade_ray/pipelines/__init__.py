@@ -33,6 +33,12 @@ from .deletes import (
     load_delete_masks,
     vacuum_deletes,
 )
+from .concurrency import (
+    ConcurrentWriteError,
+    WriterSession,
+    commit_lock,
+    corpus_generation,
+)
 from .merge import apply_changes, merge_rows
 from .snapshots import (
     create_snapshot,

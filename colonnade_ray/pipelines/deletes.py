@@ -146,9 +146,18 @@ def deleted_row_count(out_dir: str) -> int:
 
 
 def delete_where(out_dir: str, predicate, concurrency=None,
-                 exclude_covering: Optional[set] = None) -> dict:
+                 exclude_covering: Optional[set] = None,
+                 max_retries: int = 2) -> dict:
     """Mark every row matching ``predicate`` (TRUE rows only — SQL
     DELETE three-valued semantics, nulls survive) as deleted.
+
+    Concurrent-writer safe: the sidecar id and mask base derive from
+    the committed set observed at START, and the marker commit is a
+    generation-checked CAS (``pipelines/concurrency.py``) — if another
+    writer (delete / vacuum / merge) commits in between, this op
+    RETRIES from scratch against the new state (masks OR together, so
+    the recomputation converges) up to ``max_retries`` times before
+    surfacing ``ConcurrentWriteError``.
 
     Distributed: one zone-pruned pass over the encoded chunks; only
     boundary chunks decode their predicate columns.  The sidecar is
@@ -161,6 +170,20 @@ def delete_where(out_dir: str, predicate, concurrency=None,
     the merge batch's input files (stable across crash-retries and
     vacuum rewrites, which carry files.json forward) rather than from
     a group id captured in driver memory."""
+    from .concurrency import ConcurrentWriteError
+
+    last: Exception | None = None
+    for _ in range(max_retries + 1):
+        try:
+            return _delete_where_once(out_dir, predicate, concurrency,
+                                      exclude_covering)
+        except ConcurrentWriteError as e:
+            last = e
+    raise last
+
+
+def _delete_where_once(out_dir: str, predicate, concurrency=None,
+                       exclude_covering: Optional[set] = None) -> dict:
     from ..stages.decode import (
         chunk_all_match,
         chunk_may_match,
@@ -178,6 +201,11 @@ def delete_where(out_dir: str, predicate, concurrency=None,
         active_groups,
     )
 
+    from .concurrency import WriterSession
+
+    # capture the committed-set generation BEFORE reading any state
+    # the sidecar derives from (committed_deletes, active groups)
+    session = WriterSession(out_dir)
     preds = normalize_predicates(predicate)
     if not preds:
         raise ValueError("delete_where needs at least one predicate")
@@ -290,7 +318,10 @@ def delete_where(out_dir: str, predicate, concurrency=None,
             "chunks_touched": chunks,
             "rows_deleted": rows_deleted,
         }, f, indent=1, default=str)
-    os.replace(tmp, marker)  # the commit point
+    # the commit point: generation-checked CAS — a writer that
+    # committed since our capture fails here (cleanly, marker never
+    # lands) and the caller retries against the new state
+    session.commit(lambda: os.replace(tmp, marker), what="delete_where")
     return {"delete_id": did, "chunks_touched": chunks,
             "rows_deleted": rows_deleted}
 
@@ -381,6 +412,13 @@ def vacuum_deletes(out_dir: str, gc: bool = True,
         active_groups,
     )
 
+    from .concurrency import WriterSession
+
+    # generation captured BEFORE loading the masks this rewrite bakes
+    # in: a delete committing mid-vacuum fails our next group commit
+    # (clean abort; committed groups + surviving sidecars stay a
+    # consistent merge-on-read state, and a re-run converges)
+    session = WriterSession(out_dir)
     ids = committed_deletes(out_dir)
     if not ids:
         return {"vacuumed_groups": 0, "rows_dropped": 0,
@@ -441,19 +479,30 @@ def vacuum_deletes(out_dir: str, gc: bool = True,
         with open(os.path.join(_meta_root(out_dir),
                                f"group-{ngid}.supersedes.json"), "w") as fh:
             json.dump(shadow, fh)
-        _commit_lineage(lineage,
-                        os.path.join(lin_root, f"group-{ngid}.parquet"))
-        if gc:
-            for g in shadow:
-                _gc_group(out_dir, g)
+        def _publish():
+            _commit_lineage(lineage,
+                            os.path.join(lin_root, f"group-{ngid}.parquet"))
+            if gc:
+                for g in shadow:
+                    _gc_group(out_dir, g)
+
+        # generation-checked: the marker + gc land atomically w.r.t.
+        # other writers' commits (gc removals change the generation,
+        # so they ride the same critical section)
+        session.commit(_publish, what=f"vacuum group {gid}")
 
     _run_groups(_one, affected.items(), max_concurrent_groups)
+
     # every affected active group is committed -> retire the sidecars
-    root = _deletes_root(out_dir)
-    for did in ids:
-        mp = os.path.join(root, f"del-{did}.json")
-        if os.path.exists(mp):
-            os.remove(mp)
-        shutil.rmtree(os.path.join(root, f"del-{did}"), ignore_errors=True)
+    def _retire():
+        root = _deletes_root(out_dir)
+        for did in ids:
+            mp = os.path.join(root, f"del-{did}.json")
+            if os.path.exists(mp):
+                os.remove(mp)
+            shutil.rmtree(os.path.join(root, f"del-{did}"),
+                          ignore_errors=True)
+
+    session.commit(_retire, what="vacuum retire sidecars")
     return {"vacuumed_groups": len(affected), "rows_dropped": rows_dropped,
             "retired_deletes": len(ids)}

@@ -548,6 +548,22 @@ def encode_corpus(
         # even after its own marker was garbage-collected
         if resume and (os.path.exists(lin_path) or gid in shadowed):
             return True
+        # exclusive per-group claim: two writers encoding the SAME
+        # group (double-submitted append, racing re-runs) would
+        # interleave rmtree/write on one data dir — the second claimant
+        # fails fast instead (stale claims from crashed writers break)
+        from .concurrency import claim as _claim_f
+        from .concurrency import release as _release_f
+
+        claim_path = os.path.join(_meta_root(out_dir), f"group-{gid}.claim")
+        _claim_f(claim_path, what=f"encode group {gid}")
+        try:
+            return _encode_group_claimed(g, gid, lin_path, gdir)
+        finally:
+            _release_f(claim_path)
+
+    def _encode_group_claimed(g: list, gid: str, lin_path: str,
+                              gdir: str) -> bool:
         if os.path.exists(gdir):
             shutil.rmtree(gdir)  # torn write from a previous run
         # one block per file, split only when a file exceeds ~64 MiB:
@@ -658,9 +674,15 @@ def encode_corpus(
         # lineage marker — the marker parquet stays the commit point
         with open(os.path.join(_meta_root(out_dir), f"group-{gid}.files.json"), "w") as fh:
             json.dump(sorted(g), fh)
-        # commit marker: lineage written only after the data lands
+        # commit marker: lineage written only after the data lands.
+        # The rename runs under the corpus commit mutex so it
+        # serializes with generation-checked lifecycle commits
+        # (appends commute with each other — no generation check).
+        from .concurrency import commit_lock
+
         lineage = pq.read_table(gdir, columns=LINEAGE_COLS)
-        _commit_lineage(lineage, lin_path)
+        with commit_lock(out_dir):
+            _commit_lineage(lineage, lin_path)
         return False
 
     if max_concurrent_groups <= 1 or len(groups) <= 1:

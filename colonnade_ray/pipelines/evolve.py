@@ -675,6 +675,9 @@ def update_where(out_dir: str, predicate, fn: Callable,
         active_groups,
     )
 
+    from .concurrency import WriterSession
+
+    session = WriterSession(out_dir)  # before the pending-masks check
     preds = normalize_predicates(predicate)
     if not preds:
         raise ValueError("update_where needs at least one predicate")
@@ -727,11 +730,18 @@ def update_where(out_dir: str, predicate, fn: Callable,
                                f"group-{ngid}.supersedes.json"), "w") as fh:
             json.dump(shadow, fh)
         lineage = pq.read_table(gdir, columns=LINEAGE_COLS)
-        _commit_lineage(lineage,
-                        os.path.join(lin_root, f"group-{ngid}.parquet"))
-        if gc:
-            for g in shadow:
-                _gc_group(out_dir, g)
+
+        def _publish():
+            _commit_lineage(lineage,
+                            os.path.join(lin_root, f"group-{ngid}.parquet"))
+            if gc:
+                for g in shadow:
+                    _gc_group(out_dir, g)
+
+        # generation-checked per-group commit: a delete/vacuum/merge
+        # landing mid-update aborts this rewrite cleanly (committed
+        # groups stay readable, a re-run converges)
+        session.commit(_publish, what=f"update group {gid}")
 
     _run_groups(_one, todo, max_concurrent_groups)
     return {"updated_groups": len(todo),

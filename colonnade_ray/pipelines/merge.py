@@ -77,6 +77,25 @@ def merge_rows(out_dir: str, inputs, key: str,
     key-unique (an upsert with two versions of one key is ambiguous —
     raises ``ValueError``).
 
+    Concurrent merges on one corpus SERIALIZE on an op-level mutex
+    (``_meta/merge.lock``): with two in-flight upserts of one key,
+    optimistic per-commit retries alone would let each merge's
+    key-delete mask the OTHER's appended version (the key vanishes);
+    the mutex makes it last-writer-wins instead.  A waiter that can't
+    acquire within the timeout gets ``ConcurrentWriteError`` — a
+    clean abort, since nothing is committed before the lock."""
+    from .concurrency import commit_lock
+
+    with commit_lock(out_dir, name="merge",
+                     timeout_s=300.0, stale_s=1800.0):
+        return _merge_rows_unlocked(out_dir, inputs, key,
+                                    concurrency, **encode_kwargs)
+
+
+def _merge_rows_unlocked(out_dir: str, inputs, key: str,
+                         concurrency=None, **encode_kwargs) -> dict:
+    """Body of ``merge_rows``; caller holds the merge mutex.
+
     ``encode_kwargs`` pass through to ``encode_corpus`` for the
     append step (``cluster_by=``, ``bloom_cols=``, ``plan_names=`` …
     must match how the corpus was built if schema compatibility
@@ -170,25 +189,33 @@ def apply_changes(out_dir: str, inputs, key: str, op_col: str = "op",
     res = {"upserts": ups.num_rows, "deletes": len(del_keys),
            "masked_rows_upsert": 0, "masked_rows_delete": 0}
     staged = None
-    if ups.num_rows:
-        import hashlib
+    from .concurrency import commit_lock
 
-        h = hashlib.blake2b(digest_size=10)
-        for f in files:
-            h.update(os.path.realpath(f).encode() + b"\x00")
-        sdir = os.path.join(out_dir, "_staged")
-        os.makedirs(sdir, exist_ok=True)
-        staged = os.path.join(sdir, f"cdc-{h.hexdigest()}.parquet")
-        if staged not in _already(out_dir):
-            tmp = staged + ".tmp"
-            pq.write_table(ups, tmp)
-            os.replace(tmp, staged)
-        m = merge_rows(out_dir, staged, key=key,
-                       concurrency=concurrency, **encode_kwargs)
-        res["masked_rows_upsert"] = m["masked_rows"]
-    if del_keys:
-        d = delete_where(out_dir, (key, "in", del_keys),
-                         concurrency=concurrency,
-                         exclude_covering={staged} if staged else None)
-        res["masked_rows_delete"] = d["rows_deleted"]
+    # same op-level mutex as merge_rows (CDC batches ARE merges);
+    # acquired here and the unlocked merge body called directly —
+    # the mutex is not reentrant
+    with commit_lock(out_dir, name="merge",
+                     timeout_s=300.0, stale_s=1800.0):
+        if ups.num_rows:
+            import hashlib
+
+            h = hashlib.blake2b(digest_size=10)
+            for f in files:
+                h.update(os.path.realpath(f).encode() + b"\x00")
+            sdir = os.path.join(out_dir, "_staged")
+            os.makedirs(sdir, exist_ok=True)
+            staged = os.path.join(sdir, f"cdc-{h.hexdigest()}.parquet")
+            if staged not in _already(out_dir):
+                tmp = staged + ".tmp"
+                pq.write_table(ups, tmp)
+                os.replace(tmp, staged)
+            m = _merge_rows_unlocked(out_dir, staged, key=key,
+                                     concurrency=concurrency,
+                                     **encode_kwargs)
+            res["masked_rows_upsert"] = m["masked_rows"]
+        if del_keys:
+            d = delete_where(out_dir, (key, "in", del_keys),
+                             concurrency=concurrency,
+                             exclude_covering={staged} if staged else None)
+            res["masked_rows_delete"] = d["rows_deleted"]
     return res

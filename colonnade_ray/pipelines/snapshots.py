@@ -63,11 +63,17 @@ def create_snapshot(out_dir: str, tag: str) -> dict:
     from .deletes import DELETES_DIR, committed_deletes
     from .encode_pipeline import active_groups
 
+    from .concurrency import WriterSession
+
     if not _TAG_RE.match(tag or ""):
         raise ValueError(f"snapshot tag must match {_TAG_RE.pattern}: {tag!r}")
     final = _snap_dir(out_dir, tag)
     if os.path.isdir(final):
         raise ValueError(f"snapshot {tag!r} already exists")
+    # generation captured before reading the state being pinned: a
+    # writer committing mid-create fails the manifest CAS instead of
+    # leaving a snapshot whose group list and mask copy disagree
+    session = WriterSession(out_dir)
     groups = active_groups(out_dir)
     if not groups:
         raise FileNotFoundError(f"no committed encode groups under {out_dir}")
@@ -88,7 +94,9 @@ def create_snapshot(out_dir: str, tag: str) -> dict:
     with open(os.path.join(tmp, "manifest.json"), "w") as fh:
         json.dump({"tag": tag, "groups": sorted(groups),
                    "deletes": sorted(dels)}, fh, indent=1)
-    os.replace(tmp, final)  # the commit point
+    # the commit point (generation-checked CAS)
+    session.commit(lambda: os.replace(tmp, final),
+                   what=f"create_snapshot {tag}")
     return {"tag": tag, "groups": len(groups), "deletes": len(dels)}
 
 
@@ -165,6 +173,9 @@ def restore_snapshot(out_dir: str, tag: str, gc: bool = True,
         active_groups,
     )
 
+    from .concurrency import WriterSession
+
+    session = WriterSession(out_dir)  # before the no-pending-masks check
     m = _manifest(out_dir, tag)
     if committed_deletes(out_dir):
         raise ValueError(
@@ -231,11 +242,18 @@ def restore_snapshot(out_dir: str, tag: str, gc: bool = True,
                                f"group-{ngid}.supersedes.json"), "w") as fh:
             json.dump(shadow, fh)
         lineage = pq.read_table(gdir, columns=LINEAGE_COLS)
-        _commit_lineage(lineage, lin_path)  # the cohort's commit point
+        # the cohort's commit point — generation-checked, so a writer
+        # (delete/vacuum/merge) landing mid-restore aborts the restore
+        # cleanly instead of being silently superseded
+        session.commit(lambda: _commit_lineage(lineage, lin_path),
+                       what=f"restore cohort {ngid}")
         restored += 1
     if gc:
-        for g in shadow:
-            _gc_group(out_dir, g)
+        def _sweep():
+            for g in shadow:
+                _gc_group(out_dir, g)
+
+        session.commit(_sweep, what="restore gc")
     return {"restored_cohorts": restored,
             "superseded_groups": len(shadow)}
 

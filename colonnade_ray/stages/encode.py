@@ -232,9 +232,23 @@ def encode_chunk(
     bytes_out = sum(len(p) for p in payload_parts) + sum(
         len(out[f"col{i}_meta"][0]) for i in range(len(bound.columns))
     )
+    # chunk identity hashes the payloads AND the codec metas: a
+    # constant-encoded column stores its value in colN_meta with an
+    # EMPTY payload, so two chunks differing only in such a value
+    # would share a payload checksum — and a deletion mask keyed
+    # (fragment, chunk_id) for one would silently mask the other
+    # (found by the round-5 concurrent-merge test: two single-row
+    # upserts of one key, same fragment basename, v=const).  The
+    # payload `checksum` column keeps its integrity-verification
+    # meaning (decode recomputes it over payloads alone).
+    idh = hashlib.blake2b(digest_size=8)
+    idh.update(checksum.encode())
+    for i in range(len(bound.columns)):
+        idh.update(out[f"col{i}_meta"][0].encode())
+        idh.update(b"\x00")
     out_meta = {
         "fragment": [fragment],
-        "chunk_id": [checksum[:16]],
+        "chunk_id": [idh.hexdigest()],
         "n_rows": [n_rows],
         "n_tokens": [_token_count(batch)],
         "bytes_in": [bytes_in],
