@@ -1162,9 +1162,13 @@ def simhash_candidates(ds, text_col="text", id_col="doc_id", max_hamming: int = 
                  star[[f"{id_col}_x", f"{id_col}_y", "simhash_x", "simhash_y"]]],
                 ignore_index=True,
             )
-        empty = pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
         if m.empty:
-            return empty.astype({"hamming": np.int64})
+            # typed empty: id dtypes inherited from the (empty) merge
+            # frame so empty buckets match populated blocks' schema
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype=m[f"{id_col}_x"].dtype),
+                "id_b": pd.Series([], dtype=m[f"{id_col}_y"].dtype),
+                "hamming": pd.Series([], dtype="int64")})
         x = m["simhash_x"].to_numpy().view(np.uint64) ^ m["simhash_y"].to_numpy().view(np.uint64)
         d = np.zeros(x.size, np.int64)
         x = x.copy()

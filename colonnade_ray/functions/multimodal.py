@@ -4,13 +4,15 @@ columns with typed metadata (brief-mandated).
 The Ray-side plumbing is REAL and tested: schemas, batch sizing for
 large binary payloads, actor-pool stage signatures, and output
 layout.  Decode is REAL for the container-friendly formats — WAV
-audio (stdlib ``wave``) and P6 PPM images (pure numpy), including a
-real nearest-neighbor resize stage — via ``stdlib_decoder``.
-Compressed codecs (JPEG/PNG/MP3/MP4 frame sampling) are STUBBED —
-those libraries are not in this container — behind the same
-``decoder=`` hook; the deterministic fake decoder lets pipelines and
-tests exercise the full data path for any media type.  Swap
-``decoder=pillow_decoder`` (or an equivalent) in production.
+audio (stdlib ``wave``), P6 PPM images (pure numpy), and baseline
+8-bit PNG (stdlib ``zlib`` + numpy unfiltering, ``decode_png``),
+including a real nearest-neighbor resize stage — via
+``stdlib_decoder``.  Remaining compressed codecs (JPEG/MP3/MP4 frame
+sampling) are STUBBED — those libraries are not in this container —
+behind the same ``decoder=`` hook; the deterministic fake decoder
+lets pipelines and tests exercise the full data path for any media
+type.  Swap ``decoder=pillow_decoder`` (or an equivalent) in
+production.
 
 Design notes for 100 TB (per the brief):
 - binary payloads are big: these stages want SMALL batch_size (rows)
@@ -199,6 +201,184 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return img[ri][:, ci]
 
 
+# ---------------------------------------------------------------------------
+# PNG: real baseline decoder from stdlib zlib (no image libraries)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for each chunk, verifying lengths + CRCs."""
+    import struct
+    import zlib
+
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+
+
+def decode_png(payload: bytes,
+               media_type: str = "image/png") -> np.ndarray:
+    """Baseline PNG -> (h, w, channels) uint8 pixel array, from stdlib
+    ``zlib`` + numpy only (round-4 ask #4: closes the compressed-image
+    stub without new dependencies).
+
+    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3
+    (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced — the baseline
+    every encoder can emit.  All five scanline filters (none/sub/up/
+    average/paeth) reconstruct per the spec; rows unfilter in one pass
+    each with the row-wide ops vectorized (``up`` fully, ``sub`` by
+    per-lane cumsum; ``average``/``paeth`` walk pixels but operate on
+    whole channel slices).  Chunk CRCs are verified.  16-bit depth and
+    Adam7 interlacing raise ``NotImplementedError`` honestly."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    ihdr = None
+    palette = None
+    idat = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_i, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (8 only)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG: unknown compression/filter method")
+    if ctype_i not in _PNG_CHANNELS:
+        raise ValueError(f"PNG color type {ctype_i}")
+    ch = _PNG_CHANNELS[ctype_i]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG raster size {len(raw)} != {h}x({stride}+1)")
+    lines = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes = lines[:, 0]
+    out = np.zeros((h, stride), np.uint16)  # u16 scratch: sums < 512
+    prev = np.zeros(stride, np.uint16)
+    for r in range(h):
+        row = lines[r, 1:].astype(np.uint16)
+        f = ftypes[r]
+        if f == 0:
+            rec = row
+        elif f == 1:   # sub: recon[x] = raw[x] + recon[x-bpp]
+            rec = row.reshape(w, ch).astype(np.uint64)
+            rec = (np.cumsum(rec, axis=0) & 0xFF).reshape(stride)
+        elif f == 2:   # up
+            rec = (row + prev) & 0xFF
+        elif f == 3:   # average
+            rec = row.copy()
+            rec[:ch] = (row[:ch] + prev[:ch] // 2) & 0xFF
+            for x in range(ch, stride, ch):
+                s = x - ch
+                rec[x : x + ch] = (
+                    row[x : x + ch]
+                    + (rec[s : s + ch] + prev[x : x + ch]) // 2
+                ) & 0xFF
+        elif f == 4:   # paeth
+            rec = row.copy()
+            zero = np.zeros(ch, np.int32)
+            for x in range(0, stride, ch):
+                a = rec[x - ch : x].astype(np.int32) if x else zero
+                b = prev[x : x + ch].astype(np.int32)
+                c = (prev[x - ch : x].astype(np.int32) if x else zero)
+                p = a + b - c
+                pa_, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa_ <= pb) & (pa_ <= pc), a,
+                                np.where(pb <= pc, b, c))
+                rec[x : x + ch] = (row[x : x + ch] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f} on row {r}")
+        out[r] = rec
+        prev = rec
+    img = out.astype(np.uint8).reshape(h, w, ch)
+    if ctype_i == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE")
+        img = palette[img[..., 0]]
+    return img
+
+
+def encode_png(img: np.ndarray, filters=None) -> bytes:
+    """(h, w[, channels]) uint8 -> baseline non-interlaced PNG.
+    ``filters``: per-row filter types (int or sequence, default 0) —
+    lets the round-trip test exercise every unfilter path."""
+    import struct
+    import zlib
+
+    img = np.ascontiguousarray(img, np.uint8)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, ch = img.shape
+    ctype_i = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    if filters is None:
+        filters = [0] * h
+    elif isinstance(filters, int):
+        filters = [filters] * h
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    prev = np.zeros(w * ch, np.int32)
+    lines = []
+    for r in range(h):
+        row = flat[r]
+        f = filters[r]
+        left = np.concatenate([np.zeros(ch, np.int32), row[:-ch]]) \
+            if w * ch > ch else np.zeros(w * ch, np.int32)
+        upleft = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]]) \
+            if w * ch > ch else np.zeros(w * ch, np.int32)
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row - left
+        elif f == 2:
+            enc = row - prev
+        elif f == 3:
+            enc = row - (left + prev) // 2
+        elif f == 4:
+            p = left + prev - upleft
+            pa_, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                           np.abs(p - upleft))
+            pred = np.where((pa_ <= pb) & (pa_ <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            enc = row - pred
+        else:
+            raise ValueError(f"filter {f}")
+        lines.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_i, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
 def stdlib_decoder(payload: bytes, media_type: str) -> np.ndarray:
     """Dispatch: REAL decode where the container allows, honest stub
     elsewhere."""
@@ -206,6 +386,8 @@ def stdlib_decoder(payload: bytes, media_type: str) -> np.ndarray:
         return decode_wav(payload, media_type)
     if media_type in ("image/x-portable-pixmap", "image/ppm"):
         return decode_ppm(payload, media_type).ravel().astype(np.float32) / 255.0
+    if media_type == "image/png":
+        return decode_png(payload, media_type).ravel().astype(np.float32) / 255.0
     return unavailable_decoder(payload, media_type)
 
 

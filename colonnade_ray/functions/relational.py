@@ -117,6 +117,31 @@ def hash_join(left, right, on: Sequence[str], join_type: str = "inner",
                      on=tuple(on))
 
 
+def _empty_typed_df(schema: Sequence[tuple]) -> pd.DataFrame:
+    """Empty frame whose pandas dtypes survive Ray's pandas->Arrow
+    block conversion with the DECLARED types.  The bucketed group
+    closures previously returned object-dtype empties, which convert
+    to null-typed Arrow columns and make Ray warn about schema-less /
+    mismatched RefBundles on every empty bucket (round-4 ask #5).
+    ``schema``: (name, arrow_type) pairs."""
+
+    def dt(t: pa.DataType):
+        if pa.types.is_timestamp(t):
+            # preserve the unit (pandas 2 keeps us/ms/s) so empty and
+            # populated buckets convert to the same Arrow timestamp
+            return (f"datetime64[{t.unit}, {t.tz}]" if t.tz
+                    else f"datetime64[{t.unit}]")
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "string"
+        if pa.types.is_boolean(t):
+            return "bool"
+        try:
+            return t.to_pandas_dtype()
+        except NotImplementedError:
+            return object
+    return pd.DataFrame({c: pd.Series([], dtype=dt(t)) for c, t in schema})
+
+
 def field_type(ds, name: str):
     """Arrow type of a Dataset column, tolerant of pandas-backed
     schemas (PandasBlockSchema has numpy dtypes, not pa fields)."""
@@ -208,7 +233,7 @@ def keyed_attach(pairs_ds, docs_ds, key_from: str, out_col: str,
             p = p.drop_duplicates(dedup_cols)
         out_cols = carry_names + [out_col]
         if p.empty:
-            return pd.DataFrame({c: [] for c in out_cols})
+            return _empty_typed_df(carry + [(out_col, val_type)])
         merged = p[["__key"] + carry_names].merge(docs, on="__key", how="left")
         merged = merged.rename(columns={"__val": out_col})[out_cols]
         if fill is not None:
@@ -288,8 +313,7 @@ def _keyed_membership(left_ds, right_ds, on: str, carry: Sequence[tuple],
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if g.empty or "__key" not in g.columns:
             # empty inputs can reach the group pass schema-less
-            return pd.DataFrame({c: pd.Series([], dtype=object)
-                                 for c in out_cols})
+            return _empty_typed_df([(on, key_type)] + carry)
         present = g.loc[~g["__is_left"], "__key"]
         member = g["__key"].isin(present)
         keep = g[g["__is_left"] & (member if keep_if_present else ~member)]
@@ -421,7 +445,11 @@ def asof_join(left, right, on: str, ts_col: str = "ts",
             c + right_suffix for c in rcols
         ]
         if lg.empty:
-            return _fix_dtypes(pd.DataFrame({c: [] for c in cols_out}))
+            return _empty_typed_df(
+                [(on, ltypes[on]), (ts_col, ltypes[ts_col])]
+                + [(c, ltypes[c]) for c in lcols]
+                + [(ts_col + right_suffix, rtypes[ts_col])]
+                + [(c + right_suffix, rtypes[c]) for c in rcols])
         if rg.empty:
             for c in rcols:
                 lg[c + right_suffix] = None
@@ -554,7 +582,9 @@ def range_join(left, right, on: str, ts_col: str = "ts",
         lg = g[g["__side"] == "L"][[on] + lcols]
         rg = g[g["__side"] == "R"][[on] + rcols].rename(columns=ren)
         if lg.empty or rg.empty:
-            out = pd.DataFrame({c: [] for c in out_cols})
+            out = _empty_typed_df(
+                [(on, ltypes[on])] + [(c, ltypes[c]) for c in lcols]
+                + [(ren[c], rtypes[c]) for c in rcols])
         else:
             m = lg.merge(rg, on=on)
             keep = (m[ren[lo_col]] <= m[ts_col]) & (m[ts_col] < m[ren[hi_col]])
@@ -732,7 +762,16 @@ def quantiles_in_bucket(df: pd.DataFrame, groups: list, value_col: str,
     import numpy as np
 
     if df.empty:
-        return pd.DataFrame(columns=groups + ["q", value_col])
+        # typed empty (dtypes inherited from the incoming frame) so
+        # Ray's block conversion never sees null-typed columns
+        out = {g2: pd.Series([], dtype=df[g2].dtype)
+               if g2 in df.columns else pd.Series([], dtype=object)
+               for g2 in groups}
+        out["q"] = pd.Series([], dtype="float64")
+        out[value_col] = pd.Series(
+            [], dtype=df[value_col].dtype
+            if value_col in df.columns else "float64")
+        return pd.DataFrame(out)
     df = df.sort_values(groups + [value_col], kind="mergesort")
     sizes = df.groupby(groups, sort=False).size().to_numpy()
     starts = np.concatenate(([0], np.cumsum(sizes)))[:-1]
