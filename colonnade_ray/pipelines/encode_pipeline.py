@@ -475,7 +475,7 @@ def encode_corpus(
     post_compress: Optional[str] = None,
     cluster_by: Optional[str | Sequence[str]] = None,  # list => Z-order
     shared_dicts: bool = True,
-    bloom_cols: Optional[Sequence[str]] = None,
+    bloom_cols: Optional[Sequence[str] | str] = "auto",
     hll_cols: Optional[Sequence[str]] = None,
 ) -> dict:
     """Encode a parquet corpus to out_dir with lineage + exact resume.
@@ -496,6 +496,20 @@ def encode_corpus(
     import ray.data as rd
 
     files = _list_input_files(inputs)
+    # bloom default (round-5 A/B in BASELINE.md): on a CLUSTERED
+    # layout the non-cluster columns' zone bands widen to block range
+    # — exactly when a point lookup needs the Bloom filter (measured
+    # 9 -> 3 may-match chunks at ~0.1% disk, encode wall unchanged).
+    # "auto" = the leading id-like (string/int) non-cluster column
+    # when cluster_by is set; unclustered layouts keep bands narrow
+    # on the natural order and stay bloom-free by default.
+    if isinstance(bloom_cols, str):
+        if bloom_cols != "auto":
+            raise ValueError(
+                f"bloom_cols must be a list of columns, None, or "
+                f"'auto' — got {bloom_cols!r}")
+        bloom_cols = (_auto_bloom_cols(files, cluster_by)
+                      if cluster_by is not None and files else None)
     data_root = os.path.join(out_dir, "data")
     lin_root = os.path.join(out_dir, "_lineage")
     os.makedirs(data_root, exist_ok=True)
@@ -698,6 +712,30 @@ def encode_corpus(
     if append:
         summary["appended_files"] = len(files)
     return summary
+
+
+def _auto_bloom_cols(files, cluster_by) -> Optional[list]:
+    """Default Bloom column for a clustered encode: the FIRST
+    string/integer column of the schema that is not a cluster column
+    (by convention the primary id — doc_id in the flagship corpus).
+    Footer-only (one pq.read_schema); None when nothing qualifies."""
+    ccols: set = set()
+    if isinstance(cluster_by, str):
+        ccols = {cluster_by}
+    elif cluster_by is not None:
+        for c in cluster_by:
+            ccols.add(c[0] if isinstance(c, (tuple, list)) else c)
+    try:
+        schema = pq.read_schema(files[0])
+    except (OSError, IndexError):
+        return None
+    for f in schema:
+        if f.name in ccols:
+            continue
+        if (pa.types.is_string(f.type) or pa.types.is_large_string(f.type)
+                or pa.types.is_integer(f.type)):
+            return [f.name]
+    return None
 
 
 def record_sketch_cols(out_dir: str, bloom_cols, hll_cols,

@@ -238,3 +238,56 @@ def test_approx_distinct_sketch_first(ray_session, tmp_path):
     est2, st2 = approx_distinct(out2, "u", return_stats=True)
     assert st2["chunks_sketched"] == 0 and st2["chunks_scanned"] > 0
     assert abs(est2 - truth) / truth < 0.10
+
+
+def test_auto_bloom_default_on_clustered(tmp_path, ray_session):
+    """cluster_by encodes default the leading id-like non-cluster
+    column into per-chunk Blooms (round-5 A/B decision): point
+    lookups prune where the widened zone bands can't; unclustered
+    encodes stay bloom-free; explicit bloom_cols=[] opts out."""
+    import json as _json
+
+    from colonnade_ray.pipelines import count_where, encode_corpus
+    from colonnade_ray.pipelines.encode_pipeline import sketch_cols
+    from colonnade_ray.stages.decode import chunk_may_match
+
+    rng = np.random.default_rng(61)
+    n = 4000
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:06d}" for i in rng.permutation(n)]),
+        "v": pa.array(rng.integers(0, 1000, n), pa.int64()),
+    })
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(t, src / "p0.parquet")
+
+    out_c = str(tmp_path / "clustered")
+    encode_corpus(str(src), out_c, batch_size=256, cluster_by="v")
+    assert sketch_cols(out_c).get("bloom_cols") == ["doc_id"]
+    lin = os.path.join(out_c, "_lineage")
+    sj = []
+    for f in os.listdir(lin):
+        if f.endswith(".parquet"):
+            sj += pq.read_table(os.path.join(lin, f),
+                                columns=["stats_json"])["stats_json"].to_pylist()
+    assert any("__bloom__" in _json.loads(s) for s in sj)
+    probe = ("doc_id", "==", "d001234")
+    may = sum(1 for s in sj if chunk_may_match(s, probe))
+    assert may <= max(1, len(sj) // 4), (may, len(sj))
+    assert count_where(out_c, probe) == 1
+
+    out_p = str(tmp_path / "plain")
+    encode_corpus(str(src), out_p, batch_size=256)
+    assert not sketch_cols(out_p).get("bloom_cols")
+
+    out_o = str(tmp_path / "optout")
+    encode_corpus(str(src), out_o, batch_size=256, cluster_by="v",
+                  bloom_cols=[])
+    assert not sketch_cols(out_o).get("bloom_cols")
+    lin = os.path.join(out_o, "_lineage")
+    sj = []
+    for f in os.listdir(lin):
+        if f.endswith(".parquet"):
+            sj += pq.read_table(os.path.join(lin, f),
+                                columns=["stats_json"])["stats_json"].to_pylist()
+    assert not any("__bloom__" in _json.loads(s) for s in sj)
