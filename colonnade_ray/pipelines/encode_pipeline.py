@@ -1014,6 +1014,12 @@ def compact_corpus(out_dir: str, gc: bool = True,
     commit; with ``gc=False`` they remain on disk, shadowed."""
     import ray.data as rd
 
+    from .concurrency import WriterSession
+
+    # generation captured before the active-set read: a delete/merge
+    # landing mid-compaction fails the next cohort commit cleanly
+    # (committed cohorts stay readable; a re-run converges)
+    session = WriterSession(out_dir)
     data_root = os.path.join(out_dir, "data")
     lin_root = os.path.join(out_dir, "_lineage")
     olds = active_groups(out_dir)
@@ -1079,12 +1085,16 @@ def compact_corpus(out_dir: str, gc: bool = True,
         with open(os.path.join(_meta_root(out_dir), f"group-{ngid}.supersedes.json"), "w") as fh:
             json.dump(shadow, fh)
         lineage = pq.read_table(gdir, columns=LINEAGE_COLS)
-        _commit_lineage(lineage,
-                        os.path.join(lin_root, f"group-{ngid}.parquet"))
+
+        def _publish():
+            _commit_lineage(lineage,
+                            os.path.join(lin_root, f"group-{ngid}.parquet"))
+            if gc:
+                for g in shadow:
+                    _gc_group(out_dir, g)
+
+        session.commit(_publish, what=f"compact cohort {ngid}")
         compacted += len(gids)
-        if gc:
-            for g in shadow:
-                _gc_group(out_dir, g)
     return {"compacted_groups": compacted, "cohorts": len(cohorts),
             "active_groups": len(active_groups(out_dir))}
 

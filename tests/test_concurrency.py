@@ -281,3 +281,42 @@ def test_lock_broken_after_crash_same_process(tmp_path, ray_session):
     with commit_lock(out):
         pass
     assert not os.path.exists(lock_path)
+
+
+def test_lock_serializes_across_processes(tmp_path):
+    """The commit mutex is O_EXCL-file based, so it must serialize
+    real PROCESSES, not just threads: N workers append to a shared
+    log under the lock; the log must show strictly non-overlapping
+    critical sections and all entries present."""
+    import subprocess
+    import sys
+    import textwrap
+
+    out = str(tmp_path / "corpus")
+    os.makedirs(os.path.join(out, "_meta"))
+    log = str(tmp_path / "log.txt")
+    prog = textwrap.dedent("""
+        import sys, time
+        sys.path.insert(0, {repo!r})
+        from colonnade_ray.pipelines.concurrency import commit_lock
+        tag = sys.argv[1]
+        for i in range(5):
+            with commit_lock({out!r}):
+                with open({log!r}, "a") as fh:
+                    fh.write(f"in {{tag}} {{i}}\\n")
+                time.sleep(0.01)
+                with open({log!r}, "a") as fh:
+                    fh.write(f"out {{tag}} {{i}}\\n")
+    """).format(repo="/root/repo", out=out, log=log)
+    procs = [subprocess.Popen([sys.executable, "-c", prog, f"w{j}"])
+             for j in range(3)]
+    for p in procs:
+        assert p.wait(60) == 0
+    lines = open(log).read().splitlines()
+    assert len(lines) == 3 * 5 * 2
+    # strict alternation: every "in" is immediately followed by its
+    # own "out" — no interleaving means the mutex held across procs
+    for i in range(0, len(lines), 2):
+        a, b = lines[i].split(), lines[i + 1].split()
+        assert a[0] == "in" and b[0] == "out" and a[1:] == b[1:], \
+            (lines[i], lines[i + 1])
