@@ -841,6 +841,30 @@ def q_encoded_count_where_or(sf_dir: str):
     })
 
 
+def q_encoded_quantiles(sf_dir: str):
+    """Quantile pushdown IN the gate: encode the documents table with
+    per-chunk quantile grids at quantile_k >= chunk rows — the grids
+    then list every value, the merged weighted type-1 quantile is
+    EXACT, and the answer must equal DuckDB's quantile_disc over the
+    raw table (the same exact-regime anchor as approx_distinct's
+    linear-counting)."""
+    from colonnade_ray.pipelines import approx_quantiles, encode_corpus
+
+    work = _run_dir(sf_dir, "quantiles")
+    inp = os.path.join(work, "input")
+    out = os.path.join(work, "out")
+    _tbl(sf_dir, "documents", ["doc_id", "n_chars", "source"]) \
+        .write_parquet(inp)
+    encode_corpus(inp, out, batch_size=512, resume=False,
+                  quantile_cols=["n_chars"], quantile_k=512)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    vals = approx_quantiles(out, "n_chars", qs)
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "value": pa.array([int(v) for v in vals], pa.int64()),
+    })
+
+
 def q_encoded_zorder_pushdown(sf_dir: str):
     """Z-order layout IN the gate: encode the documents table clustered
     on (n_chars, doc_id) — block-local Morton interleave of ranks, so
@@ -2164,6 +2188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_customers": q_active_customers,
         "encoded_count_where": q_encoded_count_where,
         "encoded_count_where_or": q_encoded_count_where_or,
+        "encoded_quantiles": q_encoded_quantiles,
         "encoded_zorder_pushdown": q_encoded_zorder_pushdown,
         "encoded_topk": q_encoded_topk,
         "approx_distinct": q_approx_distinct,
@@ -2794,6 +2819,14 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents "
             "WHERE n_chars >= 600) AS n_ge_600 "
             "FROM documents GROUP BY source ORDER BY source"
+        ),
+        "encoded_quantiles": (
+            " UNION ALL ".join(
+                f"SELECT CAST({q} AS DOUBLE) AS q, "
+                f"CAST(quantile_disc(n_chars, {q}) AS BIGINT) AS value "
+                "FROM documents"
+                for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+            + " ORDER BY q"
         ),
         "encoded_count_where_or": (
             "SELECT CAST(COUNT(*) FILTER (n_chars < 200 OR n_chars >= 900)"

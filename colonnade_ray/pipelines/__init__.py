@@ -1,6 +1,7 @@
 from .encode_pipeline import (
     active_groups,
     approx_distinct,
+    approx_quantiles,
     compact_corpus,
     completed_groups,
     aggregate_where,

@@ -378,7 +378,9 @@ class _RewriteChunks:
             # recorded sketch config) so pruning survives the vacuum
             enc = encode_chunk(t, bound, None, frag, shared_dicts=shared,
                                bloom_cols=sk.get("bloom_cols"),
-                               hll_cols=sk.get("hll_cols"))
+                               hll_cols=sk.get("hll_cols"),
+                               quantile_cols=sk.get("quantile_cols"),
+                               quantile_k=int(sk.get("quantile_k", 256)))
             # force the INPUT's column order so blocks concat cleanly
             out_tables.append(pa.table(enc).select(names))
         if not out_tables:

@@ -245,6 +245,8 @@ def encode_dataset(
     shared_dicts=None,
     bloom_cols: Optional[Sequence[str]] = None,
     hll_cols: Optional[Sequence[str]] = None,
+    quantile_cols: Optional[Sequence[str]] = None,
+    quantile_k: int = 256,
 ):
     """Dataset of raw rows -> Dataset of encoded chunk rows (lazy).
 
@@ -265,6 +267,8 @@ def encode_dataset(
                 post_compress=post_compress, shared_dicts=shared_dicts,
                 bloom_cols=list(bloom_cols) if bloom_cols else None,
                 hll_cols=list(hll_cols) if hll_cols else None,
+                quantile_cols=list(quantile_cols) if quantile_cols else None,
+                quantile_k=quantile_k,
             )
 
         return ds.map_batches(
@@ -294,6 +298,8 @@ def encode_dataset(
             "shared_dicts": shared_dicts,
             "bloom_cols": list(bloom_cols) if bloom_cols else None,
             "hll_cols": list(hll_cols) if hll_cols else None,
+            "quantile_cols": list(quantile_cols) if quantile_cols else None,
+            "quantile_k": quantile_k,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -477,6 +483,8 @@ def encode_corpus(
     shared_dicts: bool = True,
     bloom_cols: Optional[Sequence[str] | str] = "auto",
     hll_cols: Optional[Sequence[str]] = None,
+    quantile_cols: Optional[Sequence[str]] = None,
+    quantile_k: int = 256,
 ) -> dict:
     """Encode a parquet corpus to out_dir with lineage + exact resume.
 
@@ -518,7 +526,9 @@ def encode_corpus(
     # the sketch config; append / resume unions so already-committed
     # groups keep their recorded sketches honored.
     _continuing = append or (resume and bool(completed_groups(out_dir)))
-    record_sketch_cols(out_dir, bloom_cols, hll_cols, union=_continuing)
+    record_sketch_cols(out_dir, bloom_cols, hll_cols,
+                       quantile_cols=quantile_cols,
+                       quantile_k=quantile_k, union=_continuing)
 
     if append:
         # Incremental corpus growth: encode ONLY input files no
@@ -682,6 +692,7 @@ def encode_corpus(
             transport=spec or None, fragments=frag_names,
             stateless=use_stateless, post_compress=post_compress,
             shared_dicts=sd_ref, bloom_cols=bloom_cols, hll_cols=hll_cols,
+            quantile_cols=quantile_cols, quantile_k=quantile_k,
         )
         enc.write_parquet(gdir, compression="none", row_group_size=1)
         # input-file sidecar first (append mode reads it), THEN the
@@ -739,6 +750,7 @@ def _auto_bloom_cols(files, cluster_by) -> Optional[list]:
 
 
 def record_sketch_cols(out_dir: str, bloom_cols, hll_cols,
+                       quantile_cols=None, quantile_k: int = 256,
                        union: bool = True) -> None:
     """Persist which columns carry per-chunk Bloom / HLL sketches so
     lifecycle REWRITES (vacuum, update_where) can re-derive them for
@@ -758,12 +770,22 @@ def record_sketch_cols(out_dir: str, bloom_cols, hll_cols,
         new = {"bloom_cols": sorted(set(cur.get("bloom_cols", []))
                                     | set(bloom_cols or [])),
                "hll_cols": sorted(set(cur.get("hll_cols", []))
-                                  | set(hll_cols or []))}
+                                  | set(hll_cols or [])),
+               "quantile_cols": sorted(set(cur.get("quantile_cols", []))
+                                       | set(quantile_cols or [])),
+               "quantile_k": max(int(cur.get("quantile_k", 0)),
+                                 int(quantile_k))}
     else:
         new = {"bloom_cols": sorted(set(bloom_cols or [])),
-               "hll_cols": sorted(set(hll_cols or []))}
+               "hll_cols": sorted(set(hll_cols or [])),
+               "quantile_cols": sorted(set(quantile_cols or [])),
+               "quantile_k": int(quantile_k)}
+    if not new["quantile_cols"]:
+        new.pop("quantile_cols")
+        new.pop("quantile_k")
     path = os.path.join(_meta_root(out_dir), "sketch_cols.json")
-    if not new["bloom_cols"] and not new["hll_cols"]:
+    if not new.get("bloom_cols") and not new.get("hll_cols") \
+            and not new.get("quantile_cols"):
         if not union and cur:
             try:
                 os.remove(path)
@@ -1970,6 +1992,139 @@ def approx_distinct(out_dir: str, col: str, predicate=None,
         return est, {"chunks_total": n_total, "chunks_sketched": n_sketched,
                      "chunks_scanned": len(scan_keys)}
     return est
+
+
+def approx_quantiles(out_dir: str, col: str, qs=(0.25, 0.5, 0.75),
+                     predicate=None, concurrency=None,
+                     snapshot: Optional[str] = None,
+                     return_stats: bool = False):
+    """APPROX quantiles of one integer column over the encoded corpus,
+    sketch-first — the quantile member of the pushdown aggregate
+    family (count/sum/min/max/distinct/topk/grouped).
+
+    Chunks that stored a quantile grid
+    (``encode_corpus(quantile_cols=[...], quantile_k=K)``,
+    stages/bloomzone.build_quant — K evenly-spaced order statistics of
+    the chunk's sorted non-null values) answer from the lineage
+    manifests alone: each grid point carries weight n/K and the merged
+    weighted type-1 quantile (the ``quantile_disc`` convention) is
+    within ~1/K of chunk mass per chunk.  When K >= chunk rows the
+    grid lists EVERY value and the merge is EXACT — the
+    oracle-anchored regime (mirroring approx_distinct's
+    linear-counting anchor).  Chunks without a grid, with
+    delete-masked rows, or only may-matching ``predicate`` fall back
+    to decoding ``col`` for just those chunks (exact values, weight
+    1).  Rows with null ``col`` never contribute (SQL aggregate
+    semantics).  Returns [value per q] (None entries when no rows
+    qualify); ``snapshot=`` answers as of a named snapshot."""
+    import numpy as np
+
+    from ..stages.bloomzone import merge_quant_grids
+    from ..stages.decode import (
+        _exact_filter,
+        chunk_all_match,
+        chunk_may_match,
+        decode_chunk_row,
+        normalize_predicates,
+        predicate_columns,
+    )
+    from ..util import default_concurrency
+
+    qs = list(qs)
+    if any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError(f"quantiles must be in [0, 1]: {qs!r}")
+    preds = normalize_predicates(predicate) if predicate is not None else []
+    scope_groups, deletes_dir = _scope(out_dir, snapshot)
+    lin_root = os.path.join(out_dir, "_lineage")
+    gids = active_groups(out_dir) if scope_groups is None else [
+        g for g in scope_groups
+        if os.path.exists(os.path.join(lin_root, f"group-{g}.parquet"))
+    ]
+    del_masks = {}
+    if deletes_dir is not None:
+        from .deletes import load_delete_masks
+
+        del_masks = load_delete_masks(deletes_dir)
+
+    grids = []          # (np values, weight per point)
+    scan_keys = set()   # (fragment, chunk_id) needing a decode
+    scan_groups = set()
+    n_sketched = n_total = 0
+    for gid in gids:
+        lin = _lin_of(lin_root, gid)
+        for sj, frag, cid in zip(lin["stats_json"].to_pylist(),
+                                 lin["fragment"].to_pylist(),
+                                 lin["chunk_id"].to_pylist()):
+            if preds and not all(chunk_may_match(sj, p) for p in preds):
+                continue
+            dmask = del_masks.get((frag, cid))
+            if isinstance(dmask, str):
+                continue  # whole chunk deleted
+            n_total += 1
+            stats = json.loads(sj) if sj else {}
+            qe = stats.get("__quant__", {}).get(col)
+            usable = (qe is not None and dmask is None
+                      and (not preds
+                           or all(chunk_all_match(sj, p) for p in preds)))
+            if usable:
+                s = np.asarray(qe["s"], dtype=np.int64)
+                grids.append((s, qe["n"] / len(s)))
+                n_sketched += 1
+            else:
+                scan_keys.add((frag, cid))
+                scan_groups.add(gid)
+
+    if scan_keys:
+        dec_cols = list(dict.fromkeys([col] + predicate_columns(preds)))
+        enc, cpt = _read_encoded(out_dir, dec_cols, concurrency,
+                                 groups=sorted(scan_groups),
+                                 chunk_ids={c for _f, c in scan_keys})
+
+        def part(batch: pa.Table) -> pa.Table:
+            _register_dict_dir(out_dir)
+            dm = {}
+            if deletes_dir is not None:
+                from .deletes import load_delete_masks as _ldm
+
+                dm = _ldm(deletes_dir)
+            vals = []
+            names = batch.column_names
+            for i in range(len(batch)):
+                key = (batch["fragment"][i].as_py(),
+                       batch["chunk_id"][i].as_py())
+                if key not in scan_keys:
+                    continue
+                dmask = dm.get(key) if dm else None
+                if isinstance(dmask, str):
+                    continue
+                row = {c: batch[c][i].as_py() for c in names}
+                t = decode_chunk_row(row, verify_checksum=False,
+                                     columns=dec_cols)
+                if dmask is not None:
+                    t = t.filter(pa.array(~dmask))
+                for p in preds:
+                    t = _exact_filter(t, p)
+                v = t[col].drop_null()
+                if len(v):
+                    vals.append(v.to_numpy(zero_copy_only=False))
+            out = (np.concatenate(vals).astype(np.int64)
+                   if vals else np.zeros(0, np.int64))
+            return pa.table({"v": pa.array(out, pa.int64())})
+
+        for b in enc.map_batches(
+                part, batch_format="pyarrow", batch_size=max(1, cpt),
+                zero_copy_batch=True,
+                concurrency=concurrency or default_concurrency(),
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            if b.num_rows:
+                grids.append((b["v"].to_numpy(zero_copy_only=False), None))
+
+    res = merge_quant_grids(grids, qs)
+    if return_stats:
+        return res, {"chunks_total": n_total,
+                     "chunks_sketched": n_sketched,
+                     "chunks_scanned": len(scan_keys)}
+    return res
 
 
 def group_counts(out_dir: str, group_col: str,

@@ -132,7 +132,15 @@ class _AugmentChunks:
                                            default=str)
             row["bytes_out"] = int(row["bytes_out"]) + new_bytes
             row["checksum"] = checksum
-            row["chunk_id"] = checksum[:16]
+            # same meta-inclusive identity as stages/encode.py: two
+            # chunks differing only in a constant-encoded value (whose
+            # payload is empty) must not share a chunk_id
+            idh = hashlib.blake2b(digest_size=8)
+            idh.update(checksum.encode())
+            for i in range(k):
+                idh.update(row[f"col{i}_meta"].encode())
+                idh.update(b"\x00")
+            row["chunk_id"] = idh.hexdigest()
             out_rows.append(row)
         cols = list(names_in)
         # column order: original order, then the appended colN pairs
@@ -367,7 +375,13 @@ class _RewriteSchema:
                                                default=str)
             new_row["bytes_out"] = bytes_out
             new_row["checksum"] = checksum
-            new_row["chunk_id"] = checksum[:16]
+            # meta-inclusive identity (see stages/encode.py)
+            idh = hashlib.blake2b(digest_size=8)
+            idh.update(checksum.encode())
+            for jj in range(len(new_plan)):
+                idh.update(new_row[f"col{jj}_meta"].encode())
+                idh.update(b"\x00")
+            new_row["chunk_id"] = idh.hexdigest()
             out_rows.append(new_row)
         cols = (["fragment", "chunk_id", "n_rows", "n_tokens", "bytes_in",
                  "bytes_out", "checksum", "plan_json", "codecs_json",
@@ -631,7 +645,9 @@ class _UpdateChunks:
             enc = encode_chunk(new_t, bound, None, row["fragment"],
                                shared_dicts=shared,
                                bloom_cols=sk.get("bloom_cols"),
-                               hll_cols=sk.get("hll_cols"))
+                               hll_cols=sk.get("hll_cols"),
+                               quantile_cols=sk.get("quantile_cols"),
+                               quantile_k=int(sk.get("quantile_k", 256)))
             out_tables.append(pa.table(enc).select(names_in))
         return pa.concat_tables(out_tables) if out_tables \
             else batch.slice(0, 0)

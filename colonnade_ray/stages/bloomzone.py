@@ -188,3 +188,75 @@ def hash_into_hll(arr, regs: np.ndarray, p: int = HLL_P) -> np.ndarray:
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     np.maximum.at(regs, idx, _rho(h << np.uint64(p), 64 - p))
     return regs
+
+
+# ---------------------------------------------------------------------------
+# Per-chunk quantile grids: APPROX quantile pushdown (round-5)
+
+QUANT_K = 256  # grid points/chunk: merged error ~ 1/K of chunk mass
+
+
+def build_quant(arr, k: int = QUANT_K) -> Optional[dict]:
+    """Chunk integer column -> deterministic k-point quantile grid
+    ``{"n": non_null_count, "s": sorted grid values}``: evenly-spaced
+    order statistics of the sorted non-null values (s[j] = the
+    floor(j*(n-1)/(k-1))-th smallest).  No sampling randomness — the
+    grid IS the chunk's exact quantile function evaluated at k points,
+    so when k >= n it lists every value and the merged estimate
+    becomes EXACT (the oracle-anchored regime).  Floats/strings return
+    None (zone bands still bound their range)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not pa.types.is_integer(arr.type):
+        return None
+    vals = arr.drop_null().to_numpy(zero_copy_only=False)
+    n = int(vals.size)
+    if n == 0:
+        return None
+    vals = np.sort(vals)
+    if n <= k:
+        grid = vals
+    else:
+        idx = (np.arange(k, dtype=np.int64) * (n - 1)) // (k - 1)
+        grid = vals[idx]
+    return {"n": n, "s": [int(v) for v in grid]}
+
+
+def merge_quant_grids(grids, qs) -> list:
+    """Weighted type-1 quantile over per-chunk grids (+ optional exact
+    value arrays passed as ``(values, None)`` entries): every grid
+    point carries weight n_i / len(s_i); the q-quantile is the
+    smallest value whose cumulative weight reaches q * total (the
+    ``quantile_disc`` convention — exact when every entry is exact).
+    ``grids``: iterable of (np.ndarray values, weight_per_point or
+    None for weight 1).  Returns [value per q] (None when empty)."""
+    vs, ws = [], []
+    for values, w in grids:
+        v = np.asarray(values)
+        if v.size == 0:
+            continue
+        vs.append(v.astype(np.float64))
+        ws.append(np.full(v.size, 1.0 if w is None else float(w)))
+    if not vs:
+        return [None for _ in qs]
+    v = np.concatenate(vs)
+    w = np.concatenate(ws)
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cw = np.cumsum(w)
+    total = cw[-1]
+    out = []
+    for q in qs:
+        if q <= 0:
+            out.append(int(v[0]))
+            continue
+        # smallest index with cum weight >= q * total; epsilon guards
+        # the float cumsum at exact integer boundaries
+        target = q * total - 1e-9
+        i = int(np.searchsorted(cw, target, side="left"))
+        i = min(i, v.size - 1)
+        out.append(int(v[i]))
+    return out

@@ -157,6 +157,8 @@ def encode_chunk(
     shared_dicts: Optional[dict] = None,
     bloom_cols: Optional[Sequence[str]] = None,
     hll_cols: Optional[Sequence[str]] = None,
+    quantile_cols: Optional[Sequence[str]] = None,
+    quantile_k: int = 256,
 ) -> dict:
     """Encode one Arrow chunk under a bound plan -> dict of columns
     for a one-row encoded table.
@@ -211,6 +213,12 @@ def encode_chunk(
             he = build_hll(arr)
             if he is not None:
                 stats.setdefault("__hll__", {})[bc.field.name] = he
+        if quantile_cols and bc.field.name in quantile_cols:
+            from .bloomzone import build_quant
+
+            qe = build_quant(arr, k=quantile_k)
+            if qe is not None:
+                stats.setdefault("__quant__", {})[bc.field.name] = qe
         zs = _zone_stat(arr)  # pc.min_max accepts chunked arrays
         if zs is not None:
             stats[bc.field.name] = zs
@@ -331,10 +339,14 @@ class EncoderActor:
         shared_dicts=None,
         bloom_cols: Optional[list] = None,
         hll_cols: Optional[list] = None,
+        quantile_cols: Optional[list] = None,
+        quantile_k: int = 256,
     ):
         self._post_compress = post_compress
         self._bloom_cols = list(bloom_cols) if bloom_cols else None
         self._hll_cols = list(hll_cols) if hll_cols else None
+        self._quantile_cols = list(quantile_cols) if quantile_cols else None
+        self._quantile_k = quantile_k
         self._shared_dicts = _resolve_shared_dicts(shared_dicts)
         self._plan_names = plan_names
         self._shared_fsst = shared_fsst
@@ -393,7 +405,9 @@ class EncoderActor:
                             post_compress=self._post_compress,
                             shared_dicts=self._shared_dicts,
                             bloom_cols=self._bloom_cols,
-                            hll_cols=self._hll_cols)
+                            hll_cols=self._hll_cols,
+                            quantile_cols=self._quantile_cols,
+                            quantile_k=self._quantile_k)
 
 
 def encode_batch(batch: pa.Table, plan_names: Optional[list] = None,
@@ -401,7 +415,9 @@ def encode_batch(batch: pa.Table, plan_names: Optional[list] = None,
                  post_compress: Optional[str] = None,
                  shared_dicts=None,
                  bloom_cols: Optional[list] = None,
-                 hll_cols: Optional[list] = None) -> dict:
+                 hll_cols: Optional[list] = None,
+                 quantile_cols: Optional[list] = None,
+                 quantile_k: int = 256) -> dict:
     """Stateless task form — strictly deterministic (FSST tables
     trained per chunk; ``shared_dicts`` are PRE-trained fixed inputs,
     so they keep the determinism contract), used where bit-identical
@@ -413,4 +429,6 @@ def encode_batch(batch: pa.Table, plan_names: Optional[list] = None,
     return encode_chunk(data, bound, None, fragment,
                         post_compress=post_compress,
                         shared_dicts=_resolve_shared_dicts(shared_dicts),
-                        bloom_cols=bloom_cols, hll_cols=hll_cols)
+                        bloom_cols=bloom_cols, hll_cols=hll_cols,
+                        quantile_cols=quantile_cols,
+                        quantile_k=quantile_k)

@@ -291,3 +291,81 @@ def test_auto_bloom_default_on_clustered(tmp_path, ray_session):
             sj += pq.read_table(os.path.join(lin, f),
                                 columns=["stats_json"])["stats_json"].to_pylist()
     assert not any("__bloom__" in _json.loads(s) for s in sj)
+
+
+def test_approx_quantiles_pushdown(tmp_path, ray_session):
+    """Quantile pushdown over per-chunk grids: EXACT (== DuckDB
+    quantile_disc) when quantile_k >= chunk rows, metadata-only on the
+    sketched path, exact via fallback scan under deletes and for
+    unsketched corpora, bounded rank error at small k, and grids
+    re-derived by vacuum (sketch_cols survival)."""
+    import duckdb
+
+    from colonnade_ray.pipelines import (
+        approx_quantiles,
+        delete_where,
+        encode_corpus,
+        vacuum_deletes,
+    )
+
+    rng = np.random.default_rng(67)
+    n = 6000
+    vals = rng.integers(-500, 100_000, n).astype(object)
+    vals[::113] = None  # SQL aggregate null semantics
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:06d}" for i in range(n)]),
+        "v": pa.array(list(vals), pa.int64()),
+        "g": pa.array(rng.integers(0, 4, n), pa.int64()),
+    })
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(t, src / "p0.parquet")
+    df = t.to_pandas()
+    qs = [0.0, 0.1, 0.5, 0.9, 0.99, 1.0]
+
+    def truth(frame, qlist=qs):
+        sql = "SELECT " + ", ".join(
+            f"quantile_disc(v, {q})" for q in qlist) + " FROM frame"
+        return list(duckdb.sql(sql).fetchone())
+
+    out = str(tmp_path / "enc")
+    encode_corpus(str(src), out, batch_size=256,
+                  quantile_cols=["v"], quantile_k=256)
+    got, st = approx_quantiles(out, "v", qs, return_stats=True)
+    assert got == truth(df)
+    assert st["chunks_scanned"] == 0 and st["chunks_sketched"] > 0
+
+    # predicate routes only proven chunks through the sketch
+    got_p = approx_quantiles(out, "v", [0.5], predicate=("g", "==", 2))
+    assert got_p == truth(df[df.g == 2], [0.5])
+
+    # unsketched corpus: full fallback, still exact
+    plain = str(tmp_path / "plain")
+    encode_corpus(str(src), plain, batch_size=256)
+    got_u, st_u = approx_quantiles(plain, "v", qs, return_stats=True)
+    assert got_u == truth(df)
+    assert st_u["chunks_sketched"] == 0 and st_u["chunks_scanned"] > 0
+
+    # deletes: masked chunks fall back, answers track the live rows;
+    # vacuum re-derives the grids (sketch config survival) and the
+    # corpus answers sketch-only again
+    delete_where(out, ("v", ">=", 90_000))
+    live = df[~(df.v >= 90_000)]
+    assert approx_quantiles(out, "v", qs) == truth(live)
+    vacuum_deletes(out)
+    got_v, st_v = approx_quantiles(out, "v", qs, return_stats=True)
+    assert got_v == truth(live)
+    assert st_v["chunks_scanned"] == 0, st_v
+
+    # small-k approx: bounded rank error, zero decode
+    out2 = str(tmp_path / "approx")
+    encode_corpus(str(src), out2, batch_size=2048,
+                  quantile_cols=["v"], quantile_k=32)
+    got_a, st_a = approx_quantiles(out2, "v", [0.5], return_stats=True)
+    assert st_a["chunks_scanned"] == 0
+    sv = np.sort(df.v.dropna().to_numpy())
+    err = abs(np.searchsorted(sv, got_a[0]) / sv.size - 0.5)
+    assert err < 0.05, err
+
+    with pytest.raises(ValueError):
+        approx_quantiles(out, "v", [1.5])
