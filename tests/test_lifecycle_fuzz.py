@@ -68,7 +68,10 @@ def _shards(dir_, n_files, rows, seed0, start0):
     (11, {}),
     (37, {"bloom_cols": ["doc_id"], "hll_cols": ["doc_id"],
           "group_size": 1}),
-    (101, {"cluster_by": "n_tok"}),
+    (101, {"cluster_by": "n_tok",
+           # exact-regime quantile grids (k >= batch_size): the
+           # sketch must track the model through every lifecycle op
+           "quantile_cols": ["n_tok"], "quantile_k": 64}),
     (59, {"bloom_cols": ["doc_id"], "cluster_by": "n_tok",
           "group_size": 1}),
     (73, {"cluster_by": ["n_tok", "doc_id"],    # Z-order layout
@@ -133,6 +136,20 @@ def test_lifecycle_random_program_matches_model(ray_session, tmp_path,
             assert [int(x) for x in got_k[icol]] == \
                 [int(x) for x in want[icol]]
             assert got_k["doc_id"].tolist() == want["doc_id"].tolist()
+            if "quantile_cols" in enc:
+                # batch_size=64 == quantile_k: grids are FULL, so the
+                # pushdown is exact == DuckDB-convention quantile_disc
+                # against the live model — through deletes, vacuums,
+                # appends (which encode WITHOUT grids: mixed path),
+                # merges, updates and restores
+                from colonnade_ray.pipelines import approx_quantiles
+
+                nn_s = exp[icol].dropna().sort_values().to_numpy()
+                for q in (0.25, 0.5, 0.9) if nn_s.size else ():
+                    got_q = approx_quantiles(out, icol, [q])[0]
+                    want_q = int(nn_s[
+                        max(0, int(np.ceil(q * nn_s.size)) - 1)])
+                    assert got_q == want_q, (q, got_q, want_q)
             if "hll_cols" in enc:
                 # sketches survive whatever lifecycle just happened
                 # (rewritten chunks drop theirs and re-scan); appends
