@@ -3,12 +3,13 @@ columns with typed metadata (brief-mandated).
 
 The Ray-side plumbing is REAL and tested: schemas, batch sizing for
 large binary payloads, actor-pool stage signatures, and output
-layout.  Decode is REAL for the container-friendly formats — WAV
-audio (stdlib ``wave``), P6 PPM images (pure numpy), and baseline
-8-bit PNG (stdlib ``zlib`` + numpy unfiltering, ``decode_png``),
-including a real nearest-neighbor resize stage — via
-``stdlib_decoder``.  Remaining compressed codecs (JPEG/MP3/MP4 frame
-sampling) are STUBBED — those libraries are not in this container —
+layout.  Decode is REAL for images and audio — WAV (stdlib ``wave``),
+P6 PPM (pure numpy), baseline 8-bit PNG (stdlib ``zlib`` + numpy
+unfiltering, ``decode_png``), and baseline JPEG (from-scratch
+Huffman + IDCT in ``functions/jpeg.py``, any sampling up to 4:2:0,
+restart markers) — including a real nearest-neighbor resize stage —
+via ``stdlib_decoder``.  Remaining compressed codecs (MP3/MP4 frame
+sampling) stay STUBBED — those libraries are not in this container —
 behind the same ``decoder=`` hook; the deterministic fake decoder
 lets pipelines and tests exercise the full data path for any media
 type.  Swap ``decoder=pillow_decoder`` (or an equivalent) in
@@ -388,6 +389,11 @@ def stdlib_decoder(payload: bytes, media_type: str) -> np.ndarray:
         return decode_ppm(payload, media_type).ravel().astype(np.float32) / 255.0
     if media_type == "image/png":
         return decode_png(payload, media_type).ravel().astype(np.float32) / 255.0
+    if media_type == "image/jpeg":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload, media_type).ravel() \
+            .astype(np.float32) / 255.0
     return unavailable_decoder(payload, media_type)
 
 

@@ -2664,3 +2664,90 @@ def test_png_through_media_pipeline(ray_session):
     pix0 = decode_ppm(synth_ppm_payload(0, w=16, h=12))
     want = (pix0.ravel().astype(np.float32) / 255.0)[:64]
     assert np.allclose(np.array(out.features.iloc[0]), want)
+
+
+def test_jpeg_baseline_roundtrip():
+    """From-scratch baseline JPEG (functions/jpeg.py): encode→decode
+    round-trips within DCT quantization error across 4:4:4 / 4:2:0 /
+    grayscale / restart-marker layouts; flat blocks reconstruct
+    exactly; unsupported envelopes raise honestly."""
+    import pytest as _pytest
+
+    from colonnade_ray.functions.jpeg import decode_jpeg, encode_jpeg
+    from colonnade_ray.functions.multimodal import (
+        decode_ppm,
+        synth_ppm_payload,
+    )
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+    # golden: the synth PPM gradient through JPEG at high quality
+    pix = decode_ppm(synth_ppm_payload(5, w=33, h=17))  # odd dims
+    dec = decode_jpeg(encode_jpeg(pix, quality=95))
+    assert dec.shape == pix.shape
+    assert psnr(pix, dec) > 40, psnr(pix, dec)
+
+    # 4:2:0 subsampling and restart markers decode correctly
+    dec420 = decode_jpeg(encode_jpeg(pix, quality=90, subsample=True))
+    assert psnr(pix, dec420) > 30, psnr(pix, dec420)
+    dec_rst = decode_jpeg(encode_jpeg(pix, quality=90,
+                                      restart_interval=2))
+    assert psnr(pix, dec_rst) > 38
+
+    # flat image: DC-only blocks reconstruct exactly
+    flat = np.full((24, 24, 3), 77, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, quality=85)),
+                          flat)
+
+    # grayscale path
+    g = np.tile(np.arange(48, dtype=np.uint8)[None, :] * 5, (16, 1))
+    decg = decode_jpeg(encode_jpeg(g, quality=92))
+    assert decg.shape == (16, 48, 1)
+    assert psnr(g[..., None], decg) > 40
+
+    # honest failures
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"nope")
+    import struct as _struct
+
+    prog = (b"\xff\xd8"
+            + b"\xff\xc2" + _struct.pack(">H", 11)
+            + _struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00"
+            + b"\xff\xd9")
+    with _pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(prog)
+
+
+def test_jpeg_through_media_pipeline(ray_session):
+    """JPEG rows flow through the real feature-extract actor pool via
+    stdlib_decoder — the last compressed-image stub is closed."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.jpeg import decode_jpeg, encode_jpeg
+    from colonnade_ray.functions.multimodal import (
+        decode_ppm,
+        extract_media_features,
+        stdlib_decoder,
+        synth_ppm_payload,
+    )
+
+    rows = []
+    for i in range(6):
+        pix = decode_ppm(synth_ppm_payload(i, w=16, h=12))
+        rows.append({
+            "media_id": f"jpg-{i:04d}",
+            "payload": encode_jpeg(pix, quality=92),
+            "media_type": "image/jpeg",
+            "width": 16, "height": 12, "duration_ms": 0,
+        })
+    ds = rd.from_items(rows)
+    out = extract_media_features(ds, decoder=stdlib_decoder,
+                                 batch_size=3).to_pandas()
+    assert len(out) == 6
+    # features are the decoded pixels (scaled), not a fake digest
+    pix0 = decode_ppm(synth_ppm_payload(0, w=16, h=12))
+    want = decode_jpeg(encode_jpeg(pix0, quality=92)).ravel()[:64] / 255.0
+    assert np.allclose(np.array(out.features.iloc[0]),
+                       want.astype(np.float32))
