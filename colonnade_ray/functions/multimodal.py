@@ -541,6 +541,87 @@ def sample_frames(ds, every: Optional[int] = None, n_frames: Optional[int] = Non
     )
 
 
+class AudioSpectralFeatures:
+    """Actor-pool stage: WAV payload -> log-power spectral feature
+    vector (REAL signal processing, numpy only): Hann-windowed framed
+    rFFT power, pooled into ``n_bands`` log-spaced (mel-like) bands,
+    time-averaged, log-compressed.  Deterministic; the audio analog
+    of the image feature extract (same output layout, composes with
+    the same downstream stages — e.g. embedding dedup / ANN over the
+    feature column)."""
+
+    def __init__(self, n_bands: int = 32, frame: int = 256,
+                 hop: int = 128, rate: int = 8000):
+        self.n_bands = n_bands
+        self.frame = frame
+        self.hop = hop
+        # precomputed per actor (once), reused every batch
+        self.window = np.hanning(frame)
+        self.n_bins = frame // 2 + 1
+        # log-spaced band edges, forced strictly increasing where the
+        # low end would collide (geomspace rounds 1,1,2,... at small
+        # n), clipped to the spectrum
+        edges = np.round(np.geomspace(1, self.n_bins,
+                                      n_bands + 1)).astype(np.int64)
+        edges = np.maximum(edges, np.arange(n_bands + 1) + 1)
+        edges = np.clip(np.maximum.accumulate(edges), 1, self.n_bins)
+        self.edges = edges
+
+    def _features(self, samples: np.ndarray) -> np.ndarray:
+        n = samples.size
+        if n < self.frame:
+            samples = np.pad(samples, (0, self.frame - n))
+            n = samples.size
+        n_frames = 1 + (n - self.frame) // self.hop
+        idx = (np.arange(self.frame)[None, :]
+               + self.hop * np.arange(n_frames)[:, None])
+        frames = samples[idx] * self.window[None, :]
+        power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+        bands = np.zeros((n_frames, self.n_bands), np.float64)
+        for b in range(self.n_bands):
+            lo = min(int(self.edges[b]), self.n_bins - 1)
+            hi = min(max(int(self.edges[b + 1]), lo + 1), self.n_bins)
+            bands[:, b] = power[:, lo:hi].mean(axis=1)
+        return np.log1p(bands.mean(axis=0)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, feats, nsamp = [], [], []
+        for mid, p in zip(batch["media_id"].to_pylist(),
+                          batch["payload"].to_pylist()):
+            if not p:
+                continue
+            samples = decode_wav(p)
+            ids.append(mid)
+            nsamp.append(samples.size)
+            feats.append(self._features(samples))
+        flat = pa.array(np.concatenate(feats) if feats
+                        else np.zeros(0, np.float32), pa.float32())
+        offs = pa.array(np.arange(0, (len(ids) + 1) * self.n_bands,
+                                  self.n_bands, dtype=np.int32))
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "n_samples": pa.array(nsamp, pa.int64()),
+            "features": pa.ListArray.from_arrays(offs, flat),
+        })
+
+
+def extract_audio_features(ds, n_bands: int = 32, frame: int = 256,
+                           hop: int = 128, batch_size: int = 64,
+                           concurrency=None):
+    """Spectral-feature a WAV Dataset (actor pool; window/band tables
+    built once per actor)."""
+    from ..util import default_concurrency
+
+    return ds.map_batches(
+        AudioSpectralFeatures,
+        fn_constructor_kwargs={"n_bands": n_bands, "frame": frame,
+                               "hop": hop},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or (1, default_concurrency()),
+    )
+
+
 def synth_ppm_video_payload(seed: int, frames: int = 12, w: int = 16,
                             h: int = 12) -> bytes:
     """A real concatenated-P6 'video': per-frame gradient + frame

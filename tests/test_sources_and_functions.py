@@ -2751,3 +2751,40 @@ def test_jpeg_through_media_pipeline(ray_session):
     want = decode_jpeg(encode_jpeg(pix0, quality=92)).ravel()[:64] / 255.0
     assert np.allclose(np.array(out.features.iloc[0]),
                        want.astype(np.float32))
+
+
+def test_audio_spectral_features(ray_session):
+    """Real spectral features over WAV rows: a pure sine's energy
+    lands in the band containing its frequency bin, features are
+    deterministic, and the actor-pool stage runs end-to-end."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.multimodal import (
+        AudioSpectralFeatures,
+        extract_audio_features,
+        synth_wav_payload,
+    )
+
+    st = AudioSpectralFeatures(n_bands=16, frame=256, hop=128)
+    rate = 8000
+    # 1 kHz sine -> rfft bin 32 of 129 at frame=256
+    t = np.arange(rate // 4) / rate
+    sine = np.sin(2 * np.pi * 1000 * t)
+    f = st._features(sine)
+    target_bin = int(round(1000 * 256 / rate))
+    band = int(np.searchsorted(st.edges, target_bin, side="right")) - 1
+    assert int(np.argmax(f)) == band, (np.argmax(f), band)
+    # deterministic
+    assert np.array_equal(f, st._features(sine))
+
+    rows = [{"media_id": f"w{i}", "payload": synth_wav_payload(i),
+             "media_type": "audio/wav", "width": 0, "height": 0,
+             "duration_ms": 50} for i in range(8)]
+    out = extract_audio_features(rd.from_items(rows),
+                                 n_bands=16, batch_size=3).to_pandas()
+    assert len(out) == 8
+    assert all(len(x) == 16 for x in out.features)
+    assert (out.n_samples == 400).all()
+    # different seeds -> different dominant bands (frequency sweep)
+    doms = {int(np.argmax(x)) for x in out.features}
+    assert len(doms) > 1
