@@ -347,6 +347,68 @@ def _run_dir(sf_dir: str, tag: str) -> str:
     return tempfile.mkdtemp(prefix=f"colonnade_{tag}_")
 
 
+def q_media_features(sf_dir: str):
+    """Multimodal pipeline end-to-end (rows-only — media decode has
+    no SQL twin): a deterministic synthetic corpus of REAL WAV, PPM,
+    PNG and JPEG payloads flows through the actor-pool stages —
+    stdlib_decoder feature extraction for the images, spectral
+    features for the audio — and the result is one typed table of
+    per-row feature summaries.  Every decoder is the from-scratch
+    stdlib implementation (functions/multimodal.py, functions/
+    jpeg.py); nothing is faked."""
+    import ray.data as rd
+
+    from colonnade_ray.functions.jpeg import encode_jpeg
+    from colonnade_ray.functions.multimodal import (
+        decode_ppm,
+        encode_png,
+        extract_audio_features,
+        extract_media_features,
+        stdlib_decoder,
+        synth_ppm_payload,
+        synth_wav_payload,
+    )
+
+    img_rows, wav_rows = [], []
+    for i in range(24):
+        pix = decode_ppm(synth_ppm_payload(1000 + i, w=24, h=16))
+        kind = i % 3
+        if kind == 0:
+            payload, mt = synth_ppm_payload(1000 + i, w=24, h=16), \
+                "image/x-portable-pixmap"
+        elif kind == 1:
+            payload, mt = encode_png(pix, filters=[i % 5] * 16), \
+                "image/png"
+        else:
+            payload, mt = encode_jpeg(pix, quality=90,
+                                      subsample=(i % 2 == 0)), \
+                "image/jpeg"
+        img_rows.append({"media_id": f"img-{i:04d}", "payload": payload,
+                         "media_type": mt, "width": 24, "height": 16,
+                         "duration_ms": 0})
+    for i in range(12):
+        wav_rows.append({"media_id": f"wav-{i:04d}",
+                         "payload": synth_wav_payload(i),
+                         "media_type": "audio/wav", "width": 0,
+                         "height": 0, "duration_ms": 50})
+    imgs = extract_media_features(
+        rd.from_items(img_rows), decoder=stdlib_decoder,
+        batch_size=8).to_pandas()
+    wavs = extract_audio_features(
+        rd.from_items(wav_rows), n_bands=16, batch_size=4).to_pandas()
+    import pandas as pd
+
+    out = pd.DataFrame({
+        "media_id": list(imgs.media_id) + list(wavs.media_id),
+        "kind": (["image"] * len(imgs)) + (["audio"] * len(wavs)),
+        "n_features": ([len(f) for f in imgs.features]
+                       + [len(f) for f in wavs.features]),
+        "feat_mean": ([float(np.mean(f)) for f in imgs.features]
+                      + [float(np.mean(f)) for f in wavs.features]),
+    }).sort_values("media_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_encode_roundtrip(sf_dir: str):
     """Flagship: tokenize -> skew-partitioned encode (actor pool) ->
     decode -> order-free bit-identical verify; returns the summary +
@@ -2271,6 +2333,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_overlap": q_winnow_overlap,
         # rows-only (intrinsically approximate: pruned IVF probe)
         "ann_ivf_topk": q_ann_ivf_topk,
+        # rows-only (media decode has no SQL twin)
+        "media_features": q_media_features,
     }
 
 
