@@ -112,13 +112,30 @@ def test_add_columns_checksums_and_verify(ray_session, tmp_path):
     inp, out, orig = _setup(tmp_path, n_rows=200)
     add_columns(out, _tok_bucket_fn(), ["n_tok"])
     assert decode_corpus(out, verify_checksum=True).count() == len(orig)
-    # chunk ids were re-derived from content
-    from colonnade_ray.state.lineage import load_lineage
+    # chunk ids were re-derived from content — the meta-inclusive
+    # identity (blake2b over payload checksum + every colN_meta, see
+    # stages/encode.py), NOT the old payload-only checksum prefix
+    import hashlib
+    import pyarrow.parquet as pq_
 
-    lin = load_lineage(out)
-    assert all(cid == ck[:16] for cid, ck in
-               zip(lin["chunk_id"].to_pylist(),
-                   lin["checksum"].to_pylist()))
+    gdirs = [os.path.join(out, "data", d)
+             for d in os.listdir(os.path.join(out, "data"))]
+    seen = 0
+    for gdir in gdirs:
+        for f in sorted(os.listdir(gdir)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq_.read_table(os.path.join(gdir, f))
+            for r in range(t.num_rows):
+                plan = json.loads(t["plan_json"][r].as_py())
+                idh = hashlib.blake2b(digest_size=8)
+                idh.update(t["checksum"][r].as_py().encode())
+                for i in range(len(plan)):
+                    idh.update(t[f"col{i}_meta"][r].as_py().encode())
+                    idh.update(b"\x00")
+                assert t["chunk_id"][r].as_py() == idh.hexdigest()
+                seen += 1
+    assert seen > 0
 
 
 def test_drop_columns_reclaims_and_guards_refs(ray_session, tmp_path):
