@@ -927,6 +927,30 @@ def q_encoded_quantiles(sf_dir: str):
     })
 
 
+def q_encoded_grouped_quantiles(sf_dir: str):
+    """Per-group quantile pushdown IN the gate: documents encoded
+    group-clustered on source with full quantile grids — single-group
+    chunks answer from the manifests, boundary chunks decode, and the
+    merged per-group discrete quantiles must equal DuckDB's
+    quantile_disc GROUP BY over the raw table."""
+    from colonnade_ray.pipelines import (
+        encode_corpus,
+        grouped_approx_quantiles,
+    )
+
+    work = _run_dir(sf_dir, "gquantiles")
+    inp = os.path.join(work, "input")
+    out = os.path.join(work, "out")
+    _tbl(sf_dir, "documents", ["doc_id", "n_chars", "source"]) \
+        .write_parquet(inp)
+    encode_corpus(inp, out, batch_size=512, resume=False,
+                  cluster_by="source",
+                  quantile_cols=["n_chars"], quantile_k=512)
+    df = grouped_approx_quantiles(out, "source", "n_chars",
+                                  [0.25, 0.5, 0.9])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_encoded_zorder_pushdown(sf_dir: str):
     """Z-order layout IN the gate: encode the documents table clustered
     on (n_chars, doc_id) — block-local Morton interleave of ranks, so
@@ -2251,6 +2275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_count_where": q_encoded_count_where,
         "encoded_count_where_or": q_encoded_count_where_or,
         "encoded_quantiles": q_encoded_quantiles,
+        "encoded_grouped_quantiles": q_encoded_grouped_quantiles,
         "encoded_zorder_pushdown": q_encoded_zorder_pushdown,
         "encoded_topk": q_encoded_topk,
         "approx_distinct": q_approx_distinct,
@@ -2891,6 +2916,15 @@ def oracle_sql() -> dict[str, str]:
                 "FROM documents"
                 for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
             + " ORDER BY q"
+        ),
+        "encoded_grouped_quantiles": (
+            "SELECT source, q, value FROM ("
+            + " UNION ALL ".join(
+                f"SELECT source, CAST({q} AS DOUBLE) AS q, "
+                f"CAST(quantile_disc(n_chars, {q}) AS BIGINT) AS value "
+                "FROM documents GROUP BY source"
+                for q in (0.25, 0.5, 0.9))
+            + ") ORDER BY source, q"
         ),
         "encoded_count_where_or": (
             "SELECT CAST(COUNT(*) FILTER (n_chars < 200 OR n_chars >= 900)"

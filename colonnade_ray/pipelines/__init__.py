@@ -8,6 +8,7 @@ from .encode_pipeline import (
     corpus_summary,
     group_aggregates,
     group_counts,
+    grouped_approx_quantiles,
     grouped_topk_where,
     count_where,
     decode_corpus,

@@ -2127,6 +2127,146 @@ def approx_quantiles(out_dir: str, col: str, qs=(0.25, 0.5, 0.75),
     return res
 
 
+def grouped_approx_quantiles(out_dir: str, group_col: str, col: str,
+                             qs=(0.25, 0.5, 0.75), concurrency=None,
+                             snapshot: Optional[str] = None,
+                             return_stats: bool = False):
+    """Per-GROUP approx quantiles over the encoded corpus — the
+    grouped member of the quantile pushdown (``approx_quantiles``'s
+    analog of ``group_aggregates``): a chunk proven single-group
+    (group band lo == hi, zero group nulls, unmasked) contributes its
+    quantile grid to that group's merge with zero payload decode;
+    mixed-group, masked or grid-less chunks decode group+value
+    columns and contribute exact values.  EXACT when every
+    contributing grid is full (quantile_k >= chunk rows) — on a
+    group-clustered corpus the whole answer is a manifest scan.
+    Returns a pandas frame (group, q, value) sorted by (group, q);
+    group keys are stringified like ``group_counts``."""
+    import pandas as pd
+
+    from ..stages.bloomzone import merge_quant_grids
+    from ..stages.decode import decode_chunk_row
+    from ..util import default_concurrency
+
+    qs = list(qs)
+    if any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError(f"quantiles must be in [0, 1]: {qs!r}")
+    scope_groups, deletes_dir = _scope(out_dir, snapshot)
+    lin_root = os.path.join(out_dir, "_lineage")
+    gids = active_groups(out_dir) if scope_groups is None else [
+        g for g in scope_groups
+        if os.path.exists(os.path.join(lin_root, f"group-{g}.parquet"))
+    ]
+    del_masks = {}
+    if deletes_dir is not None:
+        from .deletes import load_delete_masks
+
+        del_masks = load_delete_masks(deletes_dir)
+
+    grids: dict = {}     # group key (str) -> [(values, weight)]
+    scan_keys = set()
+    scan_groups = set()
+    n_sketched = 0
+    for gid in gids:
+        lin = _lin_of(lin_root, gid)
+        for sj, frag, cid in zip(lin["stats_json"].to_pylist(),
+                                 lin["fragment"].to_pylist(),
+                                 lin["chunk_id"].to_pylist()):
+            dmask = del_masks.get((frag, cid))
+            if isinstance(dmask, str):
+                continue
+            stats = json.loads(sj) if sj else {}
+            band = stats.get(group_col)
+            qe = stats.get("__quant__", {}).get(col)
+            one_group = (band is not None and band[0] == band[1]
+                         and "__nulls__" in stats
+                         and not stats["__nulls__"].get(group_col))
+            if one_group and qe is not None and dmask is None:
+                import numpy as np
+
+                s = np.asarray(qe["s"], dtype=np.int64)
+                grids.setdefault(str(band[0]), []).append(
+                    (s, qe["n"] / len(s)))
+                n_sketched += 1
+            else:
+                scan_keys.add((frag, cid))
+                scan_groups.add(gid)
+
+    if scan_keys:
+        cols = [group_col, col]
+        enc, cpt = _read_encoded(out_dir, cols, concurrency,
+                                 groups=sorted(scan_groups),
+                                 chunk_ids={c for _f, c in scan_keys})
+
+        def part(batch: pa.Table) -> pa.Table:
+            _register_dict_dir(out_dir)
+            import numpy as np
+
+            dm = {}
+            if deletes_dir is not None:
+                from .deletes import load_delete_masks as _ldm
+
+                dm = _ldm(deletes_dir)
+            gs, vs = [], []
+            names = batch.column_names
+            for i in range(len(batch)):
+                key = (batch["fragment"][i].as_py(),
+                       batch["chunk_id"][i].as_py())
+                if key not in scan_keys:
+                    continue
+                dmask = dm.get(key) if dm else None
+                if isinstance(dmask, str):
+                    continue
+                row = {c: batch[c][i].as_py() for c in names}
+                t = decode_chunk_row(row, verify_checksum=False,
+                                     columns=cols)
+                if dmask is not None:
+                    t = t.filter(pa.array(~dmask))
+                t = t.filter(pc.and_(pc.is_valid(t[group_col]),
+                                     pc.is_valid(t[col])))
+                if t.num_rows:
+                    gs.append(np.asarray(
+                        [str(x) for x in t[group_col].to_pylist()],
+                        dtype=object))
+                    vs.append(t[col].to_numpy(zero_copy_only=False)
+                              .astype(np.int64))
+            if not gs:
+                return pa.table({"g": pa.array([], pa.string()),
+                                 "v": pa.array([], pa.int64())})
+            import numpy as np
+
+            return pa.table({
+                "g": pa.array(np.concatenate(gs), pa.string()),
+                "v": pa.array(np.concatenate(vs), pa.int64()),
+            })
+
+        scanned = enc.map_batches(
+            part, batch_format="pyarrow", batch_size=max(1, cpt),
+            zero_copy_batch=True,
+            concurrency=concurrency or default_concurrency())
+        df = scanned.to_pandas()
+        if not df.empty:
+            for g, sub in df.groupby("g"):
+                grids.setdefault(str(g), []).append(
+                    (sub["v"].to_numpy(), None))
+
+    rows = {"q": [], "value": [], group_col: []}
+    for g in sorted(grids):
+        vals = merge_quant_grids(grids[g], qs)
+        for q, v in zip(qs, vals):
+            rows[group_col].append(g)
+            rows["q"].append(float(q))
+            rows["value"].append(v)
+    out = pd.DataFrame(rows)[[group_col, "q", "value"]]
+    out["value"] = out["value"].astype("int64") \
+        if out["value"].notna().all() and len(out) else out["value"]
+    out = out.sort_values([group_col, "q"]).reset_index(drop=True)
+    if return_stats:
+        return out, {"chunks_sketched": n_sketched,
+                     "chunks_scanned": len(scan_keys)}
+    return out
+
+
 def group_counts(out_dir: str, group_col: str,
                  value_col: Optional[str] = None, concurrency=None,
                  snapshot: Optional[str] = None,

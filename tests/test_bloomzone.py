@@ -369,3 +369,56 @@ def test_approx_quantiles_pushdown(tmp_path, ray_session):
 
     with pytest.raises(ValueError):
         approx_quantiles(out, "v", [1.5])
+
+
+def test_grouped_approx_quantiles_pushdown(tmp_path, ray_session):
+    """Per-group quantiles: metadata-only on a group-clustered layout
+    with full grids (== DuckDB quantile_disc GROUP BY), exact via
+    decode fallback on mixed layouts and under deletes."""
+    import duckdb
+    import pandas as pd
+
+    from colonnade_ray.pipelines import (
+        delete_where,
+        encode_corpus,
+        grouped_approx_quantiles,
+    )
+
+    rng = np.random.default_rng(71)
+    n = 6000
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:06d}" for i in range(n)]),
+        "src": pa.array([f"s{x}" for x in rng.integers(0, 5, n)]),
+        "v": pa.array(rng.integers(0, 50_000, n), pa.int64()),
+    })
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    pq.write_table(t, src_dir / "p0.parquet")
+    df = t.to_pandas()
+    qs = [0.25, 0.5, 0.9]
+
+    def truth(frame):
+        parts = [duckdb.sql(
+            f"SELECT src, {q} AS q, CAST(quantile_disc(v, {q}) AS "
+            "BIGINT) AS value FROM frame GROUP BY src").df()
+            for q in qs]
+        return pd.concat(parts).sort_values(["src", "q"]) \
+            .reset_index(drop=True)[["src", "q", "value"]]
+
+    out = str(tmp_path / "clustered")
+    encode_corpus(str(src_dir), out, batch_size=256, cluster_by="src",
+                  quantile_cols=["v"], quantile_k=256)
+    got, st = grouped_approx_quantiles(out, "src", "v", qs,
+                                       return_stats=True)
+    pd.testing.assert_frame_equal(got, truth(df))
+    assert st["chunks_sketched"] > st["chunks_scanned"], st
+
+    plain = str(tmp_path / "plain")
+    encode_corpus(str(src_dir), plain, batch_size=256)
+    pd.testing.assert_frame_equal(
+        grouped_approx_quantiles(plain, "src", "v", qs), truth(df))
+
+    delete_where(out, ("v", ">=", 45_000))
+    pd.testing.assert_frame_equal(
+        grouped_approx_quantiles(out, "src", "v", qs),
+        truth(df[df.v < 45_000]))
