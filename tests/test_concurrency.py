@@ -320,3 +320,45 @@ def test_lock_serializes_across_processes(tmp_path):
         a, b = lines[i].split(), lines[i + 1].split()
         assert a[0] == "in" and b[0] == "out" and a[1:] == b[1:], \
             (lines[i], lines[i + 1])
+
+
+def test_cross_process_deletes_converge(tmp_path, ray_session):
+    """The real thing: two OS processes, each with its own Ray
+    driver, run delete_where on one corpus at the same time.  Both
+    must finish without corruption — any CAS loser retries internally
+    — and the surviving corpus must decode to exactly the rows both
+    deletions leave."""
+    import subprocess
+    import sys
+    import textwrap
+
+    out, df = _corpus(tmp_path, n=1500)
+    prog = textwrap.dedent("""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import ray
+        ray.init(num_cpus=2, include_dashboard=False,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        from colonnade_ray.pipelines import delete_where
+        op, lo = sys.argv[1], int(sys.argv[2])
+        if op == "ge":
+            delete_where({out!r}, ("v", ">=", lo))
+        else:
+            delete_where({out!r}, ("v", "<", lo))
+        ray.shutdown()
+    """).format(out=out)
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)  # each child owns a local cluster
+    p1 = subprocess.Popen([sys.executable, "-c", prog, "ge", "900"],
+                          env=env)
+    p2 = subprocess.Popen([sys.executable, "-c", prog, "lt", "100"],
+                          env=env)
+    assert p1.wait(300) == 0
+    assert p2.wait(300) == 0
+    got = decode_corpus(out, columns=["v"]).to_pandas()
+    keep = df[(df.v >= 100) & (df.v < 900)]
+    assert len(got) == len(keep)
+    assert sorted(got.v) == sorted(keep.v)
+    assert count_where(out, ("v", ">=", 0)) == len(keep)
