@@ -32,7 +32,7 @@ from ..codecs import decode_column
 from ..errors import CellError, ChecksumError, ChunkDecodeError
 
 _OPS = {"==", "!=", ">", ">=", "<", "<=", "in", "startswith",
-        "endswith", "contains"}
+        "endswith", "contains", "is_null", "not_null"}
 
 
 def _str_upper(v: str):
@@ -88,6 +88,8 @@ def _normalize_expr(p):
     if p[1] in ("startswith", "endswith", "contains") \
             and not isinstance(p[2], str):
         raise ValueError(f"{p[1]} needs a string value: {p!r}")
+    if p[1] in ("is_null", "not_null"):
+        p = (p[0], p[1], None)  # value is ignored
     return tuple(p)
 
 
@@ -185,6 +187,14 @@ def chunk_may_match(stats_json: Optional[str], predicate: Tuple[str, str, object
         return True
     col, op, val = predicate
     stats = json.loads(stats_json)
+    if op == "is_null":
+        # provably null-free needs a zone entry (a statable, not
+        # all-null column) AND a proven-zero null count
+        return not (col in stats and _zero_nulls_proven(stats, [col]))
+    if op == "not_null":
+        # an all-null column carries no zone entry, so all-null is
+        # never provable from stats — stay conservative
+        return True
     bent = stats.get("__bloom__", {}).get(col)
     if bent is not None and op in ("==", "in"):
         from .bloomzone import probe_bloom
@@ -370,6 +380,10 @@ def chunk_all_match(stats_json: Optional[str],
         return False
     col, op, val = predicate
     stats = json.loads(stats_json)
+    if op == "is_null":
+        return False  # all-null chunks carry no provable entry
+    if op == "not_null":
+        return col in stats and _zero_nulls_proven(stats, [col])
     if col not in stats:
         return False
     if "__nulls__" not in stats:
@@ -436,6 +450,10 @@ def _mask_3v(t: pa.Table, predicate):
     if col not in t.column_names:
         return None
     c = t[col]
+    if op == "is_null":
+        return pc.is_null(c)
+    if op == "not_null":
+        return pc.is_valid(c)
     if op == "in":
         vals = pa.array(list(val)).cast(c.type)
         m = pc.is_in(c, value_set=vals)

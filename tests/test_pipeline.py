@@ -1497,3 +1497,66 @@ def test_predicate_or_not_composition(tmp_path, ray_session):
     assert len(rest) == len(keep)
     assert count_where(out, ("not", ("v", "<", 0))) == \
         int(keep.v.notna().sum())
+
+
+def test_is_null_not_null_predicates(tmp_path, ray_session):
+    """IS NULL / IS NOT NULL predicate leaves across the pushdown
+    family: exact SQL semantics, metadata proofs (null-free chunks
+    prove all-not-null and prune is_null entirely), composition with
+    NOT (NOT(v IS NULL) == v IS NOT NULL by Kleene invert of a
+    non-null mask), and delete interplay."""
+    from colonnade_ray.pipelines import (
+        count_where,
+        decode_corpus,
+        delete_where,
+        summary_where,
+    )
+    from colonnade_ray.stages.decode import chunk_all_match, chunk_may_match
+
+    rng = np.random.default_rng(83)
+    n = 5000
+    vals = rng.integers(0, 10_000, n).astype(object)
+    vals[::7] = None  # ~14% nulls, scattered
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:06d}" for i in range(n)]),
+        "v": pa.array(list(vals), pa.int64()),
+        "w": pa.array(rng.integers(0, 100, n), pa.int64()),  # null-free
+    })
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(t, src / "p0.parquet")
+    out = str(tmp_path / "enc")
+    encode_corpus(str(src), out, batch_size=256)
+    df = t.to_pandas()
+    n_null = int(df.v.isna().sum())
+
+    assert count_where(out, ("v", "is_null", None)) == n_null
+    assert count_where(out, ("v", "not_null", None)) == n - n_null
+    # null-free column: metadata proves everything
+    assert count_where(out, ("w", "is_null", None)) == 0
+    assert count_where(out, ("w", "not_null", None)) == n
+    lin = os.path.join(out, "_lineage")
+    sj = []
+    for f in os.listdir(lin):
+        if f.endswith(".parquet"):
+            sj += pq.read_table(os.path.join(lin, f),
+                                columns=["stats_json"])["stats_json"].to_pylist()
+    assert all(not chunk_may_match(s, ("w", "is_null", None)) for s in sj)
+    assert all(chunk_all_match(s, ("w", "not_null", None)) for s in sj)
+    # composition: NOT(IS NULL) == NOT NULL
+    assert count_where(out, ("not", ("v", "is_null", None))) == n - n_null
+    assert count_where(out, ("or", ("v", "is_null", None),
+                             ("v", ">=", 9000))) == \
+        int((df.v.isna() | (df.v >= 9000)).sum())
+    # decode + summary under the predicate
+    ids = decode_corpus(out, columns=["doc_id"],
+                        predicate=("v", "is_null", None)).to_pandas()
+    assert sorted(ids.doc_id) == sorted(df[df.v.isna()].doc_id)
+    sm = summary_where(out, "w", ("v", "not_null", None))
+    sub = df[df.v.notna()]
+    assert sm == {"count": len(sub), "sum": int(sub.w.sum()),
+                  "min": int(sub.w.min()), "max": int(sub.w.max())}
+    # delete all null-v rows, verify they are gone
+    delete_where(out, ("v", "is_null", None))
+    assert count_where(out, ("v", "is_null", None)) == 0
+    assert decode_corpus(out, columns=["v"]).to_pandas().v.notna().all()
