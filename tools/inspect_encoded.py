@@ -40,6 +40,16 @@ def main(argv=None) -> int:
                     extra += f"  nulls={nn}"
                 if ss is not None:
                     extra += f"  sum={ss}"
+                # sketches riding the stats channel (round-4/5)
+                if args.column in stats.get("__bloom__", {}):
+                    extra += "  bloom={m}b".format(
+                        m=stats["__bloom__"][args.column]["m"])
+                if args.column in stats.get("__hll__", {}):
+                    extra += "  hll=p{p}".format(
+                        p=stats["__hll__"][args.column]["p"])
+                qe = stats.get("__quant__", {}).get(args.column)
+                if qe is not None:
+                    extra += f"  quant={len(qe['s'])}pt/n={qe['n']}"
                 print(f"  {cid}: {stats[args.column]}{extra}")
                 shown += 1
                 if shown >= args.limit:
