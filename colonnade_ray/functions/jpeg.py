@@ -57,13 +57,12 @@ QC = np.array([
     99, 99, 99, 99, 99, 99, 99, 99,
 ], dtype=np.int64)
 
-# Huffman table specs the ENCODER writes (decoder always reads DHT):
-# DC tables code value-category 0..11; AC tables code (run, size)
-# bytes.  Canonical code assignment per the JPEG spec.
+# Huffman table specs the ENCODER writes (decoder always reads DHT,
+# so decode correctness never depends on these): DC tables code the
+# value category 0..11, AC tables code (run, size) bytes.  Flat
+# canonical shapes — suboptimal bitrate, irrelevant for round-trip.
 _DC_BITS = [0, 0, 0, 12] + [0] * 12       # 12 symbols, all 4 bits
 _DC_VALS = list(range(12))
-_AC_BITS = [0] * 7 + [255, 1] + [0] * 7    # dense one-length table:
-_AC_VALS = None                            # filled below
 
 
 def _ac_symbols() -> list:
@@ -77,12 +76,9 @@ def _ac_symbols() -> list:
 
 
 _AC_VALS = _ac_symbols()
-# 162 symbols -> a flat canonical table: put min(162,255) at length 8
-# and the rest at length 9 (valid canonical shape; suboptimal size,
-# irrelevant for round-trip tests)
 _AC_BITS = [0] * 16
-_AC_BITS[7] = 162  # all 162 symbols at 8 bits: 2^8=256 >= 162 + room
-# (bits list is 1-indexed by code length: index 7 -> length 8)
+_AC_BITS[7] = len(_AC_VALS)  # all 162 symbols at 8 bits (<= 256,
+#                              no shorter codes -> valid canonical)
 
 
 def _dct_basis() -> np.ndarray:
